@@ -1,0 +1,386 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exact, Locale}
+import graft.operators.Relational
+
+/** Reference operator inventory (SURVEY.md §2) re-expressed over the
+  * driver testdata, one oracle-checked query per operator family.
+  * Reference citations are on the library functions these delegate to.
+  */
+object RelationalQueries {
+
+  /** Shared DuckDB fragment builders (must mirror graft.functions.Exact). */
+  private def xsum(e: String): String = Exact.sumSql(e)
+  private def xavg(e: String): String = Exact.avgSql(e)
+
+  // --- A1/A2/F5: monthly mean + deterministic per-month last value ------
+  private val q01 = Q(
+    (spark, dir) => {
+      val monthly = Relational.monthlyAgg(
+        Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
+        Seq("o_orderpriority"), tieBreak = "o_orderkey")
+      monthly
+        .select(col("o_orderpriority"), col("month").cast("date").as("month"),
+          col("avg_value"), col("last_value"), col("n_obs"))
+        .orderBy(col("o_orderpriority"), col("month"))
+    },
+    Some(s"""
+      WITH l AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      a AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ${xavg("o_totalprice")} AS avg_value,
+               count(*) AS n_obs
+        FROM orders GROUP BY 1, 2)
+      SELECT a.o_orderpriority, a.month, a.avg_value,
+             l.o_totalprice AS last_value, a.n_obs
+      FROM a JOIN l ON l.rn = 1 AND l.o_orderpriority = a.o_orderpriority
+                   AND l.month = a.month
+      ORDER BY a.o_orderpriority ASC NULLS FIRST, a.month ASC NULLS FIRST"""))
+
+  // --- W1: month-over-month lag delta per group -------------------------
+  private def monthlySpark(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(spark, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("o_orderpriority"), col("month"))
+      .agg(Exact.exactAvg(col("o_totalprice")).as("avg_value"))
+
+  private val monthlySql =
+    s"""SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+               ${xavg("o_totalprice")} AS avg_value
+        FROM orders GROUP BY 1, 2"""
+
+  private val q02 = Q(
+    (spark, dir) => {
+      Relational.momChange(monthlySpark(spark, dir), Seq("o_orderpriority"), "avg_value")
+        .select(col("o_orderpriority"), col("month").cast("date").as("month"),
+          col("avg_value"), col("mom_change"))
+        .orderBy(col("o_orderpriority"), col("month"))
+    },
+    Some(s"""
+      WITH m AS ($monthlySql)
+      SELECT o_orderpriority, CAST(month AS DATE) AS month, avg_value,
+             avg_value - lag(avg_value) OVER (
+               PARTITION BY o_orderpriority ORDER BY month) AS mom_change
+      FROM m
+      ORDER BY o_orderpriority ASC NULLS FIRST, month ASC NULLS FIRST"""))
+
+  // --- O2 + A3/P7: top-3 MoM increases of the latest month --------------
+  private val q03 = Q(
+    (spark, dir) => {
+      val m = Relational.momChange(monthlySpark(spark, dir), Seq("o_orderpriority"), "avg_value")
+      val mx = m.agg(max(col("month")).as("__mx"))
+      Relational.topK(
+        m.join(broadcast(mx), col("month") === col("__mx"))
+          .filter(col("mom_change").isNotNull),
+        k = 3, metricDesc = "mom_change", tieBreakers = Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("month").cast("date").as("month"),
+          col("mom_change"))
+    },
+    Some(s"""
+      WITH m AS ($monthlySql),
+      d AS (
+        SELECT o_orderpriority, month, avg_value,
+               avg_value - lag(avg_value) OVER (
+                 PARTITION BY o_orderpriority ORDER BY month) AS mom_change
+        FROM m)
+      SELECT o_orderpriority, CAST(month AS DATE) AS month, mom_change
+      FROM d
+      WHERE month = (SELECT max(month) FROM d) AND mom_change IS NOT NULL
+      ORDER BY mom_change DESC NULLS LAST, o_orderpriority ASC NULLS FIRST
+      LIMIT 3"""))
+
+  // --- J1: broadcast left joins fact -> dim chain ------------------------
+  private val q04 = Q(
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      Relational.enrichLeft(
+        Relational.enrichLeft(
+          c.withColumnRenamed("c_nationkey", "n_nationkey"), n, "n_nationkey")
+          .withColumnRenamed("n_regionkey", "r_regionkey"),
+        r, "r_regionkey")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.exactSum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             ${xsum("c_acctbal")} AS sum_acctbal
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  // --- A4: deterministic keep-first dedup --------------------------------
+  private val q05 = Q(
+    (spark, dir) => {
+      Relational.dedupKeepFirst(
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+        keys = Seq("l_orderkey", "l_partkey"),
+        order = Seq(col("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_partkey"))
+    },
+    Some("""
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                  ORDER BY l_linenumber ASC) AS rn
+        FROM lineitem)
+      WHERE rn = 1
+      ORDER BY l_orderkey ASC NULLS FIRST, l_partkey ASC NULLS FIRST"""))
+
+  // --- U1: union-all then aggregate --------------------------------------
+  private val q06 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice")
+      val lo = o.filter(col("o_totalprice") < 100000.0)
+      val hi = o.filter(col("o_totalprice") >= 100000.0)
+      lo.unionByName(hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Exact.exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 100000.0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 100000.0)
+      SELECT o_orderstatus, count(*) AS n, ${xsum("o_totalprice")} AS sum_price
+      FROM u GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST"""))
+
+  // --- F1/F2/F7-F9/F11: locale-aware numeric parsing ---------------------
+  private val q07 = Q(
+    (spark, dir) => {
+      val qstr = floor(col("l_quantity")).cast("string")
+      val t = Tables.lineitem(spark, dir).select(
+        col("l_returnflag"),
+        concat(qstr, lit(","), lpad(col("l_linenumber").cast("string"), 2, "0")).as("s"),
+        concat(lit("1."), lpad(qstr, 3, "0"), lit(",25")).as("s2"),
+        concat(col("l_linenumber").cast("string"), lit(".5")).as("e"))
+      t.groupBy(col("l_returnflag"))
+        .agg(
+          Exact.exactSum(Locale.localeAwareDouble(col("s"))).as("sum_br"),
+          Exact.exactSum(Locale.localeAwareDouble(col("s2"))).as("sum_th"),
+          Exact.exactSum(Locale.localeAwareDouble(col("e"))).as("sum_en"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      def parse(e: String) =
+        s"""CASE WHEN contains($e, ',')
+                 THEN TRY_CAST(replace(replace($e, '.', ''), ',', '.') AS DOUBLE)
+                 ELSE TRY_CAST($e AS DOUBLE) END"""
+      s"""
+      WITH t AS (
+        SELECT l_returnflag,
+               CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || ','
+                 || lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS s,
+               '1.' || lpad(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), 3, '0')
+                 || ',25' AS s2,
+               CAST(l_linenumber AS VARCHAR) || '.5' AS e
+        FROM lineitem)
+      SELECT l_returnflag,
+             ${xsum(parse("s"))} AS sum_br,
+             ${xsum(parse("s2"))} AS sum_th,
+             ${xsum(parse("e"))} AS sum_en
+      FROM t GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST"""
+    })
+
+  // --- F3/F4/F5: date format -> dayfirst parse chain -> month trunc ------
+  private val q08 = Q(
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .select(date_format(col("l_shipdate"), "dd/MM/yyyy").as("s"))
+        .select(Locale.dayFirstTimestamp(col("s")).as("ts"))
+        .select(date_trunc("month", col("ts")).cast("date").as("month"))
+        .groupBy(col("month")).agg(count(lit(1)).as("n"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('month',
+               strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y')) AS DATE) AS month,
+             count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY month ASC NULLS FIRST"""))
+
+  // --- F7-F9 string functions + P1 projection ----------------------------
+  private val q09 = Q(
+    (spark, dir) => {
+      Tables.part(spark, dir)
+        .filter(col("p_name").contains("r"))
+        .groupBy(upper(col("p_brand")).as("brand_u"), lower(col("p_type")).as("type_l"))
+        .agg(count(lit(1)).as("n"), sum(length(trim(col("p_name")))).as("name_chars"))
+        .orderBy(col("brand_u"), col("type_l"))
+    },
+    Some("""
+      SELECT upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+             count(*) AS n, sum(length(trim(p_name))) AS name_chars
+      FROM part WHERE contains(p_name, 'r')
+      GROUP BY 1, 2
+      ORDER BY brand_u ASC NULLS FIRST, type_l ASC NULLS FIRST"""))
+
+  // --- A5/W3: latest row per group ---------------------------------------
+  private val q10 = Q(
+    (spark, dir) => {
+      Relational.latestPerGroup(
+        Tables.orders(spark, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_totalprice
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey ASC NULLS FIRST"""))
+
+  // --- O3: serving top-10 -------------------------------------------------
+  private val q11 = Q(
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders
+      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+      LIMIT 10"""))
+
+  // --- P3-P5: stacked predicates -----------------------------------------
+  private val q12 = Q(
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .filter(lower(col("o_orderstatus")).isin("f", "o")
+          && col("o_totalprice") > 50000.0
+          && col("o_orderdate").isNotNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Exact.exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n, ${xsum("o_totalprice")} AS sum_price
+      FROM orders
+      WHERE lower(o_orderstatus) IN ('f', 'o') AND o_totalprice > 50000.0
+        AND o_orderdate IS NOT NULL
+      GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST"""))
+
+  // --- P7/A3: rows of the latest month ------------------------------------
+  private val q13 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+      val mx = o.agg(max(col("month")).as("__mx"))
+      o.join(broadcast(mx), col("month") === col("__mx"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE date_trunc('month', o_orderdate) =
+            (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+      GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST"""))
+
+  // --- TPC-H Q1 pricing summary (headline bench query) --------------------
+  private val q14 = Q(
+    (spark, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.exactSum(col("l_quantity")).as("sum_qty"),
+          Exact.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.exactSum(disc).as("sum_disc_price"),
+          Exact.exactSum(charge).as("sum_charge"),
+          Exact.exactAvg(col("l_quantity")).as("avg_qty"),
+          Exact.exactAvg(col("l_extendedprice")).as("avg_price"),
+          Exact.exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${xsum("l_quantity")} AS sum_qty,
+             ${xsum("l_extendedprice")} AS sum_base_price,
+             ${xsum("(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+             ${xsum("((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax))")} AS sum_charge,
+             ${xavg("l_quantity")} AS avg_qty,
+             ${xavg("l_extendedprice")} AS avg_price,
+             ${xavg("l_discount")} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1, 2
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // --- TPC-H Q3-style join + top-k revenue --------------------------------
+  private val q15 = Q(
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      val joined = c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+      joined
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Exact.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             ${xsum("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+      LIMIT 10"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q01_monthly_agg" -> q01,
+    "q02_mom_lag" -> q02,
+    "q03_topk_mom" -> q03,
+    "q04_dim_join" -> q04,
+    "q05_dedup_keepfirst" -> q05,
+    "q06_union_all" -> q06,
+    "q07_locale_parse" -> q07,
+    "q08_date_chain" -> q08,
+    "q09_string_funcs" -> q09,
+    "q10_latest_per_group" -> q10,
+    "q11_top10_serving" -> q11,
+    "q12_filters" -> q12,
+    "q13_latest_month" -> q13,
+    "q14_pricing_summary" -> q14,
+    "q15_topk_revenue" -> q15)
+}

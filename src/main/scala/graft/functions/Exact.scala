@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic ("exact") numeric aggregation helpers.
+  *
+  * Floating-point `sum`/`avg` over a shuffled Dataset is
+  * order-of-combination dependent: partial aggregates merge in arrival
+  * order, so two runs — or Spark vs the DuckDB oracle — can differ in the
+  * last ulps, which breaks hash comparison. The fix is to aggregate in
+  * integer space: quantize each value to a fixed scale (cents for money),
+  * sum as BIGINT (exact, associative, commutative — order-free), and
+  * divide back out once at the end (a single correctly-rounded IEEE
+  * division, bit-identical across engines).
+  *
+  * At 100 TB this is also the *faster* plan: bigint sum is cheaper than
+  * decimal and the map-side partial aggregation stays exact.
+  */
+object Exact {
+
+  /** Quantize a double column to a BIGINT at 10^scale (e.g. scale=2 → cents). */
+  def quantize(c: Column, scale: Int = 2): Column = {
+    val factor = math.pow(10, scale)
+    round(c * lit(factor)).cast("long")
+  }
+
+  /** Order-independent exact sum of a double column; result is DOUBLE. */
+  def exactSum(c: Column, scale: Int = 2): Column = {
+    val factor = math.pow(10, scale)
+    sum(quantize(c, scale)).cast("double") / lit(factor)
+  }
+
+  /** Order-independent exact mean of a double column; result is DOUBLE. */
+  def exactAvg(c: Column, scale: Int = 2): Column = {
+    val factor = math.pow(10, scale)
+    sum(quantize(c, scale)).cast("double") / lit(factor) / count(lit(1))
+  }
+
+  /** DuckDB-SQL fragments matching the Spark expressions above, for
+    * oracle pairs. Keep the operation order IDENTICAL to the Column
+    * variants — both engines then perform the same IEEE ops.
+    */
+  def sumSql(expr: String, scale: Int = 2): String = {
+    val factor = math.pow(10, scale).toLong
+    s"CAST(sum(CAST(round($expr * $factor.0) AS BIGINT)) AS DOUBLE) / $factor.0"
+  }
+
+  def avgSql(expr: String, scale: Int = 2): String = {
+    val factor = math.pow(10, scale).toLong
+    s"CAST(sum(CAST(round($expr * $factor.0) AS BIGINT)) AS DOUBLE) / $factor.0 / count(*)"
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Core relational operators — the Spark-first re-expression of the
+  * reference's operator inventory (SURVEY.md §2). Each is a pure
+  * `DataFrame => DataFrame` transform, designed so Catalyst keeps
+  * pushdown/pruning freedom and the physical plan scales:
+  *
+  *  - aggregations are hash aggs with map-side partials (groupBy/agg);
+  *  - order-dependent pandas semantics (`last`, keep-first dedup) are
+  *    expressed with deterministic window row_number / max_by — never
+  *    Spark's non-deterministic `first`/`last`;
+  *  - top-k is orderBy+limit → TakeOrderedAndProject (no global sort);
+  *  - small dimensions are broadcast explicitly.
+  */
+object Relational {
+
+  /** Monthly aggregation (reference transform.py:111-134, A1/A2/F5):
+    * truncate an event timestamp to month, group, exact mean, plus a
+    * deterministic "last value in month" = value at max (orderCol, tieCol).
+    */
+  def monthlyAgg(df: DataFrame, ts: String, value: String, keys: Seq[String],
+                 tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("month", date_trunc("month", col(ts)))
+      .groupBy(keyCols :+ col("month"): _*)
+      .agg(
+        Exact.exactAvg(col(value)).as("avg_value"),
+        max_by(col(value), struct(col(ts), col(tieBreak))).as("last_value"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Per-group month-over-month delta via lag window (reference
+    * summary.py:70-71, W1). Input must already be one row per
+    * (keys, month). */
+  def momChange(monthly: DataFrame, keys: Seq[String], metric: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("month"))
+    monthly.withColumn("mom_change", col(metric) - lag(col(metric), 1).over(w))
+  }
+
+  /** Top-k by metric with full deterministic tiebreakers (reference
+    * summary.py:77, O2). Compiles to TakeOrderedAndProject. */
+  def topK(df: DataFrame, k: Int, metricDesc: String, tieBreakers: Seq[String]): DataFrame =
+    df.orderBy(col(metricDesc).desc +: tieBreakers.map(col(_).asc): _*).limit(k)
+
+  /** Deterministic dedup: keep the first row per key in (orderBy) order —
+    * the well-defined form of pandas sort+drop_duplicates keep-first
+    * (reference transform.py:12,107, A4). Window row_number, not
+    * dropDuplicates (which keeps an arbitrary row). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest row per group (reference summary.py:33-38, A5/W3): row at max
+    * order columns per key. */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    dedupKeepFirst(df, keys, order.map(_.desc_nulls_last))
+
+  /** Dimension-enrich left join with an explicit broadcast of the small
+    * side (reference main.py:56, J1). */
+  def enrichLeft(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "left")
+}
