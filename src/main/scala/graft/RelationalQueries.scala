@@ -33,7 +33,7 @@ object RelationalQueries {
                o_totalprice,
                row_number() OVER (
                  PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
-                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
         FROM orders),
       a AS (
         SELECT o_orderpriority,
@@ -70,7 +70,8 @@ object RelationalQueries {
       WITH m AS ($monthlySql)
       SELECT o_orderpriority, CAST(month AS DATE) AS month, avg_value,
              avg_value - lag(avg_value) OVER (
-               PARTITION BY o_orderpriority ORDER BY month) AS mom_change
+               PARTITION BY o_orderpriority
+               ORDER BY month ASC NULLS FIRST) AS mom_change
       FROM m
       ORDER BY o_orderpriority ASC NULLS FIRST, month ASC NULLS FIRST"""))
 
@@ -91,7 +92,8 @@ object RelationalQueries {
       d AS (
         SELECT o_orderpriority, month, avg_value,
                avg_value - lag(avg_value) OVER (
-                 PARTITION BY o_orderpriority ORDER BY month) AS mom_change
+                 PARTITION BY o_orderpriority
+                 ORDER BY month ASC NULLS FIRST) AS mom_change
         FROM m)
       SELECT o_orderpriority, CAST(month AS DATE) AS month, mom_change
       FROM d
@@ -131,14 +133,18 @@ object RelationalQueries {
         Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
         keys = Seq("l_orderkey", "l_partkey"),
-        order = Seq(col("l_linenumber")))
+        // The testdata contains full-duplicate (orderkey, partkey,
+        // linenumber) rows, so the window order must be TOTAL over the
+        // remaining columns or the kept row is nondeterministic.
+        order = Seq(col("l_linenumber"), col("l_quantity")))
         .orderBy(col("l_orderkey"), col("l_partkey"))
     },
     Some("""
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
                row_number() OVER (PARTITION BY l_orderkey, l_partkey
-                                  ORDER BY l_linenumber ASC) AS rn
+                                  ORDER BY l_linenumber ASC NULLS FIRST,
+                                           l_quantity ASC NULLS FIRST) AS rn
         FROM lineitem)
       WHERE rn = 1
       ORDER BY l_orderkey ASC NULLS FIRST, l_partkey ASC NULLS FIRST"""))
@@ -226,7 +232,8 @@ object RelationalQueries {
     },
     Some("""
       SELECT upper(p_brand) AS brand_u, lower(p_type) AS type_l,
-             count(*) AS n, sum(length(trim(p_name))) AS name_chars
+             count(*) AS n,
+             CAST(sum(length(trim(p_name))) AS BIGINT) AS name_chars
       FROM part WHERE contains(p_name, 'r')
       GROUP BY 1, 2
       ORDER BY brand_u ASC NULLS FIRST, type_l ASC NULLS FIRST"""))

@@ -25,16 +25,24 @@ object Exact {
     round(c * lit(factor)).cast("long")
   }
 
-  /** Order-independent exact sum of a double column; result is DOUBLE. */
+  /** Order-independent exact sum of a double column; result is DOUBLE.
+    *
+    * The quantized values are summed as DECIMAL(38,0), not BIGINT: at
+    * 100 TB (~1e12 rows × ~1e7 cents > 2^63) a long sum would silently
+    * wrap with ANSI off, while DuckDB promotes to HUGEINT — decimal keeps
+    * both engines exact (the oracle's HUGEINT and our decimal represent
+    * the same integer; the single cast-to-double is correctly rounded and
+    * bit-identical on both sides).
+    */
   def exactSum(c: Column, scale: Int = 2): Column = {
     val factor = math.pow(10, scale)
-    sum(quantize(c, scale)).cast("double") / lit(factor)
+    sum(quantize(c, scale).cast("decimal(38,0)")).cast("double") / lit(factor)
   }
 
   /** Order-independent exact mean of a double column; result is DOUBLE. */
   def exactAvg(c: Column, scale: Int = 2): Column = {
     val factor = math.pow(10, scale)
-    sum(quantize(c, scale)).cast("double") / lit(factor) / count(lit(1))
+    sum(quantize(c, scale).cast("decimal(38,0)")).cast("double") / lit(factor) / count(lit(1))
   }
 
   /** DuckDB-SQL fragments matching the Spark expressions above, for

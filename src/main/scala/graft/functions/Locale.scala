@@ -28,8 +28,10 @@ object Locale {
   def localeAwareDouble(c: Column): Column =
     when(c.contains(","), ptBrToDouble(c)).otherwise(try_cast_double(c))
 
-  /** Null-on-failure double cast (ANSI-safe). */
-  private def try_cast_double(c: Column): Column = c.cast("double")
+  /** Null-on-failure double cast. A real `try_cast`, so the coerce
+    * semantics hold regardless of the session's `spark.sql.ansi.enabled`
+    * (Spark 4 defaults ANSI on; a plain cast would throw there). */
+  private def try_cast_double(c: Column): Column = c.try_cast("double")
 
   /** Day-first date parse chain: accepts `dd/MM/yyyy` then ISO
     * `yyyy-MM-dd`, null on failure — the Spark shape of pandas

@@ -50,19 +50,33 @@ object Relational {
 
   /** Deterministic dedup: keep the first row per key in (orderBy) order —
     * the well-defined form of pandas sort+drop_duplicates keep-first
-    * (reference transform.py:12,107, A4). Window row_number, not
-    * dropDuplicates (which keeps an arbitrary row). */
-  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+    * (reference transform.py:12,107, A4).
+    *
+    * Expressed as `groupBy(keys).agg(min_by(struct(rest), struct(order)))`
+    * — a hash aggregate with map-side partial combine — rather than a
+    * window `row_number`, which would sort every partition. At 100 TB the
+    * hash-agg form shuffles only one pre-combined row per key per map
+    * task instead of the full table. Callers MUST pass an `order` that is
+    * a total order over rows within a key (include every value column if
+    * keys can fully duplicate), otherwise the kept row is undefined.
+    * Order columns must be non-null (or identical under ties). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepByOrd(df, keys, struct(order: _*), minSide = true)
 
   /** Latest row per group (reference summary.py:33-38, A5/W3): row at max
-    * order columns per key. */
+    * order columns per key. Same hash-agg shape as [[dedupKeepFirst]]. */
   def latestPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
-    dedupKeepFirst(df, keys, order.map(_.desc_nulls_last))
+    keepByOrd(df, keys, struct(order: _*), minSide = false)
+
+  private def keepByOrd(df: DataFrame, keys: Seq[String], ord: Column,
+                        minSide: Boolean): DataFrame = {
+    val rest = df.columns.filterNot(keys.contains)
+    val row = struct(rest.map(col): _*)
+    val picked = if (minSide) min_by(row, ord) else max_by(row, ord)
+    df.groupBy(keys.map(col): _*)
+      .agg(picked.as("__row"))
+      .select(keys.map(col) ++ rest.map(c => col(s"__row.$c").as(c)): _*)
+  }
 
   /** Dimension-enrich left join with an explicit broadcast of the small
     * side (reference main.py:56, J1). */
