@@ -1,8 +1,104 @@
 package graft
 
-/** Event-time window / sessionization / JSON-props extension queries over
-  * `events` (SURVEY.md §2.11 E5/E6). Populated in the extensions
-  * milestone. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Exact
+
+/** Event-stream operators over the `events` table (north-star E5/E6):
+  * JSON property extraction, event-time tumbling windows, and
+  * gap-based sessionization — the batch forms; the Structured Streaming
+  * variants share the same `window`/`session_window` expressions (see
+  * graft.streaming).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+  * and the queries floor-divide to microseconds (`ts div 1000` — integer
+  * division, exact; a double division would lose precision above 2^53).
+  * The oracle mirrors with `epoch_ns(ts) // 1000`.
+  */
 object EventQueries {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  /** events with ts as a proper microsecond timestamp column `tus`. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tus", expr("timestamp_micros(ts div 1000)"))
+
+  private val eventsSqlCte =
+    "ev AS (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS tus FROM events)"
+
+  // --- E5: JSON props extraction + aggregation ---------------------------
+  private val q28 = Q(
+    (spark, dir) => {
+      events(spark, dir)
+        .withColumn("k", from_json(col("props"), StructType.fromDDL("k BIGINT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(props->>'k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'k' AS BIGINT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
+  // --- E6: event-time tumbling 1-hour windows ----------------------------
+  private val q29 = Q(
+    (spark, dir) => {
+      events(spark, dir)
+        .groupBy(window(col("tus"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.exactSum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte
+      SELECT date_trunc('hour', tus) AS window_start, event_type,
+             count(*) AS n,
+             ${Exact.sumSql("value")} AS sum_value
+      FROM ev GROUP BY 1, 2
+      ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
+  // --- E6b: gap-based sessionization (30-minute inactivity gap) ----------
+  // Spark session_window closes a session when the next event is >= gap
+  // after the last one (window end = last_ts + gap, exclusive), so the
+  // oracle's island detection uses `>= INTERVAL 30 MINUTE`.
+  private val q30 = Q(
+    (spark, dir) => {
+      events(spark, dir)
+        .groupBy(session_window(col("tus"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("tus")).as("session_end"),
+          Exact.exactSum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      g AS (
+        SELECT user_id, tus, value,
+               CASE WHEN lag(tus) OVER w IS NULL
+                      OR tus - lag(tus) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC NULLS FIRST)),
+      s AS (
+        SELECT user_id, tus, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC NULLS FIRST
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+      SELECT user_id, min(tus) AS session_start, max(tus) AS session_end,
+             count(*) AS n_events,
+             ${Exact.sumSql("value")} AS sum_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q28_json_props" -> q28,
+    "q29_tumbling_window" -> q29,
+    "q30_sessionization" -> q30)
 }

@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: inspect schemas and physical plans.
+  *
+  *  - `runMain graft.Explain read <parquetPath>`  → schema + 3 rows
+  *  - `runMain graft.Explain plan <queryName> <sfDir>` → formatted plan
+  *  - `runMain graft.Explain run <queryName> <sfDir>`  → show(20)
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "read" :: path :: Nil =>
+        val df = spark.read.parquet(path)
+        df.printSchema()
+        df.show(3, truncate = false)
+      case "plan" :: name :: sfDir :: Nil =>
+        Queries.queries(name)(spark, sfDir).explain("formatted")
+      case "run" :: name :: sfDir :: Nil =>
+        Queries.queries(name)(spark, sfDir).show(20, truncate = false)
+      case other => sys.error(s"unknown args: $other")
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,277 @@
 package graft
 
-/** Text-analysis + dedup extension queries over `documents` (SURVEY.md
-  * §2.11 E1/E2/E4). Populated in the extensions milestone. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TextOps}
+
+/** LLM-data-pipeline text operators over the `documents` corpus
+  * (BASELINE north-star E1/E2/E4 + fingerprinting/quality/lang-id):
+  * exact content dedup, MinHash+LSH near-dup, SimHash near-dup,
+  * n-gram-Jaccard similarity, token statistics, quality scoring,
+  * heuristic language ID, and min-hash document fingerprinting.
+  *
+  * Every query is DuckDB-oracle-checked: all hashing is md5 (identical
+  * in both engines), all ratios are single integer→double divisions,
+  * all integer outputs are BIGINT on both sides.
+  */
 object TextQueries {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  private val MinhashPerms = 64
+  private val Bands = 16 // x4 rows = 64 perms
+  private val BandRows = 4
+  private val JaccardThreshold = 0.5
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+
+  private val shingleSqlCte =
+    """s AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))"""
+
+  // --- E1: exact content-hash dedup (reference A4 generalized) ----------
+  private val q16 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val raw = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val kept = Relational
+        .dedupKeepFirst(d.withColumn("__ch", md5(col("text"))),
+          keys = Seq("__ch"), order = Seq(col("doc_id")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      raw.join(kept, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dups"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_kept,
+             count(*) - count(DISTINCT md5(text)) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+
+  // --- E2: near-dup detection, MinHash + LSH banding ---------------------
+  // Spark path: 64 minhashes -> 16 bands -> groupBy(band) candidates ->
+  // exact-Jaccard verify. The ORACLE is exact all-pairs Jaccard, so any
+  // LSH recall loss would surface as a row mismatch. (At 64 perms / 16
+  // bands, P(miss) at j=0.9 is ~4e-8; the corpus is bimodal j<=0.07 or
+  // j>=0.9.) At scale the banding join replaces the O(n^2) product.
+  private val q17 = Q(
+    (spark, dir) => {
+      val sh = shingled(spark, dir)
+      val minCols = (0 until MinhashPerms)
+        .map(k => min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k"))
+      val sigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+      val banded = sigs.select(col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k")): _*)).as("bh"))
+        }: _*)).as("bd"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= $JaccardThreshold
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
+  // --- E2b: SimHash near-dup (pigeonhole chunk-join, no all-pairs) -------
+  private val q18 = Q(
+    (spark, dir) => {
+      val tok = docs(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val sigs = TextOps.simhash(tok, "doc_id", "token", "cnt")
+      TextOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)
+        GROUP BY 1, 2),
+      bits AS (
+        SELECT doc_id, j,
+               sum(cnt * (2 * ((strpos('0123456789abcdef',
+                    substr(md5(token), CAST(j AS INT) + 1, 1)) - 1) % 2) - 1)) AS contrib
+        FROM tok CROSS JOIN (SELECT unnest(range(32)) AS j)
+        GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN contrib > 0 THEN CAST(power(2, j) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
+  // --- E4: per-language token statistics ---------------------------------
+  private val q19 = Q(
+    (spark, dir) => {
+      docs(spark, dir)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("nt"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (SELECT lang, string_split(text, ' ') t, n_chars FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avg_tokens
+      FROM d GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""))
+
+  // --- E4b: global top-20 terms ------------------------------------------
+  private val q20 = Q(
+    (spark, dir) => {
+      docs(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc_nulls_last, col("term"))
+        .limit(20)
+    },
+    Some("""
+      SELECT t AS term, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) t FROM documents)
+      GROUP BY 1 ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST LIMIT 20"""))
+
+  // --- E4c: per-document quality scoring ---------------------------------
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private val q21 = Q(
+    (spark, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val stop = array(Stopwords.map(lit): _*)
+      docs(spark, dir)
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_types"),
+          size(filter(t, x => array_contains(stop, x))).cast("long").as("n_stop"),
+          col("n_chars"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"))
+        .orderBy(col("type_token_ratio").desc_nulls_last, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t, n_chars FROM documents),
+      m AS (
+        SELECT doc_id, len(t) AS n_tokens, n_chars,
+               len(list_distinct(t)) AS n_types,
+               len(list_filter(t, x -> list_contains(
+                 [${Stopwords.map("'" + _ + "'").mkString(",")}], x))) AS n_stop
+        FROM d)
+      SELECT doc_id, n_tokens, n_types,
+             CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+             CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
+      FROM m
+      ORDER BY type_token_ratio DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT 20"""))
+
+  // --- E4d: heuristic language-ID score vs labeled lang ------------------
+  private val EnMarkers = Seq("the", "a", "and", "spark", "fast")
+  private val XMarkers = Seq("table", "data", "vector", "stream")
+  private val q22 = Q(
+    (spark, dir) => {
+      val t = TextOps.tokens(col("text"))
+      def score(ws: Seq[String]) =
+        size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
+      docs(spark, dir)
+        .select(col("lang"), score(EnMarkers).as("s_en"), score(XMarkers).as("s_x"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s_en") >= col("s_x"), 1L).otherwise(0L)).as("n_en_like"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+          len(list_filter(t, x -> list_contains(
+            [${EnMarkers.map("'" + _ + "'").mkString(",")}], x))) AS s_en,
+          len(list_filter(t, x -> list_contains(
+            [${XMarkers.map("'" + _ + "'").mkString(",")}], x))) AS s_x
+        FROM d)
+      SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN s_en >= s_x THEN 1 ELSE 0 END) AS BIGINT) AS n_en_like
+      FROM s GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""))
+
+  // --- E2c: min-shingle-hash document fingerprint clusters ---------------
+  private val q23 = Q(
+    (spark, dir) => {
+      shingled(spark, dir)
+        .select(col("doc_id"), array_min(transform(col("sh"), s => md5(s))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s)
+      SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM f GROUP BY 1 HAVING count(*) > 1
+      ORDER BY fp ASC NULLS FIRST"""))
+
+  // --- E4e: token counting, whitespace vs BPE-ish regex tokenizer --------
+  private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val q24 = Q(
+    (spark, dir) => {
+      docs(spark, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).as("ws"),
+          size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).as("re"))
+        .groupBy(col("source"))
+        .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS re_tokens
+      FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q16_exact_dedup" -> q16,
+    "q17_near_dup_lsh" -> q17,
+    "q18_simhash_pairs" -> q18,
+    "q19_text_stats" -> q19,
+    "q20_top_terms" -> q20,
+    "q21_quality_score" -> q21,
+    "q22_lang_id" -> q22,
+    "q23_fingerprint" -> q23,
+    "q24_token_count" -> q24)
 }

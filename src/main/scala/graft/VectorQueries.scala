@@ -1,7 +1,159 @@
 package graft
 
-/** Similarity-search extension queries over `embeddings` (SURVEY.md
-  * §2.11 E3). Populated in the extensions milestone. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** Similarity search over the `embeddings` table (north-star E3):
+  * exact brute-force cosine top-k (the correctness baseline), sign-bit
+  * LSH-bucketed approximate search (the 100 TB scale path — candidates
+  * from a bucket equi-join, never an all-pairs product), and an exact
+  * cosine near-dup pair join.
+  *
+  * All similarity math is quantized-integer (see [[VectorOps]]) so Spark
+  * and the DuckDB oracle produce bit-identical doubles.
+  */
 object VectorQueries {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  /** Shared oracle CTEs: per-element quantized values + squared norms. */
+  private val qnormSqlCte =
+    """e AS (
+        SELECT vec_id,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1)"""
+
+  /** vec_id + quantized array + exact squared norm, computed once. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  // --- E3: exact brute-force cosine top-10 for 5 query vectors -----------
+  // The query side is tiny -> broadcast; each candidate partition streams
+  // once. Scale: O(queries x corpus) with no shuffle of the corpus.
+  private val q25 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val c = e.select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      d AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      r AS (
+        SELECT qid, cid, cos_sim, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 10
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
+  // --- E3b: LSH-bucketed approximate top-5 (the scale path) --------------
+  // Sign-bit bucketing on the first 4 dims; search only within the bucket.
+  // The oracle computes the SAME bucketed semantics, so recall-vs-exact is
+  // a documented property of the operator, not a parity gap.
+  private val q26 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), VectorOps.signBucket(col("embedding")).as("bucket")),
+          Seq("vec_id"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("bucket"), col("q").as("qq"), col("n2").as("qn2"))
+      val c = e.select(col("vec_id").as("cid"), col("bucket"), col("q").as("cq"),
+        col("n2").as("cn2"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               CAST((embedding[1] >= 0) AS INT) * 8 + CAST((embedding[2] >= 0) AS INT) * 4
+               + CAST((embedding[3] >= 0) AS INT) * 2 + CAST((embedding[4] >= 0) AS INT) AS bucket
+        FROM embeddings),
+      $qnormSqlCte,
+      cand AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid
+        FROM q a JOIN q b ON a.bucket = b.bucket
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      d AS (
+        SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+        FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                  JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      r AS (
+        SELECT qid, cid, cos_sim, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 5
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
+  // --- E3c: embedding near-dup pairs (exact baseline) --------------------
+  private val q27 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosine(VectorOps.qdot(col("qa"), col("qb")),
+            col("na"), col("nb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      d AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT a_id, b_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+      SELECT a_id, b_id, cos_sim FROM c WHERE cos_sim >= 0.4
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q25_cosine_topk" -> q25,
+    "q26_ann_bucketed" -> q26,
+    "q27_embed_neardup" -> q27)
 }

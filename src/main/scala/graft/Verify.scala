@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // pandas errors="coerce" semantics: bad casts -> null, not error
       .config("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS): read as LongType ns
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

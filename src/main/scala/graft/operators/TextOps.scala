@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text / LLM-data-pipeline operators over a document corpus: exact and
+  * near-duplicate detection, fingerprinting, and quality metrics.
+  *
+  * Everything is built from codegen'd Spark built-ins (no UDFs); the hash
+  * primitive is `md5`, chosen because it exists with identical output in
+  * both Spark and DuckDB — which makes every operator here oracle-checkable
+  * end to end (the correctness harness compares against DuckDB SQL running
+  * the same formulas).
+  *
+  * Scale design (the 100 TB contract):
+  *  - near-dup detection is MinHash + LSH banding: candidates come from a
+  *    `groupBy(band)` equi-join, never an all-pairs product;
+  *  - SimHash pairs come from a pigeonhole chunk-join (hamming <= d with
+  *    c > d chunks guarantees one exact chunk match), also never all-pairs;
+  *  - per-doc signatures are one explode + hash-agg, map-side combinable.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the corpus contract (documents.text is
+    * single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, mirrored exactly by the DuckDB
+    * fragment (`t[i] || ' ' || t[i+1] ...`, 1-based `range`). Documents
+    * shorter than n tokens produce an empty shingle set. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** One MinHash value: the lexicographic minimum of `md5(perm || '|' ||
+    * shingle)` over the document's shingles. Seeded by the permutation
+    * index, so signatures are deterministic across engines and runs. */
+  def minhash(shingleCol: Column, perm: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$perm|"), s))))
+
+  /** LSH band hash: md5 over the concatenation of `rows` consecutive
+    * minhashes. Documents agreeing on any band become candidates. */
+  def bandHash(minhashes: Seq[Column], band: Int, rows: Int): Column =
+    md5(concat_ws("|", minhashes.slice(band * rows, band * rows + rows): _*))
+
+  /** 32-bit SimHash: bit j is the sign of the count-weighted sum of
+    * (2*b-1) where b is the parity of hex digit j of md5(token). Parity
+    * of a uniform hex digit is a uniform bit; 32 bits is ample for
+    * hamming<=3 near-dup detection (random pairs center at hamming 16).
+    *
+    * Input: one row per (id, token, cnt). Output: (id, simhash: long).
+    */
+  def simhash(tokenCounts: DataFrame, id: String, token: String, cnt: String): DataFrame = {
+    val digit = conv(col("__h").substr(col("__j") + lit(1), lit(1)), 16, 10).cast("int")
+    tokenCounts
+      .withColumn("__h", md5(col(token)))
+      .withColumn("__j", explode(sequence(lit(0), lit(31))))
+      .withColumn("__contrib", col(cnt) * (lit(2) * (digit % 2) - lit(1)))
+      .groupBy(col(id), col("__j"))
+      .agg(sum(col("__contrib")).as("__c"))
+      .groupBy(col(id))
+      .agg(sum(when(col("__c") > 0, pow(lit(2), col("__j")).cast("long")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** Candidate pairs within hamming distance `maxHamming` of each other,
+    * via pigeonhole chunk-join: the 32-bit simhash is cut into `chunks`
+    * 8-bit chunks; any pair with hamming <= chunks-1 must agree exactly on
+    * at least one chunk, so a per-chunk equi-join is COMPLETE (no recall
+    * loss) while avoiding the all-pairs product. Output: (a_id, b_id,
+    * hamming), a_id < b_id, exact-verified.
+    */
+  def simhashPairs(sigs: DataFrame, id: String, maxHamming: Int, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole completeness needs maxHamming < chunks")
+    val chunked = sigs.select(
+      col(id), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("c"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("chunk"))
+    val a = chunked.select(col(id).as("a_id"), col("simhash").as("a_sig"), col("chunk"))
+    val b = chunked.select(col(id).as("b_id"), col("simhash").as("b_sig"), col("chunk"))
+    a.join(b, a("chunk") === b("chunk") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) shingle arrays:
+    * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
+    * bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators: exact cosine similarity, top-k search, and
+  * LSH-style bucketing for approximate search at scale.
+  *
+  * All similarity math is done in QUANTIZED INTEGER space: each element is
+  * rounded to a 1e-6 grid and dot products / squared norms are exact BIGINT
+  * sums. The only floating-point steps are the final `cast / sqrt / divide`
+  * — identical operand values on any engine or partition order, so results
+  * are bit-identical and oracle-checkable. (A float dot product would
+  * differ in the last ulps between Spark and DuckDB and break hash
+  * comparison.) Bounds: |q| <= ~1e7 per element → per-pair sums < 2^63 for
+  * dims up to ~1e4.
+  */
+object VectorOps {
+
+  /** Quantize an ARRAY<FLOAT/DOUBLE> to ARRAY<BIGINT> on a 1e-6 grid.
+    * The element is cast to DOUBLE before multiplying — DuckDB would
+    * otherwise compute FLOAT*INT in 32-bit and round different values. */
+  def quantized(v: Column, scale: Double = 1e6): Column =
+    transform(v, x => round(x.cast("double") * lit(scale)).cast("long"))
+
+  /** Exact dot product of two quantized arrays (BIGINT). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact squared norm of a quantized array (BIGINT). */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine similarity from exact integer dot/norms; the three FP ops
+    * (cast, sqrt, divide) are correctly rounded and engine-independent. */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt(n2a.cast("double")) / sqrt(n2b.cast("double"))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions (axis-aligned
+    * random-hyperplane hashing). 2^bits buckets; vectors only compete
+    * within their bucket — the approximate-search scale path that replaces
+    * the all-pairs product with a `groupBy(bucket)` equi-join. */
+  def signBucket(v: Column, bits: Int = 4): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _)
+}
