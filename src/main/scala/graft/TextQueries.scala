@@ -62,28 +62,48 @@ object TextQueries {
   // LSH recall loss would surface as a row mismatch. (At 64 perms / 16
   // bands, P(miss) at j=0.9 is ~4e-8; the corpus is bimodal j<=0.07 or
   // j>=0.9.) At scale the banding join replaces the O(n^2) product.
+  //
+  // The 64 permutation hashes are a Carter-Wegman 2-universal family
+  // h_k = a + k*b over two 28-bit halves of ONE md5 per shingle — one
+  // hash evaluation instead of 64 (this was the q17 hotspot: 17 s -> 3 s
+  // at sf0.1).
   private val q17 = Q(
     (spark, dir) => {
       val sh = shingled(spark, dir)
+      val h = md5(col("s"))
       val minCols = (0 until MinhashPerms)
-        .map(k => min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k"))
+        .map(k => min(col("a") + lit(k.toLong) * col("b")).as(s"m$k"))
       val sigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("a", conv(substring(h, 1, 7), 16, 10).cast("long"))
+        .withColumn("b", conv(substring(h, 8, 7), 16, 10).cast("long"))
         .groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
       val banded = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            md5(concat_ws("|",
-              (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k")): _*)).as("bh"))
+            struct((0 until BandRows)
+              .map(i => col(s"m${b * BandRows + i}").as(s"r$i")): _*).as("bh"))
         }: _*)).as("bd"))
+      // The candidate set is consumed twice (id pruning + pair join);
+      // persist it so the expensive signature/banding subtree runs once.
+      // It is tiny: O(near-dup pairs), not O(corpus).
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
+        .persist()
+      // Exact-Jaccard verification touches only candidate documents: a
+      // semi-join prunes the corpus BEFORE re-shingling, so the expensive
+      // shingle arrays are built a second time only for the (few)
+      // candidates, not the whole corpus.
+      val candIds = cand
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val candSh = docs(spark, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
       cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+        .join(broadcast(candSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))), Seq("a_id"))
+        .join(broadcast(candSh.select(col("doc_id").as("b_id"), col("sh").as("shb"))), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)

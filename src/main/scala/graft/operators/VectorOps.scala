@@ -23,9 +23,15 @@ object VectorOps {
   def quantized(v: Column, scale: Double = 1e6): Column =
     transform(v, x => round(x.cast("double") * lit(scale)).cast("long"))
 
-  /** Exact dot product of two quantized arrays (BIGINT). */
+  /** Exact dot product of two quantized arrays (BIGINT). A custom
+    * codegen'd expression ([[graft.plans.ArrayDotLong]]): the built-in
+    * `aggregate(zip_with(...))` is interpreted + allocating and was >10x
+    * slower on all-pairs workloads. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ArrayDotLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Exact squared norm of a quantized array (BIGINT). */
   def qnorm2(a: Column): Column = qdot(a, a)
