@@ -1,0 +1,37 @@
+package graft
+
+import graft.silver.HeaderResolver
+
+class HeaderResolverSpec extends SparkSpec {
+
+  test("resolves the standard ANP header by exact normalized match") {
+    val m = HeaderResolver.resolve(Seq(
+      "Regiao - Sigla", "Estado - Sigla", "Municipio", "Produto",
+      "Data da Coleta", "Valor de Venda", "Valor de Compra", "Unidade de Medida"))
+    assert(m == Map(
+      "uf_sigla" -> "Estado - Sigla", "product" -> "Produto",
+      "date_ref" -> "Data da Coleta", "price" -> "Valor de Venda"))
+  }
+
+  test("falls back through the price chain to accented 'Preço Médio Revenda'") {
+    val m = HeaderResolver.resolve(Seq(
+      "Estado - Sigla", "Produto", "Data da Coleta", "Preço Médio Revenda"))
+    assert(m("price") == "Preço Médio Revenda")
+  }
+
+  test("contains fallback matches reordered/partial headers") {
+    val m = HeaderResolver.resolve(Seq(
+      "Sigla do Estado", "Produto Vendido", "Data", "Preço por Litro"))
+    assert(m("uf_sigla") == "Sigla do Estado")
+    assert(m("product") == "Produto Vendido")
+    assert(m("date_ref") == "Data") // last-resort Contains("data")
+    assert(m("price") == "Preço por Litro") // last-resort Contains("preco")
+  }
+
+  test("unmappable columns raise a descriptive error listing every miss") {
+    val e = intercept[IllegalArgumentException] {
+      HeaderResolver.resolve(Seq("Estado - Sigla", "Data da Coleta", "Valor de Venda"))
+    }
+    assert(e.getMessage.contains("Missing: product"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepFirst is deterministic on full-duplicate keys (q05 regression)") {
+    // The r1 failure: two rows share the entire key; without a total
+    // order the kept row was partition-order dependent.
+    val df = Seq((13685L, 318L, 1, 43.0), (13685L, 318L, 1, 10.0), (1L, 1L, 1, 7.0))
+      .toDF("k1", "k2", "ln", "qty")
+    def run(parts: Int) = Relational.dedupKeepFirst(
+      df.repartition(parts), Seq("k1", "k2"), Seq(col("ln"), col("qty")))
+      .orderBy("k1").collect().map(_.getDouble(3)).toSeq
+    assert(run(1) == Seq(7.0, 10.0))
+    assert(run(5) == Seq(7.0, 10.0))
+  }
+
+  test("latestPerGroup returns the row at max order columns") {
+    val df = Seq((1, "2024-01-01", 5.0), (1, "2024-02-01", 7.0), (2, "2024-01-15", 9.0))
+      .toDF("k", "d", "v")
+    val got = Relational.latestPerGroup(df, Seq("k"), Seq(col("d"), col("v")))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 7.0), (2, 9.0)))
+  }
+
+  test("topK applies tiebreakers") {
+    val df = Seq(("b", 1.0), ("a", 1.0), ("c", 2.0)).toDF("id", "m")
+    val got = Relational.topK(df, 2, "m", Seq("id")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("c", "a"))
+  }
+
+  test("momChange lags within each group ordered by month") {
+    val df = Seq(("x", "2024-01-01", 10.0), ("x", "2024-02-01", 12.5), ("y", "2024-01-01", 1.0))
+      .toDF("g", "month", "m")
+    val got = Relational.momChange(df, Seq("g"), "m")
+      .orderBy("g", "month").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3))).toSeq
+    assert(got == Seq(None, Some(2.5), None))
+  }
+}

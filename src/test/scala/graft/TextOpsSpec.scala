@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce overlapping 3-grams; short docs produce none") {
+    val got = Seq("a b c d", "x y").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq.empty))
+  }
+
+  test("jaccard: identical sets 1.0, disjoint sets 0.0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z")).toDF("t1", "t2")
+    val got = df.select(TextOps.jaccard(
+      TextOps.shingles(TextOps.tokens(col("t1"))),
+      TextOps.shingles(TextOps.tokens(col("t2")))).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("simhashPairs chunk-join finds exactly the brute-force pairs") {
+    val docs = Seq(
+      (0L, "spark makes fast tables and fast joins really fast"),
+      (1L, "spark makes fast tables and fast joins really quick"), // near-dup of 0
+      (2L, "completely different words about databases and streams"),
+      (3L, "completely different words about databases and streams")) // exact dup of 2
+      .toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val sigs = TextOps.simhash(tok, "doc_id", "token", "cnt")
+    val got = TextOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute-force reference over the collected signatures
+    val s = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- s.keys; b <- s.keys if a < b
+      if java.lang.Long.bitCount(s(a) ^ s(b)) <= 3
+    } yield (a, b)).toSeq.sorted
+    assert(got == want)
+    assert(want.contains((2L, 3L))) // exact dup must have hamming 0
+  }
+
+  test("simhash is deterministic across partitionings") {
+    val docs = Seq((0L, "a b c a b"), (1L, "z y x w v u t")).toDF("doc_id", "text")
+    def sigs(parts: Int) = {
+      val tok = docs.repartition(parts)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      TextOps.simhash(tok, "doc_id", "token", "cnt")
+        .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    }
+    assert(sigs(1) == sigs(5))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(0.1f, -0.2f, 0.3f, 0.4f)),
+    (1L, Seq(0.1f, -0.2f, 0.3f, 0.4f)),
+    (2L, Seq(-0.5f, 0.5f, -0.5f, 0.5f)))
+
+  test("ArrayDotLong (codegen) equals the built-in higher-order formulation") {
+    val df = vecs.toDF("id", "v").select(col("id"), VectorOps.quantized(col("v")).as("q"))
+    val both = df.select(
+      VectorOps.qdot(col("q"), col("q")).as("custom"),
+      aggregate(zip_with(col("q"), col("q"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+        .as("builtin")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("qdot matches exact BigInt arithmetic") {
+    val q = vecs.map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    val want = q(0).zip(q(2)).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val df = vecs.toDF("id", "v").select(col("id"), VectorOps.quantized(col("v")).as("q"))
+    val got = df.filter(col("id") === 0).crossJoin(
+      df.filter(col("id") === 2).select(col("q").as("q2")))
+      .select(VectorOps.qdot(col("q"), col("q2"))).first().getLong(0)
+    assert(BigInt(got) == want)
+  }
+
+  test("cosine of identical vectors is 1.0 within fp rounding") {
+    val df = vecs.toDF("id", "v").select(col("id"), VectorOps.quantized(col("v")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+    val a = df.filter(col("id") === 0)
+      .select(col("q").as("qa"), col("n2").as("na"))
+    val b = df.filter(col("id") === 1)
+      .select(col("q").as("qb"), col("n2").as("nb"))
+    val cos = a.crossJoin(b)
+      .select(VectorOps.cosine(VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      .first().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("signBucket maps sign pattern of leading dims to a stable bucket id") {
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), VectorOps.signBucket(col("v"), bits = 4).as("b"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    // signs: (+,-,+,+) -> 1011 = 11 ; (-,+,-,+) -> 0101 = 5
+    assert(got == Seq(11, 11, 5))
+  }
+}
