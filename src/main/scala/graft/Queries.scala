@@ -18,7 +18,8 @@ object Queries {
   /** All registered queries, in a stable order. Populated from the
     * thematic registries. */
   def all: Seq[(String, Q)] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all ++ MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap
