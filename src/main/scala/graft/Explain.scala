@@ -28,6 +28,9 @@ object Explain {
         Queries.queries(name)(spark, sfDir).explain("formatted")
       case "run" :: name :: sfDir :: Nil =>
         Queries.queries(name)(spark, sfDir).show(20, truncate = false)
+      case "sql" :: stmt :: Nil =>
+        graft.plans.GraftExtensions.register(spark)
+        spark.sql(stmt).show(20, truncate = false)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()

@@ -53,10 +53,13 @@ object Relational {
     * (reference transform.py:12,107, A4).
     *
     * Expressed as `groupBy(keys).agg(min_by(struct(rest), struct(order)))`
-    * — a hash aggregate with map-side partial combine — rather than a
-    * window `row_number`, which would sort every partition. At 100 TB the
-    * hash-agg form shuffles only one pre-combined row per key per map
-    * task instead of the full table. Callers MUST pass an `order` that is
+    * rather than a window `row_number`. The window form must shuffle the
+    * ENTIRE table and sort each reducer partition; the aggregate form
+    * partial-aggregates before the exchange (`partial_min_by` in the
+    * plan), shuffling only one combined row per key per map task — the
+    * property that matters at 100 TB. (Physically a SortAggregate, not
+    * HashAggregate — struct-typed buffers are not UnsafeRow-mutable —
+    * but the map-side combine is unaffected.) Callers MUST pass an `order` that is
     * a total order over rows within a key (include every value column if
     * keys can fully duplicate), otherwise the kept row is undefined.
     * Order columns must be non-null (or identical under ties). */

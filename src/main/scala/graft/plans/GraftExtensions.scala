@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for this library's custom expressions,
+  * so SQL surfaces can use them too:
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions   (at session build)
+  * or
+  *   GraftExtensions.register(spark)                    (on a live session)
+  *
+  * then: `SELECT array_dot_long(qa, qb) FROM ...`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.arrayDotLong)
+  }
+}
+
+object GraftExtensions {
+  private val arrayDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot_long"),
+    new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "array_dot_long takes exactly 2 arguments")
+      ArrayDotLong(children.head, children(1))
+    })
+
+  /** Idempotent registration on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = arrayDotLong
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
