@@ -22,8 +22,11 @@ object TextQueries {
   private val BandRows = 4
   private val JaccardThreshold = 0.5
 
+  // The corpus arrives as one small parquet file -> one input partition;
+  // the per-row work here (shingling, hashing) is CPU-heavy, so spread it
+  // across the cluster first. The shuffled payload is tiny (raw text).
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documents(spark, dir).repartition(col("doc_id"))
 
   /** doc_id + distinct 3-gram shingle set. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -69,11 +72,10 @@ object TextQueries {
   // at sf0.1).
   private val q17 = Q(
     (spark, dir) => {
-      val sh = shingled(spark, dir)
       val h = md5(col("s"))
       val minCols = (0 until MinhashPerms)
         .map(k => min(col("a") + lit(k.toLong) * col("b")).as(s"m$k"))
-      val sigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sigs = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
         .withColumn("a", conv(substring(h, 1, 7), 16, 10).cast("long"))
         .withColumn("b", conv(substring(h, 8, 7), 16, 10).cast("long"))
         .groupBy(col("doc_id"))
@@ -251,8 +253,8 @@ object TextQueries {
   // --- E2c: min-shingle-hash document fingerprint clusters ---------------
   private val q23 = Q(
     (spark, dir) => {
-      shingled(spark, dir)
-        .select(col("doc_id"), array_min(transform(col("sh"), s => md5(s))).as("fp"))
+      TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
+        .groupBy(col("doc_id")).agg(min(md5(col("s"))).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))

@@ -25,9 +25,12 @@ object VectorQueries {
         FROM embeddings),
       n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1)"""
 
-  /** vec_id + quantized array + exact squared norm, computed once. */
+  /** vec_id + quantized array + exact squared norm, computed once.
+    * Repartitioned off the single-file scan so the O(pairs) scoring that
+    * follows runs on every core, not one input partition. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
       .withColumn("n2", VectorOps.qnorm2(col("q")))
 

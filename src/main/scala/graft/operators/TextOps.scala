@@ -41,6 +41,24 @@ object TextOps {
   def minhash(shingleCol: Column, perm: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$perm|"), s))))
 
+  /** One row per (id, shingle) via a codegen-friendly explode of the
+    * shingle START POSITIONS — `transform`+`concat_ws` higher-order
+    * lambdas are interpreted per element and dominated the signature
+    * pipeline. Shingle MULTIPLICITY is preserved (no distinct): min-based
+    * signatures (MinHash, fingerprints) are multiset-invariant, so this
+    * is both cheaper and equivalent; use [[shingles]] where the distinct
+    * SET is required (exact Jaccard). */
+  def explodedShingles(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+                       n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = col("__t")
+    df.select(col(id), tokens(col(text)).as("__t"))
+      .select(col(id), t,
+        explode(when(size(t) >= n, sequence(lit(1), size(t) - lit(n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(id),
+        concat_ws(" ", (0 until n).map(o => element_at(t, col("__i") + lit(o))): _*).as("s"))
+  }
+
   /** LSH band hash: md5 over the concatenation of `rows` consecutive
     * minhashes. Documents agreeing on any band become candidates. */
   def bandHash(minhashes: Seq[Column], band: Int, rows: Int): Column =
