@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   *  - run each query `SPARK_GRAFT_BENCH_ITERS` times (default 2) and
   *    report the min, so one-off JIT/GC/codegen warm-up noise does not
   *    dominate (r1 recorded 51 s where a re-run gave 30 s);
-  *  - one untimed JVM/session warm-up query before the measured loop.
+  *  - one untimed warm-up execution PER QUERY before its timed runs:
+  *    wide generated code (e.g. the 64-aggregate MinHash signature) costs
+  *    tens of seconds of Janino/JIT compilation on first execution and
+  *    seconds thereafter — the steady state is the honest throughput
+  *    number (same discipline as JMH).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,10 +39,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Untimed warm-up: JIT the scan/agg/codegen paths once.
-    Queries.all.headOption.foreach { case (_, q) => run(q.fn) }
-
     val results = Queries.all.map { case (name, q) =>
+      run(q.fn) // untimed warm-up: codegen/JIT compile + cache population
       val times = (1 to iters).map(_ => run(q.fn))
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
