@@ -97,8 +97,24 @@ object EventQueries {
       FROM s GROUP BY user_id, session_id
       ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""))
 
+  // --- skew-safe aggregation: salted two-phase count/sum -----------------
+  // events has 5 event_type values over 100k rows at sf0.1 — the natural
+  // hot-key shape. The salted form shares each hot key across `buckets`
+  // reducers, then merges exact integer partials; results are identical
+  // to the direct groupBy (the oracle runs the plain form).
+  private val q33 = Q(
+    (spark, dir) => {
+      graft.operators.Relational.saltedSumCount(
+        events(spark, dir), keys = Seq("event_type"), value = "value")
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n, ${Exact.sumSql("value")} AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
-    "q30_sessionization" -> q30)
+    "q30_sessionization" -> q30,
+    "q33_salted_agg" -> q33)
 }

@@ -155,8 +155,86 @@ object VectorQueries {
       SELECT a_id, b_id, cos_sim FROM c WHERE cos_sim >= 0.4
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
+  // --- E3d: IVF-style ANN — centroid cells + multi-probe search ----------
+  // The inverted-file scale path: every vector is assigned to its nearest
+  // centroid cell once (a broadcast join against the tiny centroid set);
+  // a query probes its nprobe=2 nearest cells and ranks only those
+  // vectors. Centroids here are a deterministic modulo sample of the
+  // corpus (a stand-in for k-means — training is out of scope); the
+  // oracle runs the identical cell/probe semantics.
+  private val q32 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val cents = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val sim = e.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("vid"), col("c_id"),
+          VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
+            col("n2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("c_id").asc_nulls_first)
+      val ranked = sim.withColumn("rn", row_number().over(w)).persist()
+      val cells = ranked.filter(col("rn") === 1)
+        .select(col("vid"), col("c_id").as("cell"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vid") < 10)
+        .select(col("vid").as("qid"), col("c_id").as("cell"))
+      val cand = probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid").as("cid"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq2"), col("n2").as("cn22")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq2")),
+            col("qn2"), col("cn22")).as("cos_sim"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      cdot AS (
+        SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND b.vec_id % 100 = 0
+        GROUP BY 1, 2),
+      csim AS (
+        SELECT vid, c_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM cdot JOIN n na ON na.vec_id = vid JOIN n nb ON nb.vec_id = c_id),
+      ranked AS (
+        SELECT vid, c_id, row_number() OVER (PARTITION BY vid
+                 ORDER BY cos_sim DESC NULLS LAST, c_id ASC NULLS FIRST) AS rn
+        FROM csim),
+      cells AS (SELECT vid, c_id AS cell FROM ranked WHERE rn = 1),
+      probes AS (SELECT vid, c_id AS cell FROM ranked WHERE rn <= 2 AND vid < 10),
+      cand AS (
+        SELECT p.vid AS qid, c.vid AS cid
+        FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
+      d AS (
+        SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+        FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                  JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      r AS (
+        SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c2)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
-    "q27_embed_neardup" -> q27)
+    "q27_embed_neardup" -> q27,
+    "q32_ann_ivf" -> q32)
 }

@@ -85,4 +85,30 @@ object Relational {
     * side (reference main.py:56, J1). */
   def enrichLeft(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
     fact.join(broadcast(dim), Seq(key), "left")
+
+  /** Two-phase SALTED count/exact-sum for heavily skewed grouping keys.
+    *
+    * A plain `groupBy(hotKey)` sends every row of a hot key to one
+    * reducer; at 100 TB a single key can hold billions of rows. Phase 1
+    * groups by (keys, salt) — `buckets` reducers share each hot key —
+    * and phase 2 merges the per-salt partials. Both phases are exact:
+    * the value is quantized to integer cents, so partial sums combine
+    * associatively with no FP drift. The salt derives from
+    * `monotonically_increasing_id` (spreads identical rows, unlike a
+    * content hash); it never reaches the output, so results are
+    * independent of the salt assignment.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], value: String,
+                     buckets: Int = 16, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10, scale)
+    val partial = df
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(Exact.quantize(col(value), scale).cast("decimal(38,0)")).as("__s"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        (sum(col("__s")).cast("double") / lit(factor)).as("sum_value"))
+  }
 }

@@ -33,6 +33,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq("c", "a"))
   }
 
+  test("saltedSumCount equals the direct groupBy aggregate") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" else "hot", i * 0.01))
+      .toDF("k", "v")
+    val got = Relational.saltedSumCount(df, Seq("k"), "v", buckets = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), graft.functions.Exact.exactSum(col("v")).as("s"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("momChange lags within each group ordered by month") {
     val df = Seq(("x", "2024-01-01", 10.0), ("x", "2024-02-01", 12.5), ("y", "2024-01-01", 1.0))
       .toDF("g", "month", "m")
