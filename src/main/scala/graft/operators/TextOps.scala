@@ -72,16 +72,20 @@ object TextOps {
     * Input: one row per (id, token, cnt). Output: (id, simhash: long).
     */
   def simhash(tokenCounts: DataFrame, id: String, token: String, cnt: String): DataFrame = {
-    val digit = conv(col("__h").substr(col("__j") + lit(1), lit(1)), 16, 10).cast("int")
+    // One md5 per token row, then 32 wide integer sum-aggregates (hash
+    // aggregation with long buffers) — NOT an explode over bit index j,
+    // which would multiply the shuffle by 32x for the same result.
+    def digit(j: Int) = conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int")
+    val contribs = (0 until 32).map { j =>
+      sum(col(cnt) * (lit(2) * (digit(j) % 2) - lit(1))).as(s"__c$j")
+    }
     tokenCounts
       .withColumn("__h", md5(col(token)))
-      .withColumn("__j", explode(sequence(lit(0), lit(31))))
-      .withColumn("__contrib", col(cnt) * (lit(2) * (digit % 2) - lit(1)))
-      .groupBy(col(id), col("__j"))
-      .agg(sum(col("__contrib")).as("__c"))
       .groupBy(col(id))
-      .agg(sum(when(col("__c") > 0, pow(lit(2), col("__j")).cast("long")).otherwise(lit(0L)))
-        .as("simhash"))
+      .agg(contribs.head, contribs.tail: _*)
+      .select(col(id),
+        (0 until 32).map(j => when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Candidate pairs within hamming distance `maxHamming` of each other,
