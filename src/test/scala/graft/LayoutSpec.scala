@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("same-key bucketed tables join with no shuffle exchange") {
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+
+    Layout.writeBucketed(orders, "b_orders", "o_orderkey", 4, s"$dir/b_orders")
+    Layout.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4, s"$dir/b_lineitem")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the exchange question is real
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val joined = Layout.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      // and it still computes the right thing
+      val n = joined.count()
+      val want = orders.join(lineitem, "o_orderkey").count()
+      assert(n == want)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
