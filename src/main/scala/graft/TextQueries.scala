@@ -48,16 +48,28 @@ object TextQueries {
         .dedupKeepFirst(d.withColumn("__ch", md5(col("text"))),
           keys = Seq("__ch"), order = Seq(col("doc_id")))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      raw.join(kept, Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_kept"),
-          (col("n_docs") - col("n_kept")).as("n_dups"))
+      raw.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dups"))
         .orderBy(col("source"))
     },
+    // Dedup is GLOBAL (one survivor per content hash corpus-wide, lowest
+    // doc_id wins); the per-source report counts each source's surviving
+    // rows. A per-source count(DISTINCT md5) would diverge whenever the
+    // same text appears under two sources (it does at sf0.1).
     Some("""
-      SELECT source, count(*) AS n_docs,
-             count(DISTINCT md5(text)) AS n_kept,
-             count(*) - count(DISTINCT md5(text)) AS n_dups
-      FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+      WITH kept AS (
+        SELECT source FROM (
+          SELECT source, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id ASC NULLS FIRST) AS rn
+          FROM documents) WHERE rn = 1),
+      r AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1)
+      SELECT r.source, n_docs, coalesce(n_kept, 0) AS n_kept,
+             n_docs - coalesce(n_kept, 0) AS n_dups
+      FROM r LEFT JOIN k ON r.source = k.source
+      ORDER BY r.source ASC NULLS FIRST"""))
 
   // --- E2: near-dup detection, MinHash + LSH banding ---------------------
   // Spark path: 64 minhashes -> 16 bands -> groupBy(band) candidates ->
