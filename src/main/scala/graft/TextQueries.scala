@@ -298,6 +298,49 @@ object TextQueries {
              CAST(sum(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS re_tokens
       FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
 
+  // --- E4f: TF-IDF keyword extraction ------------------------------------
+  // Top-3 most characteristic terms per document (doc_id < 10). The
+  // score is the rational surrogate tf * N / df — exact integers and ONE
+  // float division, so Spark and DuckDB agree bit-for-bit (a log-based
+  // idf would hit libm rounding differences between engines; the ranking
+  // is order-isomorphic for fixed tf since x -> ln(x) is monotonic).
+  private val q34 = Q(
+    (spark, dir) => {
+      val tok = docs(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(spark, dir).agg(count(lit(1)).as("n_total"))
+      val scored = tf.filter(col("doc_id") < 10)
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          ((col("tf") * col("n_total")).cast("double") / col("df")).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc_nulls_last, col("term").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc_nulls_last, col("term"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_total FROM documents),
+      scored AS (
+        SELECT doc_id, tf.term,
+               CAST(tf * n_total AS DOUBLE) / df AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        WHERE doc_id < 10),
+      r AS (
+        SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC NULLS LAST, term ASC NULLS FIRST) AS rn
+        FROM scored)
+      SELECT doc_id, term, tfidf FROM r WHERE rn <= 3
+      ORDER BY doc_id ASC NULLS FIRST, tfidf DESC NULLS LAST, term ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -307,5 +350,6 @@ object TextQueries {
     "q21_quality_score" -> q21,
     "q22_lang_id" -> q22,
     "q23_fingerprint" -> q23,
-    "q24_token_count" -> q24)
+    "q24_token_count" -> q24,
+    "q34_tfidf_keywords" -> q34)
 }
