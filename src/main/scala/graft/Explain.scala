@@ -31,6 +31,27 @@ object Explain {
       case "sql" :: stmt :: Nil =>
         graft.plans.GraftExtensions.register(spark)
         spark.sql(stmt).show(20, truncate = false)
+      case "audit" :: sfDir :: Nil =>
+        // One summary line per query: shuffle/join/agg shape + pushdown.
+        println("| query | joins | aggs | exchanges | pushed filters |")
+        println("|---|---|---|---|---|")
+        Queries.all.foreach { case (name, q) =>
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+          def n(p: String) = p.r.findAllIn(plan).size
+          val joins = Seq(
+            "BroadcastHashJoin" -> n("BroadcastHashJoin"),
+            "SortMergeJoin" -> n("SortMergeJoin"),
+            "ShuffledHashJoin" -> n("ShuffledHashJoin"),
+            "BNLJ" -> n("BroadcastNestedLoopJoin"))
+            .filter(_._2 > 0).map { case (k, v) => s"$v $k" }.mkString(", ")
+          val aggs = Seq(
+            "Hash" -> n("(?<!Object)HashAggregate"),
+            "ObjHash" -> n("ObjectHashAggregate"),
+            "Sort" -> n("SortAggregate"))
+            .filter(_._2 > 0).map { case (k, v) => s"$v $k" }.mkString(", ")
+          val pushed = n("PushedFilters: \\[[^\\]]")
+          println(s"| $name | $joins | $aggs | ${n("Exchange")} | $pushed scans |")
+        }
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
