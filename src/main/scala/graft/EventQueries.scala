@@ -64,9 +64,10 @@ object EventQueries {
       ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
 
   // --- E6b: gap-based sessionization (30-minute inactivity gap) ----------
-  // Spark session_window closes a session when the next event is >= gap
-  // after the last one (window end = last_ts + gap, exclusive), so the
-  // oracle's island detection uses `>= INTERVAL 30 MINUTE`.
+  // Spark session_window keeps an event arriving EXACTLY gap after the
+  // previous one in the same session (verified by the EventStreamsSpec
+  // boundary test), so the oracle's island detection must use the STRICT
+  // `> INTERVAL 30 MINUTE`.
   private val q30 = Q(
     (spark, dir) => {
       events(spark, dir)
@@ -83,7 +84,7 @@ object EventQueries {
       g AS (
         SELECT user_id, tus, value,
                CASE WHEN lag(tus) OVER w IS NULL
-                      OR tus - lag(tus) OVER w >= INTERVAL 30 MINUTE
+                      OR tus - lag(tus) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC NULLS FIRST)),
       s AS (
@@ -112,9 +113,35 @@ object EventQueries {
       SELECT event_type, count(*) AS n, ${Exact.sumSql("value")} AS sum_value
       FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --- as-of join: each click enriched with the user's latest prior
+  // purchase value. Oracle is DuckDB's native ASOF LEFT JOIN; the Spark
+  // side is the union + running-last window composition (one shuffle).
+  private val q35 = Q(
+    (spark, dir) => {
+      val ev = events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("value"))
+      graft.operators.Relational.asofJoinLatest(
+        clicks, purchases, keys = Seq("user_id"),
+        leftTs = "click_ts", rightTs = "tus", valuePrefix = "last_purchase_")
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      cl AS (SELECT event_id, user_id, tus AS click_ts FROM ev WHERE event_type = 'click'),
+      pu AS (SELECT user_id, tus, value FROM ev WHERE event_type = 'purchase')
+      SELECT cl.event_id, cl.user_id, cl.click_ts, pu.value AS last_purchase_value
+      FROM cl ASOF LEFT JOIN pu ON cl.user_id = pu.user_id AND cl.click_ts >= pu.tus
+      ORDER BY cl.event_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
     "q30_sessionization" -> q30,
-    "q33_salted_agg" -> q33)
+    "q33_salted_agg" -> q33,
+    "q35_asof_join" -> q35)
 }

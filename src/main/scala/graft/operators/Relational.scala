@@ -86,6 +86,42 @@ object Relational {
   def enrichLeft(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
     fact.join(broadcast(dim), Seq(key), "left")
 
+  /** AS-OF join: each left row picks the LATEST right row (per key) with
+    * `rightTs <= leftTs` — the time-series enrichment join Spark lacks as
+    * a built-in operator.
+    *
+    * Composed from built-ins rather than a custom physical operator
+    * (SURVEY preference order (a)): union both sides, then one running
+    * `last(_, ignoreNulls)` window per key ordered by (ts, side) with
+    * right rows sorting before left rows on equal timestamps (ASOF `>=`
+    * inclusion). Cost at scale: ONE shuffle by key + per-partition sort —
+    * the same shape a dedicated as-of operator would need; no
+    * range-condition BNLJ anywhere. Right-side timestamp ties per key are
+    * broken arbitrarily — pre-dedupe the right side if ties are possible.
+    * Left rows with no prior right row get null values (left-join
+    * semantics).
+    */
+  def asofJoinLatest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     valuePrefix: String = "asof_"): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    val rPrep = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(rightVals.map(col): _*).as("__rv")): _*)
+    val lPrep = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc_nulls_first, col("__side").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(c => col(s"__last.$c").as(s"$valuePrefix$c")): _*)
+  }
+
   /** Two-phase SALTED count/exact-sum for heavily skewed grouping keys.
     *
     * A plain `groupBy(hotKey)` sends every row of a hot key to one

@@ -62,6 +62,20 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window boundary: a gap of exactly 30 minutes stays in the SAME session") {
+    // Locks the semantic the q30 DuckDB oracle must mirror: a new
+    // session starts only when the gap is STRICTLY greater than the
+    // window duration (`> INTERVAL 30 MINUTE` in the island detection).
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:30:00"), 1L, 2.0), // exactly gap later: same session
+      (ts("2024-01-01 11:00:01"), 1L, 4.0)) // gap > 30min: new session
+      .toDF("tus", "user_id", "value")
+    val n = df.groupBy(session_window(col("tus"), "30 minutes"), col("user_id"))
+      .count().count()
+    assert(n == 2, "exact-gap event extends the session; strictly-greater gap opens a new one")
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1L, 1.0),

@@ -44,6 +44,21 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoinLatest picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 1, "2024-01-01 10:00:00"), (2L, 1, "2024-01-01 12:00:00"),
+      (3L, 2, "2024-01-01 09:00:00"))
+      .toDF("id", "k", "lts").withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq((1, "2024-01-01 09:30:00", 5.0), (1, "2024-01-01 10:00:00", 7.0),
+      (1, "2024-01-01 11:00:00", 9.0), (2, "2024-01-01 09:30:00", 1.0))
+      .toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    val got = Relational.asofJoinLatest(left, right, Seq("k"), "lts", "rts")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    // id=1: equal-ts right row (10:00, 7.0) IS included (>= semantics);
+    // id=2 sees 11:00's 9.0; id=3 has no prior purchase -> null
+    assert(got == Seq((1L, Some(7.0)), (2L, Some(9.0)), (3L, None)))
+  }
+
   test("momChange lags within each group ordered by month") {
     val df = Seq(("x", "2024-01-01", 10.0), ("x", "2024-02-01", 12.5), ("y", "2024-01-01", 1.0))
       .toDF("g", "month", "m")
