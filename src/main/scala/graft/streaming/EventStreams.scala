@@ -37,6 +37,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup (E1's streaming form): drop repeat deliveries
+    * of the same key within the watermark horizon — Spark keeps one
+    * state entry per key and expires it past the watermark, so state
+    * stays bounded (the at-least-once → exactly-once repair step of an
+    * ingestion pipeline). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("tus", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based session windows with a lateness watermark. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "10 minutes"): DataFrame =

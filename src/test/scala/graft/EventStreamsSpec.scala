@@ -76,6 +76,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == 2, "exact-gap event extends the session; strictly-greater gap opens a new one")
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().toDF("event_id", "tus", "value"), keys = Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:30"), 1.0), // duplicate delivery
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file-source event stream aggregates arriving parquet files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq((1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, """{"k": 1}"""),
+      (2L, ts("2024-01-01 10:45:00"), 7L, "click", 2.0, """{"k": 2}"""))
+      .toDF("event_id", "tus", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    val agg = EventStreams.tumblingAgg(EventStreams.readEventStream(spark, dir))
+    val q = agg.writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filestream").collect()
+      assert(got.length == 1 && got.head.getAs[Long]("n") == 2L)
+      assert(got.head.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1L, 1.0),
