@@ -28,11 +28,6 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).repartition(col("doc_id"))
 
-  /** doc_id + distinct 3-gram shingle set. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
-
   private val shingleSqlCte =
     """s AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -104,6 +104,8 @@ object Relational {
   def asofJoinLatest(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
                      valuePrefix: String = "asof_"): DataFrame = {
+    val reserved = Set("__ts", "__side", "__rv", "__last")
+    require(!left.columns.exists(reserved), s"left side may not use columns $reserved")
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     val rPrep = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
