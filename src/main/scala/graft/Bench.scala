@@ -40,8 +40,14 @@ object Bench {
     }
 
     val results = Queries.all.map { case (name, q) =>
-      run(q.fn) // untimed warm-up: codegen/JIT compile + cache population
-      val times = (1 to iters).map(_ => run(q.fn))
+      run(q.fn) // untimed warm-up: codegen/JIT compile
+      val times = (1 to iters).map { _ =>
+        // Queries may persist() diamond subtrees; without this the timed
+        // runs would read the warm-up's InMemoryRelation and skip the
+        // very work the bench claims to measure.
+        spark.catalog.clearCache()
+        run(q.fn)
+      }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

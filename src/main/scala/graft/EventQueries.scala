@@ -14,16 +14,18 @@ import graft.functions.Exact
   *
   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
   * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-  * and the queries floor-divide to microseconds (`ts div 1000` — integer
-  * division, exact; a double division would lose precision above 2^53).
-  * The oracle mirrors with `epoch_ns(ts) // 1000`.
+  * and the queries FLOOR-divide to microseconds. Spark's `div` truncates
+  * toward zero, which differs from the oracle's floor `//` for pre-1970
+  * timestamps, so the conversion subtracts a non-negative `pmod` first:
+  * `(ts - pmod(ts, 1000)) div 1000` is an exact floor for any sign (a
+  * double division would additionally lose precision above 2^53).
   */
 object EventQueries {
 
   /** events with ts as a proper microsecond timestamp column `tus`. */
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("tus", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("tus", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
 
   private val eventsSqlCte =
     "ev AS (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS tus FROM events)"

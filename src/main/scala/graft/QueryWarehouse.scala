@@ -27,12 +27,15 @@ object QueryWarehouse {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
 
-    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(wh)).iterator()
-    while (dirs.hasNext) {
-      val d = dirs.next()
-      if (java.nio.file.Files.isDirectory(d))
-        spark.read.parquet(d.toString).createOrReplaceTempView(d.getFileName.toString)
-    }
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+    try {
+      val dirs = listing.iterator()
+      while (dirs.hasNext) {
+        val d = dirs.next()
+        if (java.nio.file.Files.isDirectory(d))
+          spark.read.parquet(d.toString).createOrReplaceTempView(d.getFileName.toString)
+      }
+    } finally listing.close()
 
     spark.sql("SHOW TABLES").show(truncate = false)
     val sqls = if (args.length > 1) args.drop(1).toSeq else Seq(

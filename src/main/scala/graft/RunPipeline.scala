@@ -37,8 +37,10 @@ object RunPipeline {
     val fetcher = fixtureDir match {
       case Some(dir) =>
         def read(n: String) = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/$n"))
-        val series = scala.io.Source.fromFile(seriesCsv).getLines().drop(1)
-          .map(_.split(",")(0).trim.toLong).toList
+        val src = scala.io.Source.fromFile(seriesCsv)
+        val series =
+          try src.getLines().drop(1).map(_.split(",")(0).trim.toLong).toList
+          finally src.close()
         // only series with a fixture file present (disabled ones need none)
         val bcb = series.flatMap { id =>
           val p = java.nio.file.Paths.get(s"$dir/bcb_$id.json")

@@ -272,8 +272,12 @@ object TextQueries {
       WITH $shingleSqlCte,
       f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s)
       SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-      FROM f GROUP BY 1 HAVING count(*) > 1
+      FROM f WHERE fp IS NOT NULL
+      GROUP BY 1 HAVING count(*) > 1
       ORDER BY fp ASC NULLS FIRST"""))
+      // fp IS NOT NULL: documents shorter than the shingle width have no
+      // fingerprint; the Spark side (exploded shingles) never emits rows
+      // for them, so the oracle must exclude them too.
 
   // --- E4e: token counting, whitespace vs BPE-ish regex tokenizer --------
   private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"

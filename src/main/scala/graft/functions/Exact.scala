@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * order, so two runs — or Spark vs the DuckDB oracle — can differ in the
   * last ulps, which breaks hash comparison. The fix is to aggregate in
   * integer space: quantize each value to a fixed scale (cents for money),
-  * sum as BIGINT (exact, associative, commutative — order-free), and
-  * divide back out once at the end (a single correctly-rounded IEEE
-  * division, bit-identical across engines).
-  *
-  * At 100 TB this is also the *faster* plan: bigint sum is cheaper than
-  * decimal and the map-side partial aggregation stays exact.
+  * sum exactly as DECIMAL(38,0) (associative, commutative — order-free,
+  * and safe past 2^63 where a long sum would silently wrap with ANSI
+  * off), and divide back out once at the end (a single correctly-rounded
+  * IEEE division, bit-identical across engines). Map-side partial
+  * aggregation stays exact throughout — the property that matters at
+  * 100 TB.
   */
 object Exact {
 

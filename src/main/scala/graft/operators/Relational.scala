@@ -78,7 +78,11 @@ object Relational {
     val picked = if (minSide) min_by(row, ord) else max_by(row, ord)
     df.groupBy(keys.map(col): _*)
       .agg(picked.as("__row"))
-      .select(keys.map(col) ++ rest.map(c => col(s"__row.$c").as(c)): _*)
+      // preserve the input's column order — callers publish fixed
+      // schema contracts (silver tiers) that a keys-first reorder
+      // would silently break for positional consumers
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.$c").as(c)): _*)
   }
 
   /** Dimension-enrich left join with an explicit broadcast of the small
@@ -107,9 +111,15 @@ object Relational {
     val reserved = Set("__ts", "__side", "__rv", "__last")
     require(!left.columns.exists(reserved), s"left side may not use columns $reserved")
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
-    val rPrep = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-        struct(rightVals.map(col): _*).as("__rv")): _*)
+    // SQL ASOF semantics: a NULL right timestamp satisfies no `<=`
+    // comparison and a NULL key matches no equi-join — drop both up
+    // front, or asc_nulls_first would sort a null-ts right row ahead of
+    // everything and leak its values into unmatched left rows.
+    val rPrep = right
+      .na.drop(keys :+ rightTs)
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(rightVals.map(col): _*).as("__rv")): _*)
     val lPrep = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))

@@ -94,7 +94,8 @@ object IncrementalState {
 object Pipeline {
 
   final case class Result(
-      bcbSilver: DataFrame,
+      bcbSilver: DataFrame, // FULL silver after merging any increment
+      bcbIncrement: DataFrame, // just this run's new rows
       anpSilver: DataFrame,
       ufDim: DataFrame,
       gold: Map[String, DataFrame],
@@ -124,11 +125,28 @@ object Pipeline {
       bronze.write.mode("overwrite").parquet(s"$rootDir/bronze/bcb_sgs_$id.parquet")
       Silver.toSilverBcb(bronze, name)
     }
-    val bcbSilver = bcbFrames.reduceOption(_ unionByName _)
+    val bcbIncrement = bcbFrames.reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "series_id BIGINT, series_name STRING, date TIMESTAMP, value DOUBLE")))
+
+    // Incremental merge: an increment is rows PAST the high-water mark,
+    // so downstream tiers must see prior history plus the increment —
+    // a full-replace write of just the increment would destroy every
+    // previously loaded row. The silver store is the durable merge
+    // target; it is rewritten via temp-dir-and-swap (Spark cannot
+    // overwrite a path it is reading from), and gold/warehouse/summary
+    // always recompute from the merged whole, so their full-replace
+    // writes stay idempotent and correct.
+    val silverPath = s"$rootDir/silver/bcb_sgs.parquet"
+    val merged = state.bcbLastDate match {
+      case Some(_) if java.nio.file.Files.exists(java.nio.file.Paths.get(silverPath)) =>
+        spark.read.parquet(silverPath).unionByName(bcbIncrement)
+      case _ => bcbIncrement
+    }
+    swapWrite(spark, merged, silverPath)
+    val bcbSilver = spark.read.parquet(silverPath)
 
     val ufDim = IbgeSource.fetch(spark, fetcher)
     ufDim.write.mode("overwrite").parquet(s"$rootDir/bronze/ibge_uf_dim.parquet")
@@ -143,7 +161,7 @@ object Pipeline {
     val gold = Silver.buildGold(bcbSilver, anpSilver)
 
     // ---------- LOAD (main.py:62-76) ----------
-    bcbSilver.write.mode("overwrite").parquet(s"$rootDir/silver/bcb_sgs.parquet")
+    // (bcb silver already written by the merge swap above)
     anpSilver.write.mode("overwrite").parquet(s"$rootDir/silver/anp_prices.parquet")
     ufDim.write.mode("overwrite").parquet(s"$rootDir/silver/dim_uf.parquet")
 
@@ -177,6 +195,21 @@ object Pipeline {
         ibgeLastSync = Some(java.time.LocalDate.now().toString)))
     }
 
-    Result(bcbSilver, anpSilver, ufDim, gold, summary)
+    Result(bcbSilver, bcbIncrement, anpSilver, ufDim, gold, summary)
+  }
+
+  /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:
+    * write to a sibling temp dir, then atomically swap via FileSystem
+    * rename (works on HDFS/local; on object stores rename is a copy but
+    * still correct). */
+  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path match { case p if p.contains("://") => p; case p => s"file:$p" }),
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__swap_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
   }
 }

@@ -33,7 +33,11 @@ object Summary {
     if (bcbSilver.isEmpty) {
       lines += "BCB/SGS - sem dados para o período."
     } else {
-      val serie = bcbSilver.filter(lower(col("series_name")) === targetName.toLowerCase(ROOT))
+      // rows whose value failed to parse (coerced null) cannot be
+      // reported — without this, getAs[Double] would unbox null to 0.0
+      // and fabricate a "último valor = 0.00" line
+      val serie = bcbSilver.filter(lower(col("series_name")) === targetName.toLowerCase(ROOT)
+        && col("value").isNotNull)
       val latest = serie
         .orderBy(col("date").desc_nulls_last, col("value").desc_nulls_last).limit(1)
         .collect()

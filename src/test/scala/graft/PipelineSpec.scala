@@ -60,15 +60,23 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/silver/anp_prices.parquet").count() == 8)
   }
 
-  test("incremental state advances and pushes a date predicate") {
+  test("incremental state advances, filters the increment, and preserves history") {
     val root = Files.createTempDirectory("graft-incr").toString
     val statePath = s"$root/state/state.json"
-    Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
+    val r1 = Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
     val s1 = IncrementalState.fromFile(statePath)
     assert(s1.bcbLastDate.contains("2024-02-29"))
-    // second run: everything before the high-water mark is filtered out
+    val fullRows = r1.bcbSilver.count()
+    assert(fullRows == 4)
+    // second run: the increment is empty (nothing past the mark), but
+    // every downstream tier must still hold the full history — a
+    // full-replace of just the increment would destroy it.
     val r2 = Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
-    assert(r2.bcbSilver.isEmpty)
+    assert(r2.bcbIncrement.isEmpty)
+    assert(r2.bcbSilver.count() == fullRows)
+    assert(spark.read.parquet(s"$root/silver/bcb_sgs.parquet").count() == fullRows)
+    assert(spark.read.parquet(s"$root/warehouse/gold_bcb_monthly").count() == 2)
+    assert(r2.summary == r1.summary) // summary still reports the history
     // the mark survives an empty increment
     assert(IncrementalState.fromFile(statePath).bcbLastDate.contains("2024-02-29"))
   }
