@@ -374,6 +374,46 @@ object RelationalQueries {
       ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
       LIMIT 10"""))
 
+  // --- exact percentiles (quality thresholds over the corpus) -----------
+  private val q36 = Q(
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.9) AS p90, count(*) AS n
+      FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""))
+
+  // --- rollup subtotals over the dim hierarchy ---------------------------
+  private val q37 = Q(
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      Relational.enrichLeft(
+        Relational.enrichLeft(
+          c.withColumnRenamed("c_nationkey", "n_nationkey"), n, "n_nationkey")
+          .withColumnRenamed("n_regionkey", "r_regionkey"),
+        r, "r_regionkey")
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.exactSum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             ${xsum("c_acctbal")} AS sum_acctbal
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -389,5 +429,7 @@ object RelationalQueries {
     "q12_filters" -> q12,
     "q13_latest_month" -> q13,
     "q14_pricing_summary" -> q14,
-    "q15_topk_revenue" -> q15)
+    "q15_topk_revenue" -> q15,
+    "q36_percentiles" -> q36,
+    "q37_rollup" -> q37)
 }
