@@ -93,26 +93,22 @@ object TextQueries {
             struct((0 until BandRows)
               .map(i => col(s"m${b * BandRows + i}").as(s"r$i")): _*).as("bh"))
         }: _*)).as("bd"))
-      // The candidate set is consumed twice (id pruning + pair join);
-      // persist it so the expensive signature/banding subtree runs once.
-      // It is tiny: O(near-dup pairs), not O(corpus).
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-        .persist()
-      // Exact-Jaccard verification touches only candidate documents: a
-      // semi-join prunes the corpus BEFORE re-shingling, so the expensive
-      // shingle arrays are built a second time only for the (few)
-      // candidates, not the whole corpus.
-      val candIds = cand
-        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
-      val candSh = docs(spark, dir).join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+      // Exact-Jaccard verification: distinct shingle SETS built on the
+      // same codegen'd exploded path (collect_set; set order is
+      // irrelevant to array_intersect sizes), broadcast to the candidate
+      // pairs. The candidate subtree has exactly ONE consumer, so
+      // nothing needs persist() and the bench measures a cold plan
+      // honestly.
+      val candSets = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
+        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       cand
-        .join(broadcast(candSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))), Seq("a_id"))
-        .join(broadcast(candSh.select(col("doc_id").as("b_id"), col("sh").as("shb"))), Seq("b_id"))
+        .join(broadcast(candSets.select(col("doc_id").as("a_id"), col("sh").as("sha"))), Seq("a_id"))
+        .join(broadcast(candSets.select(col("doc_id").as("b_id"), col("sh").as("shb"))), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)

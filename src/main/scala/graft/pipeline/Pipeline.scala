@@ -203,13 +203,17 @@ object Pipeline {
     * rename (works on HDFS/local; on object stores rename is a copy but
     * still correct). */
   private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    // resolve scheme-less paths to absolute file: URIs so relative
+    // rootDirs don't produce malformed URIs
+    val abs = if (path.contains("://")) path
+              else "file:" + new java.io.File(path).getAbsolutePath
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path match { case p if p.contains("://") => p; case p => s"file:$p" }),
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__swap_tmp")
+      new java.net.URI(abs), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(abs)
+    val tmp = new org.apache.hadoop.fs.Path(abs + ".__swap_tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (!fs.rename(tmp, target))
+      sys.error(s"failed to swap $tmp into place at $target")
   }
 }
