@@ -17,7 +17,10 @@ object Locale {
     * Reference: src/extract.py:39-45.
     */
   def ptBrToDouble(c: Column): Column =
-    try_cast_double(regexp_replace(regexp_replace(c, "\\.", ""), ",", "."))
+    // translate maps ',' -> '.' and DELETES '.' (no counterpart in the
+    // replacement string) — one char-map pass instead of two regex
+    // passes; same output as replace(replace(...)) for every input.
+    try_cast_double(translate(c, ",.", "."))
 
   /** Conditional locale parse: values containing a comma take the pt-BR
     * path; anything else parses as plain en (`"6.59"`). This reproduces
