@@ -127,6 +127,10 @@ object TextQueries {
   // --- E2b: SimHash near-dup (pigeonhole chunk-join, no all-pairs) -------
   private val q18 = Q(
     (spark, dir) => {
+      // pre-grouping to (doc, token, cnt) halves the downstream md5 +
+      // digit-extraction work (the corpus repeats tokens heavily);
+      // measured faster than feeding raw occurrences despite the
+      // extra shuffle
       val tok = docs(spark, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
