@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -47,6 +47,27 @@ object EventStreams {
     events
       .withWatermark("tus", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Custom arbitrary-state streaming op (SURVEY §2.10 extension;
+    * `KeyValueGroupedDataset.flatMapGroupsWithState`): running per-user
+    * cumulative spend — state the built-in windows cannot express
+    * (unbounded accumulation across batches, one state row per user,
+    * emitted on every update). Input rows: (user_id, value). */
+  def runningUserTotals(events: Dataset[(Long, Double)]): Dataset[(Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long), (Long, Double, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Double, Long)]) =>
+          val (prevSum, prevN) = state.getOption.getOrElse((0.0, 0L))
+          val batch = rows.toSeq
+          val next = (prevSum + batch.map(_._2).sum, prevN + batch.size)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }
+  }
 
   /** Gap-based session windows with a lateness watermark. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

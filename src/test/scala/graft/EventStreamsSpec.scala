@@ -112,6 +112,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals across batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val totals = EventStreams.runningUserTotals(input.toDS())
+    val q = totals.toDF("user_id", "total", "n").writeStream
+      .format("memory").queryName("totals").outputMode("update").start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 2.0)) // state must carry 15.0 into this batch
+      q.processAllAvailable()
+      val last = spark.table("totals").filter(col("user_id") === 1L)
+        .orderBy(col("n").desc).limit(1).collect().head
+      assert(last.getDouble(1) == 17.0 && last.getLong(2) == 3L)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1L, 1.0),
