@@ -40,6 +40,11 @@ class MultimodalSpec extends SparkSpec {
       .first()
     assert(fr.getInt(0) == 4) // 100 bytes -> 30+30+30+10
     assert(fr.getAs[Array[Byte]](1).length == 30)
+    // stride: keep every 2nd frame (indices 0 and 2)
+    val strided = d.filter(col("id") === 2)
+      .select(Multimodal.frames(col("payload"), frameBytes = 30, stride = 2).as("fs"))
+      .select(size(col("fs"))).first().getInt(0)
+    assert(strided == 2)
   }
 
   test("decodeAll runs partition-parallel with deterministic fake decode") {
