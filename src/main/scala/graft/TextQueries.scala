@@ -340,6 +340,30 @@ object TextQueries {
       SELECT doc_id, term, tfidf FROM r WHERE rn <= 3
       ORDER BY doc_id ASC NULLS FIRST, tfidf DESC NULLS LAST, term ASC NULLS FIRST"""))
 
+  // --- E4g: document chunking (32-token windows, 16-token stride) --------
+  private val q38 = Q(
+    (spark, dir) => {
+      TextOps.chunked(docs(spark, dir), "doc_id", "text", size = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      c AS (
+        SELECT doc_id,
+               unnest(range(greatest(CAST(ceil((len(t) - 32) / 16.0) AS INT) + 1, 1)))
+                 AS chunk_idx,
+               t
+        FROM d)
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 32], ' '))
+               AS chunk_md5,
+             CAST(len(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) AS BIGINT) AS n_tokens
+      FROM c
+      WHERE len(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) > 0
+      ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -350,5 +374,6 @@ object TextQueries {
     "q22_lang_id" -> q22,
     "q23_fingerprint" -> q23,
     "q24_token_count" -> q24,
-    "q34_tfidf_keywords" -> q34)
+    "q34_tfidf_keywords" -> q34,
+    "q38_doc_chunking" -> q38)
 }

@@ -111,6 +111,28 @@ object TextOps {
       .distinct()
   }
 
+  /** Fixed-size token chunking with overlap — the training-data prep
+    * step that splits long documents into model-window-sized pieces.
+    * One row per chunk: (id, chunk_idx, chunk text, chunk token count).
+    * Chunk starts step by `stride` (stride < size -> overlapping
+    * windows); the tail chunk may be short but is never empty. Explode
+    * over chunk starts keeps the whole thing codegen'd and
+    * partition-local (no shuffle). */
+  def chunked(df: DataFrame, id: String, text: String,
+              size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val t = col("__t")
+    val nChunks = ceil((org.apache.spark.sql.functions.size(t) - lit(size))
+      / lit(stride.toDouble)).cast("int") + lit(1)
+    df.select(col(id), tokens(col(text)).as("__t"))
+      .select(col(id), t, explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("__c"))
+      .select(col(id), col("__c").as("chunk_idx"),
+        concat_ws(" ", slice(t, col("__c") * stride + 1, lit(size))).as("chunk"),
+        org.apache.spark.sql.functions.size(slice(t, col("__c") * stride + 1, lit(size)))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays:
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
     * bit-identical across engines. */

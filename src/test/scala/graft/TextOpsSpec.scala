@@ -46,6 +46,19 @@ class TextOpsSpec extends SparkSpec {
     assert(want.contains((2L, 3L))) // exact dup must have hamming 0
   }
 
+  test("chunked produces overlapping windows and a short tail, never empty") {
+    val df = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.chunked(df, "doc_id", "text", size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0, "a b", 2L))) // short doc: one chunk
+    val c1 = got.filter(_._1 == 1L)
+    assert(c1.size == 4) // starts 0,2,4,6 — ceil((9-4)/2)+1
+    assert(c1.head._3 == "w1 w2 w3 w4" && c1(1)._3 == "w3 w4 w5 w6") // 2-token overlap
+    assert(c1.last._3 == "w7 w8 w9" && c1.last._4 == 3L) // short tail kept
+  }
+
   test("simhash is deterministic across partitionings") {
     val docs = Seq((0L, "a b c a b"), (1L, "z y x w v u t")).toDF("doc_id", "text")
     def sigs(parts: Int) = {
