@@ -73,20 +73,15 @@ object TextQueries {
   // bands, P(miss) at j=0.9 is ~4e-8; the corpus is bimodal j<=0.07 or
   // j>=0.9.) At scale the banding join replaces the O(n^2) product.
   //
-  // The 64 permutation hashes are a Carter-Wegman 2-universal family
-  // h_k = a + k*b over two 28-bit halves of ONE md5 per shingle — one
-  // hash evaluation instead of 64 (this was the q17 hotspot: 17 s -> 3 s
-  // at sf0.1).
+  // The 64 permutations derive from ONE md5 per shingle via a seeded
+  // universal family (see TextOps.minhashSignatures — per-k random
+  // constants are REQUIRED for independent permutations; a linear-in-k
+  // family missed a jaccard-0.947 pair at sf0.1).
   private val q17 = Q(
     (spark, dir) => {
-      val h = md5(col("s"))
-      val minCols = (0 until MinhashPerms)
-        .map(k => min(col("a") + lit(k.toLong) * col("b")).as(s"m$k"))
-      val sigs = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
-        .withColumn("a", conv(substring(h, 1, 7), 16, 10).cast("long"))
-        .withColumn("b", conv(substring(h, 8, 7), 16, 10).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
+      val sigs = TextOps.minhashSignatures(
+        TextOps.explodedShingles(docs(spark, dir), "doc_id", "text"),
+        "doc_id", MinhashPerms)
       val banded = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),

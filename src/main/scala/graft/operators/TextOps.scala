@@ -41,6 +41,34 @@ object TextOps {
   def minhash(shingleCol: Column, perm: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$perm|"), s))))
 
+  /** MinHash signature matrix from ONE base hash per shingle.
+    *
+    * Permutation k is the universal family h_k(x) = (a_k*x + b_k) mod p
+    * over a 28-bit md5-derived base hash, with FIXED seeded random
+    * constants per k. The per-k randomness is essential: an earlier
+    * "cheap" family h_k = a + k*b made the comparison between two
+    * shingles LINEAR in k (it flips at most once across all k), so one
+    * unshared shingle with a small base hash could win every
+    * permutation — at sf0.1 that missed a true pair with jaccard 0.947
+    * whose miss probability under independent permutations is ~5e-12.
+    * All arithmetic stays below 2^59 (no overflow, ANSI-safe).
+    *
+    * Input: one row per (id, shingle col "s"). Output: (id, m0..m{n-1}).
+    */
+  def minhashSignatures(exploded: DataFrame, id: String, perms: Int): DataFrame = {
+    val P = 2147483647L // 2^31 - 1 (prime)
+    val rnd = new scala.util.Random(42) // java.util.Random LCG: spec-stable
+    val consts = Seq.fill(perms)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+    val x = conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
+    val minCols = consts.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * col("__x") + lit(b), lit(P))).as(s"m$k")
+    }
+    exploded.withColumn("__x", x)
+      .groupBy(col(id))
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
   /** One row per (id, shingle) via a codegen-friendly explode of the
     * shingle START POSITIONS — `transform`+`concat_ws` higher-order
     * lambdas are interpreted per element and dominated the signature
