@@ -77,8 +77,8 @@ object TextQueries {
   // universal family (see TextOps.minhashSignatures — per-k random
   // constants are REQUIRED for independent permutations; a linear-in-k
   // family missed a jaccard-0.947 pair at sf0.1).
-  private val q17 = Q(
-    (spark, dir) => {
+  /** LSH candidate pairs verified by exact Jaccard (shared by q17/q39). */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
       val sigs = TextOps.minhashSignatures(
         TextOps.explodedShingles(docs(spark, dir), "doc_id", "text"),
         "doc_id", MinhashPerms)
@@ -107,8 +107,10 @@ object TextQueries {
         .select(col("a_id"), col("b_id"),
           TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy(col("a_id"), col("b_id"))
-    },
+  }
+
+  private val q17 = Q(
+    (spark, dir) => nearDupPairs(spark, dir).orderBy(col("a_id"), col("b_id")),
     Some(s"""
       WITH $shingleSqlCte,
       p AS (
@@ -118,6 +120,37 @@ object TextQueries {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= $JaccardThreshold
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
+  // --- E2d: near-dup CLUSTERS + canonical survivor -----------------------
+  // Pairs alone don't dedup a corpus: (a,b) and (b,c) must collapse into
+  // one cluster. Connected components of the verified pair graph, each
+  // labeled by its minimum doc_id (the canonical survivor). Oracle:
+  // transitive closure via recursive CTE over the exact all-pairs graph.
+  private val q39 = Q(
+    (spark, dir) => {
+      graft.operators.GraphOps
+        .connectedComponents(nearDupPairs(spark, dir), "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSqlCte,
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= $JaccardThreshold),
+      e AS (SELECT a_id AS s, b_id AS t FROM p
+            UNION SELECT b_id, a_id FROM p
+            UNION SELECT a_id, a_id FROM p
+            UNION SELECT b_id, b_id FROM p),
+      reach(s, t) AS (
+        SELECT s, t FROM e
+        UNION
+        SELECT reach.s, e.t FROM reach JOIN e ON reach.t = e.s)
+      SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   // --- E2b: SimHash near-dup (pigeonhole chunk-join, no all-pairs) -------
   private val q18 = Q(
@@ -370,5 +403,6 @@ object TextQueries {
     "q23_fingerprint" -> q23,
     "q24_token_count" -> q24,
     "q34_tfidf_keywords" -> q34,
-    "q38_doc_chunking" -> q38)
+    "q38_doc_chunking" -> q38,
+    "q39_neardup_clusters" -> q39)
 }

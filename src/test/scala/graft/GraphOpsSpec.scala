@@ -1,0 +1,22 @@
+package graft
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents merges transitively linked pairs") {
+    // a-b, b-c chain plus an isolated d-e pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs, "a", "b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("a long chain converges to the minimum label (multi-iteration)") {
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs, "a", "b").collect()
+    assert(got.length == n && got.forall(_.getLong(1) == 1L))
+  }
+}
