@@ -95,15 +95,17 @@ object TextQueries {
         .distinct()
       // Exact-Jaccard verification: distinct shingle SETS built on the
       // same codegen'd exploded path (collect_set; set order is
-      // irrelevant to array_intersect sizes), broadcast to the candidate
-      // pairs. The candidate subtree has exactly ONE consumer, so
-      // nothing needs persist() and the bench measures a cold plan
-      // honestly.
+      // irrelevant to array_intersect sizes). The candidate subtree has
+      // exactly ONE consumer, so nothing needs persist() and the bench
+      // measures a cold plan honestly. No broadcast hint: the set table
+      // is corpus-sized, so a forced broadcast would hit the driver /
+      // 8 GB broadcast limits at scale — AQE broadcasts when it is
+      // actually small and shuffle-joins otherwise.
       val candSets = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
         .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       cand
-        .join(broadcast(candSets.select(col("doc_id").as("a_id"), col("sh").as("sha"))), Seq("a_id"))
-        .join(broadcast(candSets.select(col("doc_id").as("b_id"), col("sh").as("shb"))), Seq("b_id"))
+        .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+        .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -371,7 +373,7 @@ object TextQueries {
   // --- E4g: document chunking (32-token windows, 16-token stride) --------
   private val q38 = Q(
     (spark, dir) => {
-      TextOps.chunked(docs(spark, dir), "doc_id", "text", size = 32, stride = 16)
+      TextOps.chunked(docs(spark, dir), "doc_id", "text", chunkSize = 32, stride = 16)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           md5(col("chunk")).as("chunk_md5"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))

@@ -10,23 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Connected components by iterative min-label propagation: every node
-    * repeatedly adopts the smallest label among itself and its
-    * neighbors; the unique fixpoint labels each component with its
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * each iteration every node adopts the smallest label among itself
+    * and its neighbors, then shortcuts to its label's label (path
+    * halving). The unique fixpoint labels each component with its
     * minimum node id (deterministic regardless of execution order).
     *
-    * Scale: each iteration is one equi-join + hash agg; iterations =
-    * graph diameter (near-dup clusters are tiny — single digits).
-    * Lineage is cut with an eager localCheckpoint per iteration, the
-    * standard guard for iterative DataFrame algorithms. (Billion-edge
-    * general graphs would want the alternating large-star/small-star
-    * algorithm; dedup graphs do not.)
+    * Scale: two equi-joins + a hash agg per iteration, and the jumping
+    * step makes the iteration count O(log diameter) — a million-node
+    * chain converges in ~20 rounds where plain propagation would need a
+    * million. Lineage is cut with an eager localCheckpoint per
+    * iteration, the standard guard for iterative DataFrame algorithms.
+    * The convergence flag is computed inside the same projection, so
+    * detecting the fixpoint is a filter on checkpointed data, not an
+    * extra join.
     *
     * Input: one row per undirected edge (a, b). Output: (node,
     * cluster_id) for every node that appears in an edge.
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 40): DataFrame = {
     val edges = pairs.select(col(a).as("s"), col(b).as("t"))
       .unionByName(pairs.select(col(b).as("s"), col(a).as("t")))
       .distinct()
@@ -41,15 +44,18 @@ object GraphOps {
         .join(labels.select(col("node").as("t"), col("lbl").as("tlbl")), Seq("t"))
         .groupBy(col("s").as("node"))
         .agg(min(col("tlbl")).as("nlbl"))
-      val next = labels
+      val adopted = labels
         .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow my label's label (path halving)
+      val next = adopted
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("ll"), col("lbl"))) =!= col("old")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter(col("lbl") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("lbl")).localCheckpoint()
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")

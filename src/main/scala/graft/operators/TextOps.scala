@@ -147,16 +147,15 @@ object TextOps {
     * over chunk starts keeps the whole thing codegen'd and
     * partition-local (no shuffle). */
   def chunked(df: DataFrame, id: String, text: String,
-              size: Int, stride: Int): DataFrame = {
-    require(size > 0 && stride > 0, "size and stride must be positive")
+              chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     val t = col("__t")
-    val nChunks = ceil((org.apache.spark.sql.functions.size(t) - lit(size))
-      / lit(stride.toDouble)).cast("int") + lit(1)
+    val nChunks = ceil((size(t) - lit(chunkSize)) / lit(stride.toDouble)).cast("int") + lit(1)
     df.select(col(id), tokens(col(text)).as("__t"))
       .select(col(id), t, explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("__c"))
       .select(col(id), col("__c").as("chunk_idx"),
-        concat_ws(" ", slice(t, col("__c") * stride + 1, lit(size))).as("chunk"),
-        org.apache.spark.sql.functions.size(slice(t, col("__c") * stride + 1, lit(size)))
+        concat_ws(" ", slice(t, col("__c") * stride + 1, lit(chunkSize))).as("chunk"),
+        size(slice(t, col("__c") * stride + 1, lit(chunkSize)))
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
   }

@@ -22,7 +22,11 @@ object Typed {
 
   def bcb(silver: DataFrame): Dataset[BcbObs] = {
     import silver.sparkSession.implicits._
-    silver.select("series_id", "series_name", "date", "value").as[BcbObs]
+    // the typed view exposes fully-parsed observations: silver only
+    // drops null dates, so a coerced-null value would crash primitive
+    // Double deserialization — filter it here
+    silver.filter(silver("value").isNotNull)
+      .select("series_id", "series_name", "date", "value").as[BcbObs]
   }
 
   def anp(silver: DataFrame): Dataset[AnpPrice] = {

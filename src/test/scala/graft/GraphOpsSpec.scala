@@ -13,10 +13,12 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
-  test("a long chain converges to the minimum label (multi-iteration)") {
-    val n = 12
+  test("a chain far longer than the iteration cap converges (pointer jumping)") {
+    // plain propagation needs diameter iterations (60 > maxIter); path
+    // halving needs O(log n) — this guards the long-chain crash class
+    val n = 60
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    val got = GraphOps.connectedComponents(pairs, "a", "b").collect()
+    val got = GraphOps.connectedComponents(pairs, "a", "b", maxIter = 15).collect()
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
   }
 }

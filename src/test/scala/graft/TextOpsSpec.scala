@@ -49,7 +49,7 @@ class TextOpsSpec extends SparkSpec {
   test("chunked produces overlapping windows and a short tail, never empty") {
     val df = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")), (2L, "a b"))
       .toDF("doc_id", "text")
-    val got = graft.operators.TextOps.chunked(df, "doc_id", "text", size = 4, stride = 2)
+    val got = graft.operators.TextOps.chunked(df, "doc_id", "text", chunkSize = 4, stride = 2)
       .orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
     assert(got.filter(_._1 == 2L) == Seq((2L, 0, "a b", 2L))) // short doc: one chunk
