@@ -28,6 +28,14 @@ class HeaderResolverSpec extends SparkSpec {
     assert(m("price") == "Preço por Litro") // last-resort Contains("preco")
   }
 
+  test("duplicate normalized headers: last wins for exact, first for contains") {
+    // "Produto" and "PRODUTO " normalize identically — mirrors the
+    // reference's python-dict overwrite semantics
+    val m = HeaderResolver.resolve(Seq(
+      "Estado - Sigla", "Produto", "PRODUTO ", "Data da Coleta", "Valor de Venda"))
+    assert(m("product") == "PRODUTO ") // exact lookup: later duplicate wins
+  }
+
   test("unmappable columns raise a descriptive error listing every miss") {
     val e = intercept[IllegalArgumentException] {
       HeaderResolver.resolve(Seq("Estado - Sigla", "Data da Coleta", "Valor de Venda"))

@@ -24,6 +24,13 @@ class LocaleSpec extends SparkSpec {
       Seq(Some(6.59), Some(1.234), Some(1234.56), Some(6.0), None))
   }
 
+  test("locale parse edge cases: negatives, empty, bare separators") {
+    assert(parse(Locale.ptBrToDouble, "-1.234,56", "-11,75", "", ",") ==
+      Seq(Some(-1234.56), Some(-11.75), None, None))
+    assert(parse(Locale.localeAwareDouble, "-6.59", "0", "-0,5") ==
+      Seq(Some(-6.59), Some(0.0), Some(-0.5)))
+  }
+
   test("coerce-to-null survives an ANSI-enabled session (try_cast)") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
