@@ -106,8 +106,17 @@ object TextQueries {
       cand
         .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
         .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+        // Two-step projection: materialize the intersection size as its
+        // own (non-cheap) column first — CollapseProject refuses to
+        // inline non-cheap expressions referenced twice, so the
+        // intersection is computed exactly once per candidate pair even
+        // without relying on codegen subexpression elimination.
         .select(col("a_id"), col("b_id"),
-          TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+          size(array_intersect(col("sha"), col("shb"))).as("__i"),
+          size(col("sha")).as("__na"), size(col("shb")).as("__nb"))
+        .select(col("a_id"), col("b_id"),
+          (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+            .as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
   }
 

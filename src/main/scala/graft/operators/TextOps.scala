@@ -130,11 +130,18 @@ object TextOps {
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("c"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("v"))
       }: _*)).as("chunk"))
-    val a = chunked.select(col(id).as("a_id"), col("simhash").as("a_sig"), col("chunk"))
-    val b = chunked.select(col(id).as("b_id"), col("simhash").as("b_sig"), col("chunk"))
-    a.join(b, a("chunk") === b("chunk") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+    // Join two explicit ALIASES of the same frame. Dataset column refs
+    // (a("chunk") === b("chunk")) carry the same attribute id on both
+    // sides of a self-join, which Spark logs as a trivially-true
+    // predicate and rescues via disambiguation — and if that rescue ever
+    // failed, the condition would silently degrade to `a_id < b_id`
+    // alone: a complete-but-O(n^2) cross product. Qualified names over
+    // aliases make the chunk equality a real equi-key unconditionally.
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -164,7 +171,11 @@ object TextOps {
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
     * bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    // Bind the intersection ONCE: array_intersect is the dominant
+    // per-pair cost on the candidate-verification path, and two separate
+    // trees would double it wherever codegen subexpression elimination
+    // doesn't apply.
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 }

@@ -45,8 +45,15 @@ object VectorOps {
     * random-hyperplane hashing). 2^bits buckets; vectors only compete
     * within their bucket — the approximate-search scale path that replaces
     * the all-pairs product with a `groupBy(bucket)` equi-join. */
-  def signBucket(v: Column, bits: Int = 4): Column =
+  def signBucket(v: Column, bits: Int = 4): Column = signBucketAt(v, 0, bits)
+
+  /** Sign-bit bucket over `bits` dimensions starting at 0-based dimension
+    * `start` — one hash table of a MULTI-TABLE LSH family (each table
+    * buckets a disjoint dim slice, so a pair colliding in ANY table
+    * becomes a candidate; more tables = higher recall, wider buckets =
+    * fewer false candidates). */
+  def signBucketAt(v: Column, start: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1) >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+      when(element_at(v, start + i + 1) >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0))
     }.reduce(_ + _)
 }
