@@ -52,8 +52,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // A broken query must not silently vanish from the bench: failed
+    // names are reported explicitly (their per-query value is -1), so a
+    // smaller total can never masquerade as a speedup.
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

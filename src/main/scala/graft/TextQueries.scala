@@ -22,11 +22,16 @@ object TextQueries {
   private val BandRows = 4
   private val JaccardThreshold = 0.5
 
-  // The corpus arrives as one small parquet file -> one input partition;
-  // the per-row work here (shingling, hashing) is CPU-heavy, so spread it
-  // across the cluster first. The shuffled payload is tiny (raw text).
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).repartition(col("doc_id"))
+  // The testdata corpus arrives as one small parquet file -> one input
+  // partition; the per-row work here (shingling, hashing) is CPU-heavy,
+  // so spread it across the cluster first. GATED: when the input is
+  // already at least core-wide (the 100 TB layout), the extra exchange
+  // would be a pure waste — leave the scan partitioning alone.
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    if (d.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) d
+    else d.repartition(col("doc_id"))
+  }
 
   private val shingleSqlCte =
     """s AS (

@@ -27,12 +27,17 @@ object VectorQueries {
 
   /** vec_id + quantized array + exact squared norm, computed once.
     * Repartitioned off the single-file scan so the O(pairs) scoring that
-    * follows runs on every core, not one input partition. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+    * follows runs on every core, not one input partition — gated off
+    * when the input is already core-wide (see TextQueries.docs). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val spread =
+      if (e.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) e
+      else e.repartition(col("vec_id"))
+    spread
       .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
       .withColumn("n2", VectorOps.qnorm2(col("q")))
+  }
 
   // --- E3: exact brute-force cosine top-10 for 5 query vectors -----------
   // The query side is tiny -> broadcast; each candidate partition streams

@@ -110,6 +110,11 @@ object Relational {
                      valuePrefix: String = "asof_"): DataFrame = {
     val reserved = Set("__ts", "__side", "__rv", "__last")
     require(!left.columns.exists(reserved), s"left side may not use columns $reserved")
+    // Right VALUE columns are safe (they travel inside the __rv struct),
+    // but right key/timestamp columns are projected as-is and would
+    // silently collide in the union.
+    require(!(keys :+ rightTs).exists(reserved),
+      s"right-side key/timestamp columns may not use $reserved")
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     // SQL ASOF semantics: a NULL right timestamp satisfies no `<=`
     // comparison and a NULL key matches no equi-join — drop both up
@@ -141,16 +146,21 @@ object Relational {
     * groups by (keys, salt) — `buckets` reducers share each hot key —
     * and phase 2 merges the per-salt partials. Both phases are exact:
     * the value is quantized to integer cents, so partial sums combine
-    * associatively with no FP drift. The salt derives from
-    * `monotonically_increasing_id` (spreads identical rows, unlike a
-    * content hash); it never reaches the output, so results are
-    * independent of the salt assignment.
+    * associatively with no FP drift. The salt is DETERMINISTIC — a
+    * content hash of the whole row — because a nondeterministic salt
+    * (monotonically_increasing_id, rand) used as a grouping key can
+    * double-count or lose rows if an upstream stage is recomputed after
+    * a failure with different row order. The trade: full-duplicate rows
+    * share a salt, so a hot key whose rows are ALL identical is not
+    * spread — in practice rows differ in some column (id, timestamp),
+    * which is what the hash spreads on. Results never depend on the
+    * salt assignment either way (exact integer partials).
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: String,
                      buckets: Int = 16, scale: Int = 2): DataFrame = {
     val factor = math.pow(10, scale)
     val partial = df
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"),
         sum(Exact.quantize(col(value), scale).cast("decimal(38,0)")).as("__s"))

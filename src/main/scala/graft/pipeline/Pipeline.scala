@@ -96,7 +96,8 @@ object Pipeline {
   final case class Result(
       bcbSilver: DataFrame, // FULL silver after merging any increment
       bcbIncrement: DataFrame, // just this run's new rows
-      anpSilver: DataFrame,
+      anpSilver: DataFrame, // FULL silver after merging any increment
+      anpIncrement: DataFrame, // just this run's rows past the ANP mark
       ufDim: DataFrame,
       gold: Map[String, DataFrame],
       summary: String)
@@ -113,17 +114,36 @@ object Pipeline {
       .filter(lower(col("enabled")).isin("true", "1", "yes"))
       .select(col("series_id").cast("long"), col("series_name"))
       .collect() // control table: O(series), driver-side by design
-    val bcbFrames = seriesCfg.toSeq.map { row =>
-      val id = row.getAs[Long]("series_id")
-      val name = row.getAs[String]("series_name")
-      val bronze0 = BcbSource.fetch(spark, fetcher, id, cfg.startDate, cfg.endDate)
-      // Incremental: only rows past the high-water mark flow downstream.
-      val bronze = state.bcbLastDate match {
-        case Some(d) => bronze0.filter(col("date") > lit(d).cast("timestamp"))
-        case None => bronze0
-      }
-      bronze.write.mode("overwrite").parquet(s"$rootDir/bronze/bcb_sgs_$id.parquet")
-      Silver.toSilverBcb(bronze, name)
+    // Partition-parallel fetch (SURVEY §2.1-S1): the reference loops
+    // series sequentially on the driver (main.py:36-41); here each
+    // fetch + bronze write runs on a bounded thread pool, so wall-clock
+    // stays ~flat as the series count grows. SparkSession is
+    // thread-safe; per-series outputs go to disjoint bronze paths. Any
+    // fetch failure propagates (fail-fast, like the sequential loop).
+    val bcbFrames = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, seriesCfg.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = seriesCfg.toSeq.map { row =>
+          scala.concurrent.Future {
+            val id = row.getAs[Long]("series_id")
+            val name = row.getAs[String]("series_name")
+            val bronze0 = BcbSource.fetch(spark, fetcher, id, cfg.startDate, cfg.endDate)
+            // Incremental: only rows past the high-water mark flow downstream.
+            val bronze = state.bcbLastDate match {
+              case Some(d) => bronze0.filter(col("date") > lit(d).cast("timestamp"))
+              case None => bronze0
+            }
+            bronze.write.mode("overwrite").parquet(s"$rootDir/bronze/bcb_sgs_$id.parquet")
+            Silver.toSilverBcb(bronze, name)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     val bcbIncrement = bcbFrames.reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
@@ -139,10 +159,17 @@ object Pipeline {
     // overwrite a path it is reading from), and gold/warehouse/summary
     // always recompute from the merged whole, so their full-replace
     // writes stay idempotent and correct.
+    // The merge is belt-and-braces idempotent: even if a mark at coarser
+    // granularity than the data (or a same-day revision) lets a row
+    // through twice, the keep-first dedup on the natural key collapses
+    // it — the merged store can never hold duplicate (series_id, date)
+    // rows regardless of mark/timestamp granularity.
     val silverPath = s"$rootDir/silver/bcb_sgs.parquet"
     val merged = state.bcbLastDate match {
       case Some(_) if java.nio.file.Files.exists(java.nio.file.Paths.get(silverPath)) =>
-        spark.read.parquet(silverPath).unionByName(bcbIncrement)
+        graft.operators.Relational.dedupKeepFirst(
+          spark.read.parquet(silverPath).unionByName(bcbIncrement),
+          keys = Seq("series_id", "date"), order = Seq(col("value")))
       case _ => bcbIncrement
     }
     swapWrite(spark, merged, silverPath)
@@ -155,14 +182,34 @@ object Pipeline {
     anpRaw.write.mode("overwrite").parquet(s"$rootDir/bronze/anp_raw.parquet")
 
     // ---------- TRANSFORM (main.py:53-56) ----------
-    val anpSilver = Silver.enrichUf(Silver.toSilverAnp(anpRaw), ufDim)
+    // ANP incremental (reference state stub state/state.json:1-5): the
+    // bronze CSV is always re-read in full (it is a file drop), but only
+    // rows past `anp_last_period` flow into the increment — the same
+    // high-water-mark pushdown as the BCB path, applied right after the
+    // silver projection so Catalyst pushes the date_ref predicate below
+    // the enrich join. The durable silver store merges increment +
+    // history with the same natural-key dedup as BCB.
+    val anpSilverAll = Silver.enrichUf(Silver.toSilverAnp(anpRaw), ufDim)
+    val anpIncrement = state.anpLastPeriod match {
+      case Some(p) => anpSilverAll.filter(col("date_ref") > lit(p).cast("timestamp"))
+      case None => anpSilverAll
+    }
+    val anpPath = s"$rootDir/silver/anp_prices.parquet"
+    val anpMerged = state.anpLastPeriod match {
+      case Some(_) if java.nio.file.Files.exists(java.nio.file.Paths.get(anpPath)) =>
+        graft.operators.Relational.dedupKeepFirst(
+          spark.read.parquet(anpPath).unionByName(anpIncrement),
+          keys = Seq("date_ref", "uf_sigla", "product"), order = Seq(col("price")))
+      case _ => anpIncrement
+    }
+    swapWrite(spark, anpMerged, anpPath)
+    val anpSilver = spark.read.parquet(anpPath)
 
     // ---------- GOLD (main.py:59) ----------
     val gold = Silver.buildGold(bcbSilver, anpSilver)
 
     // ---------- LOAD (main.py:62-76) ----------
-    // (bcb silver already written by the merge swap above)
-    anpSilver.write.mode("overwrite").parquet(s"$rootDir/silver/anp_prices.parquet")
+    // (bcb + anp silver already written by the merge swaps above)
     ufDim.write.mode("overwrite").parquet(s"$rootDir/silver/dim_uf.parquet")
 
     gold("bcb_monthly").write.mode("overwrite")
@@ -185,17 +232,23 @@ object Pipeline {
       summary.getBytes(StandardCharsets.UTF_8))
 
     // ---------- STATE ----------
+    // High-water marks carry the FULL max timestamp (not a truncated
+    // date): a date-granular mark would re-admit same-day rows with
+    // intra-day time components on the next run. (The merge dedup above
+    // would still collapse them, but the mark itself should be exact.)
     statePath.foreach { p =>
-      val maxDate = bcbSilver.agg(max(col("date"))).collect().head
-      val newMark = Option(maxDate.get(0))
-        .map(_.asInstanceOf[java.sql.Timestamp].toLocalDateTime.toLocalDate.toString)
-        .orElse(state.bcbLastDate)
+      val hwmFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      def mark(df: DataFrame, ts: String, prev: Option[String]): Option[String] =
+        Option(df.agg(max(col(ts))).collect().head.get(0))
+          .map(_.asInstanceOf[java.sql.Timestamp].toLocalDateTime.format(hwmFmt))
+          .orElse(prev)
       IncrementalState.write(p, state.copy(
-        bcbLastDate = newMark,
+        bcbLastDate = mark(bcbSilver, "date", state.bcbLastDate),
+        anpLastPeriod = mark(anpSilver, "date_ref", state.anpLastPeriod),
         ibgeLastSync = Some(java.time.LocalDate.now().toString)))
     }
 
-    Result(bcbSilver, bcbIncrement, anpSilver, ufDim, gold, summary)
+    Result(bcbSilver, bcbIncrement, anpSilver, anpIncrement, ufDim, gold, summary)
   }
 
   /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:

@@ -43,8 +43,13 @@ object HeaderResolver {
   def resolve(physical: Seq[String], rules: Seq[Rule] = AnpRules): Map[String, String] = {
     val normOrder = physical.map(c => Locale.normalizeHeader(c) -> c)
     val exactMap = normOrder.toMap // later duplicates win, like a python dict
+    // Python-dict semantics for the contains scan too: iteration follows
+    // FIRST-seen insertion order, but a duplicate normalized header
+    // overwrites the VALUE in place (LinkedHashMap update keeps the
+    // original position) — so contains also returns the LAST physical
+    // duplicate, exactly like `{norm(c): c for c in cols}`.
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    normOrder.foreach { case (n, c) => if (!seen.contains(n)) seen(n) = c }
+    normOrder.foreach { case (n, c) => seen(n) = c }
 
     def tryStep(s: Step): Option[String] = s match {
       case Exact(names @ _*) => names.collectFirst {

@@ -51,15 +51,20 @@ object Silver {
 
   /** Gold marts (transform.py:111-134): monthly aggregates. `last_value`
     * is value-at-max-date per month — `max_by`, the deterministic form of
-    * the reference's order-dependent groupby `last`. */
+    * the reference's order-dependent groupby `last` (value tiebreak makes
+    * the pick total even if an upstream ever re-admits duplicate dates).
+    * Means use [[graft.functions.Exact.exactAvg]]: a float `avg` is
+    * partition-merge-order dependent, so the same input could hash
+    * differently across runs — the marts carry the same determinism
+    * contract as the oracle-checked queries. */
   def buildGold(bcbSilver: DataFrame, anpSilver: DataFrame): Map[String, DataFrame] = Map(
     "bcb_monthly" -> bcbSilver
       .withColumn("month", date_trunc("month", col("date")))
       .groupBy(col("series_id"), col("series_name"), col("month"))
-      .agg(avg(col("value")).as("avg_value"),
-        max_by(col("value"), col("date")).as("last_value")),
+      .agg(graft.functions.Exact.exactAvg(col("value")).as("avg_value"),
+        max_by(col("value"), struct(col("date"), col("value"))).as("last_value")),
     "anp_monthly" -> anpSilver
       .withColumn("month", date_trunc("month", col("date_ref")))
       .groupBy(col("uf_sigla"), col("product"), col("month"))
-      .agg(avg(col("price")).as("avg_price")))
+      .agg(graft.functions.Exact.exactAvg(col("price")).as("avg_price")))
 }

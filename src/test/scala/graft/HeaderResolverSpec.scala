@@ -28,12 +28,19 @@ class HeaderResolverSpec extends SparkSpec {
     assert(m("price") == "Preço por Litro") // last-resort Contains("preco")
   }
 
-  test("duplicate normalized headers: last wins for exact, first for contains") {
+  test("duplicate normalized headers: last value wins at first-seen position") {
     // "Produto" and "PRODUTO " normalize identically — mirrors the
     // reference's python-dict overwrite semantics
     val m = HeaderResolver.resolve(Seq(
       "Estado - Sigla", "Produto", "PRODUTO ", "Data da Coleta", "Valor de Venda"))
     assert(m("product") == "PRODUTO ") // exact lookup: later duplicate wins
+
+    // contains fallback: same dict semantics — the duplicate overwrites
+    // the value but keeps the first occurrence's iteration position
+    val m2 = HeaderResolver.resolve(Seq(
+      "Estado - Sigla", "Produto Vendido", "PRODUTO VENDIDO ",
+      "Data da Coleta", "Valor de Venda"))
+    assert(m2("product") == "PRODUTO VENDIDO ")
   }
 
   test("unmappable columns raise a descriptive error listing every miss") {

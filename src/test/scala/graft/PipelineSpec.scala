@@ -65,7 +65,9 @@ class PipelineSpec extends SparkSpec {
     val statePath = s"$root/state/state.json"
     val r1 = Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
     val s1 = IncrementalState.fromFile(statePath)
-    assert(s1.bcbLastDate.contains("2024-02-29"))
+    // marks are FULL timestamps, not truncated dates (same-day rows with
+    // intra-day time components must not be re-admitted)
+    assert(s1.bcbLastDate.contains("2024-02-29 00:00:00"))
     val fullRows = r1.bcbSilver.count()
     assert(fullRows == 4)
     // second run: the increment is empty (nothing past the mark), but
@@ -78,7 +80,77 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/warehouse/gold_bcb_monthly").count() == 2)
     assert(r2.summary == r1.summary) // summary still reports the history
     // the mark survives an empty increment
-    assert(IncrementalState.fromFile(statePath).bcbLastDate.contains("2024-02-29"))
+    assert(IncrementalState.fromFile(statePath).bcbLastDate.contains("2024-02-29 00:00:00"))
+  }
+
+  test("ANP incremental: mark pushdown loads only new periods and merges history") {
+    val root = Files.createTempDirectory("graft-anp-incr").toString
+    val statePath = s"$root/state/state.json"
+    val r1 = Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(r1.anpSilver.count() == 8)
+    assert(IncrementalState.fromFile(statePath)
+      .anpLastPeriod.contains("2024-02-20 00:00:00"))
+    // the CSV grows by two March rows; only those pass the mark
+    val cfg2 = cfg.copy(anpBronzeFile = fixture("anp_semicolon_v2.csv"))
+    val r2 = Pipeline.run(spark, fetcher, cfg2, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(r2.anpIncrement.count() == 2)
+    assert(r2.anpSilver.count() == 10)
+    assert(spark.read.parquet(s"$root/silver/anp_prices.parquet").count() == 10)
+    assert(IncrementalState.fromFile(statePath)
+      .anpLastPeriod.contains("2024-03-12 00:00:00"))
+    // third run on the unchanged CSV: empty increment, history intact
+    val r3 = Pipeline.run(spark, fetcher, cfg2, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(r3.anpIncrement.isEmpty)
+    assert(r3.anpSilver.count() == 10)
+  }
+
+  test("per-series fetch is parallel-safe: 12 series land correct bronze + silver") {
+    // 12 enabled series through the bounded fetch pool — every series
+    // must land its own bronze file and contribute its rows to silver,
+    // regardless of completion order.
+    val ids = 101L to 112L
+    val payloads = ids.map(id =>
+      BcbSource.url(id, "2024-01-01", "2024-03-01") -> fixtureText("bcb_payload.json")).toMap +
+      (IbgeSource.Url -> fixtureText("ibge_ufs.json"))
+    val root = Files.createTempDirectory("graft-par").toString
+    val csv = Paths.get(root, "series.csv")
+    Files.writeString(csv,
+      "series_id,series_name,enabled\n" +
+        ids.map(id => s"$id,series_$id,true\n").mkString)
+    val res = Pipeline.run(spark, FixtureFetcher(payloads), cfg, root, csv.toString)
+    ids.foreach { id =>
+      assert(Files.exists(Paths.get(s"$root/bronze/bcb_sgs_$id.parquet")), s"bronze $id missing")
+    }
+    // every series parses the same fixture payload, so per-series silver
+    // row counts must all be equal (a lost/duplicated fetch would skew one)
+    val perSeries = res.bcbSilver.groupBy("series_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSeries.keySet == ids.toSet)
+    assert(perSeries.values.toSet.size == 1, s"uneven per-series rows: $perSeries")
+  }
+
+  test("gold marts hash identically across different input partitionings") {
+    // exactAvg's determinism contract: the same rows through ANY
+    // partitioning/merge order produce bit-identical doubles. A float
+    // avg() would pass the %.2f golden compare yet drift in raw bits.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (1L, "s", java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        math.round(rnd.nextDouble() * 1e5) / 100.0)
+    }
+    val base = rows.toDF("series_id", "series_name", "date", "value")
+    val anp = Seq.empty[(String, String, java.sql.Timestamp, Double)]
+      .toDF("uf_sigla", "product", "date_ref", "price")
+    def hashOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Silver.buildGold(df, anp)("bcb_monthly")
+        .orderBy("month")
+        .collect()
+        .map(r => (java.lang.Double.doubleToRawLongBits(r.getAs[Double]("avg_value")),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("last_value")))).toSeq
+    val a = hashOf(base.repartition(13))
+    val b = hashOf(base.repartition(3, col("date")))
+    assert(a == b, "gold mart doubles drift across partitionings")
   }
 
   test("RunConfig parses the reference's config shape") {
