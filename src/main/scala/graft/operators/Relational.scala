@@ -162,8 +162,11 @@ object Relational {
     val partial = df
       .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
+      // phase-1 partials use the split-long exact sum (hash-agg fast
+      // path; see Exact.exactIntSum) — phase 2 sums one decimal per
+      // (key, salt), a tiny input where decimal cost is irrelevant
       .agg(count(lit(1)).as("__n"),
-        sum(Exact.quantize(col(value), scale).cast("decimal(38,0)")).as("__s"))
+        Exact.exactIntSum(Exact.quantize(col(value), scale)).as("__s"))
     partial
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n"),

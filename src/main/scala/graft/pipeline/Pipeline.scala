@@ -254,8 +254,9 @@ object Pipeline {
   /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:
     * write to a sibling temp dir, then atomically swap via FileSystem
     * rename (works on HDFS/local; on object stores rename is a copy but
-    * still correct). */
-  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    * still correct). Public: the streaming merge sink
+    * ([[graft.streaming.EventStreams.mergeSink]]) reuses it per batch. */
+  def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
     // resolve scheme-less paths to absolute file: URIs so relative
     // rootDirs don't produce malformed URIs
     val abs = if (path.contains("://")) path

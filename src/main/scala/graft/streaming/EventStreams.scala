@@ -69,6 +69,47 @@ object EventStreams {
       }
   }
 
+  /** Exactly-once streaming load into a parquet warehouse table —
+    * the `writeStream` half of E6 a production ingestion pipeline needs
+    * (reference analog: load.py:23's "MERGE by keys").
+    *
+    * Exactly-once = at-least-once delivery (checkpointed offsets +
+    * aggregation state; a killed query resumes from the checkpoint) x an
+    * IDEMPOTENT merge: `foreachBatch` may replay a batch after a crash,
+    * and in update mode each trigger emits refreshed totals for touched
+    * keys — both are absorbed because the merge is a keyed upsert
+    * (anti-join out the old rows for the batch's keys, union the new),
+    * so applying the same batch twice is a no-op. At scale the anti-join
+    * is an equi-join on the merge keys and the rewrite goes through the
+    * same temp-dir-and-swap as the batch pipeline (object-store safe);
+    * with a transactional table format the same shape becomes a real
+    * MERGE INTO, no code change above this seam.
+    */
+  def mergeSink(agg: DataFrame, tablePath: String, checkpointDir: String,
+                keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeBatch(batch.sparkSession, batch, tablePath, keys)
+      }
+      .start()
+
+  /** One idempotent upsert of `batch` into the parquet table at `path`:
+    * rows whose `keys` appear in the batch are replaced, everything else
+    * is kept. Exposed for direct testing (replay = no-op). */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+                 keys: Seq[String]): Unit = {
+    val fresh = batch.dropDuplicates(keys)
+    val merged =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path)
+          .join(broadcast(fresh.select(keys.map(col): _*)), keys, "left_anti")
+          .unionByName(fresh)
+      else fresh
+    graft.pipeline.Pipeline.swapWrite(spark, merged, path)
+  }
+
   /** Gap-based session windows with a lateness watermark. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "10 minutes"): DataFrame =

@@ -130,6 +130,60 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeSink: kill + restart from checkpoint loses nothing and duplicates nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def arrive(rows: (Long, Timestamp, Long, String, Double, String)*): Unit =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(in)
+    def start() = EventStreams.mergeSink(
+      EventStreams.tumblingAgg(EventStreams.readEventStream(spark, in)),
+      table, ckpt, keys = Seq("window_start", "event_type"))
+
+    arrive(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:15:00"), 8L, "view", 2.0, "{}"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // events arrive while the query is DOWN; the restart must resume
+    // from the checkpoint, carry the (10:00, click) state forward, and
+    // upsert — not append — the refreshed totals
+    arrive(
+      (3L, ts("2024-01-01 10:20:00"), 7L, "click", 4.0, "{}"),
+      (4L, ts("2024-01-01 11:05:00"), 9L, "click", 8.0, "{}"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(table)
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 5.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 2.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 8.0)))
+  }
+
+  test("mergeBatch replay is a no-op (idempotent upsert)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val table = s"$root/table"
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 5.0),
+      (ts("2024-01-01 11:00:00"), "click", 1L, 8.0))
+      .toDF("window_start", "event_type", "n", "sum_value")
+    EventStreams.mergeBatch(spark, batch, table, Seq("window_start", "event_type"))
+    EventStreams.mergeBatch(spark, batch, table, Seq("window_start", "event_type"))
+    assert(spark.read.parquet(table).count() == 2)
+    // a refreshed total for an existing key replaces, never appends
+    val refreshed = Seq((ts("2024-01-01 10:00:00"), "click", 3L, 6.0))
+      .toDF("window_start", "event_type", "n", "sum_value")
+    EventStreams.mergeBatch(spark, refreshed, table, Seq("window_start", "event_type"))
+    val rows = spark.read.parquet(table).orderBy("window_start").collect()
+    assert(rows.length == 2 && rows.head.getAs[Long]("n") == 3L)
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1L, 1.0),

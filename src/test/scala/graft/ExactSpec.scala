@@ -24,6 +24,21 @@ class ExactSpec extends SparkSpec {
     assert(got == 200 * big)
   }
 
+  test("property: exactIntSum equals the BigInt sum (negatives, large magnitudes)") {
+    // |q| up to 2^39 stresses both split components (hi = q >> 20 is
+    // signed; lo is the unsigned low 20 bits) across sign boundaries
+    val bound = Long.MaxValue >> 24
+    val prop = Prop.forAll(Gen.listOfN(30, Gen.choose(-bound, bound))) { qs =>
+      qs.isEmpty || {
+        val got = qs.toDF("q")
+          .agg(Exact.exactIntSum(col("q")).cast("string")).first().getString(0)
+        BigInt(got) == qs.map(BigInt(_)).sum
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: exactSum of cent-valued doubles equals the rational sum") {
     val prop = Prop.forAll(Gen.listOfN(50, Gen.choose(-1000000, 1000000))) { cents =>
       cents.isEmpty || {
