@@ -103,12 +103,32 @@ object TextOps {
     // One md5 per token row, then 32 wide integer sum-aggregates (hash
     // aggregation with long buffers) — NOT an explode over bit index j,
     // which would multiply the shuffle by 32x for the same result.
-    def digit(j: Int) = conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int")
+    //
+    // The 32 digit parities are extracted from THREE pre-parsed hex
+    // chunks (15+15+2 digits, each `conv`ed to a long once) with
+    // shift/mask bit ops — not 32 separate conv(substring) string
+    // parses per row, which dominated the per-row cost (q18 was the
+    // heaviest bench line). Identical bits, same simhash values.
+    def chunk(start: Int, len: Int) =
+      conv(substring(col("__h"), start, len), 16, 10).cast("long")
+    def parity(j: Int): Column = {
+      // 0-based hex digit j lives in chunk j/15 at in-chunk position
+      // j%15 (last chunk holds digits 30..31); parity = low bit of the
+      // digit = bit 4*(width-1-pos) of the chunk's long value
+      val (c, pos, width) =
+        if (j < 15) (col("__k0"), j, 15)
+        else if (j < 30) (col("__k1"), j - 15, 15)
+        else (col("__k2"), j - 30, 2)
+      shiftright(c, 4 * (width - 1 - pos)).bitwiseAND(lit(1L)).cast("int")
+    }
     val contribs = (0 until 32).map { j =>
-      sum(col(cnt) * (lit(2) * (digit(j) % 2) - lit(1))).as(s"__c$j")
+      sum(col(cnt) * (lit(2) * parity(j) - lit(1))).as(s"__c$j")
     }
     tokenCounts
       .withColumn("__h", md5(col(token)))
+      .withColumn("__k0", chunk(1, 15))
+      .withColumn("__k1", chunk(16, 15))
+      .withColumn("__k2", chunk(31, 2))
       .groupBy(col(id))
       .agg(contribs.head, contribs.tail: _*)
       .select(col(id),
