@@ -300,9 +300,132 @@ object VectorQueries {
       SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- E3e: IVF ANN with TRAINED centroids -------------------------------
+  // q32's "centroids are a modulo sample" caveat, closed: centroids come
+  // from 2 deterministic spherical k-means iterations
+  // (operators/KMeans.fit — exact-integer means, id-ordered init, no
+  // RNG), then the same probe-2-cells/rescore flow as q32. The ORACLE
+  // replays the identical unrolled training in SQL (HUGEINT sums,
+  // `//` = Spark's `div` truncation), so even the learned centroids are
+  // hash-checked across engines.
+  private val q40 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val k = ((Tables.embeddings(spark, dir).count() + 99) / 100).toInt
+      val cents = graft.operators.KMeans.fit(e, "vec_id", "q", k, iters = 2)
+        .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+      val sim = e.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("vid"), col("cell"),
+          VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
+            col("n2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cell").asc_nulls_first)
+      val ranked = sim.withColumn("rn", row_number().over(w)).persist()
+      val cells = ranked.filter(col("rn") === 1)
+        .select(col("vid"), col("cell"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vid") < 10)
+        .select(col("vid").as("qid"), col("cell"))
+      val cand = probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid").as("cid"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq2"), col("n2").as("cn22")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq2")),
+            col("qn2"), col("cn22")).as("cos_sim"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some("""
+      WITH e AS (
+          SELECT vec_id,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1),
+        kk AS (SELECT CAST((count(*) + 99) // 100 AS BIGINT) AS k FROM embeddings),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id
+          FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+        c0v AS (SELECT c0.cell, e.i, e.v FROM c0 JOIN e ON e.vec_id = c0.vec_id),
+        c0n AS (SELECT cell, sum(v*v) AS cn2 FROM c0v GROUP BY 1),
+        d1 AS (
+          SELECT e.vec_id, cv.cell, sum(e.v * cv.v) AS dot
+          FROM e JOIN c0v cv ON cv.i = e.i GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT d1.vec_id, d1.cell,
+                   row_number() OVER (PARTITION BY d1.vec_id ORDER BY
+                     CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) / sqrt(CAST(c0n.cn2 AS DOUBLE)) DESC NULLS LAST,
+                     d1.cell ASC) AS rn
+            FROM d1 JOIN n ON n.vec_id = d1.vec_id JOIN c0n ON c0n.cell = d1.cell)
+          WHERE rn = 1),
+        m1 AS (
+          SELECT a1.cell, e.i,
+                 (2 * sum(e.v) + count(*)) // (2 * count(*)) AS v
+          FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY 1, 2),
+        c1v AS (
+          SELECT c0v.cell, c0v.i, COALESCE(m1.v, c0v.v) AS v
+          FROM c0v LEFT JOIN m1 ON m1.cell = c0v.cell AND m1.i = c0v.i),
+        c1n AS (SELECT cell, sum(v*v) AS cn2 FROM c1v GROUP BY 1),
+        d2 AS (
+          SELECT e.vec_id, cv.cell, sum(e.v * cv.v) AS dot
+          FROM e JOIN c1v cv ON cv.i = e.i GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT d2.vec_id, d2.cell,
+                   row_number() OVER (PARTITION BY d2.vec_id ORDER BY
+                     CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) / sqrt(CAST(c1n.cn2 AS DOUBLE)) DESC NULLS LAST,
+                     d2.cell ASC) AS rn
+            FROM d2 JOIN n ON n.vec_id = d2.vec_id JOIN c1n ON c1n.cell = d2.cell)
+          WHERE rn = 1),
+        m2 AS (
+          SELECT a2.cell, e.i,
+                 (2 * sum(e.v) + count(*)) // (2 * count(*)) AS v
+          FROM a2 JOIN e ON e.vec_id = a2.vec_id GROUP BY 1, 2),
+        c2v AS (
+          SELECT c1v.cell, c1v.i, COALESCE(m2.v, c1v.v) AS v
+          FROM c1v LEFT JOIN m2 ON m2.cell = c1v.cell AND m2.i = c1v.i),
+        c2n AS (SELECT cell, sum(v*v) AS cn2 FROM c2v GROUP BY 1),
+        cdot AS (
+          SELECT e.vec_id AS vid, cv.cell, sum(e.v * cv.v) AS dot
+          FROM e JOIN c2v cv ON cv.i = e.i GROUP BY 1, 2),
+        ranked AS (
+          SELECT vid, cdot.cell AS cell, row_number() OVER (PARTITION BY vid ORDER BY
+                   CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) / sqrt(CAST(c2n.cn2 AS DOUBLE)) DESC NULLS LAST,
+                   cdot.cell ASC) AS rn
+          FROM cdot JOIN n ON n.vec_id = cdot.vid JOIN c2n ON c2n.cell = cdot.cell),
+        cells AS (SELECT vid, cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vid, cell FROM ranked WHERE rn <= 2 AND vid < 10),
+        cand AS (
+          SELECT p.vid AS qid, c.vid AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
+        d AS (
+          SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+          FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                    JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+          GROUP BY 1, 2),
+        c2 AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        r AS (
+          SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM c2)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
     "q27_embed_neardup" -> q27,
-    "q32_ann_ivf" -> q32)
+    "q32_ann_ivf" -> q32,
+    "q40_ann_ivf_kmeans" -> q40)
 }

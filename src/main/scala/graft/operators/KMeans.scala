@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Deterministic spherical k-means over QUANTIZED embedding vectors —
+  * the centroid-training step that upgrades IVF ANN (VectorQueries q32)
+  * from "centroids = a modulo sample" to learned cells.
+  *
+  * Everything is exact-integer so training is REPRODUCIBLE: vectors are
+  * the 1e-6-grid quantized longs used by the whole vector stack
+  * ([[VectorOps.quantized]]), per-cell means accumulate with
+  * [[Exact.exactIntSum]] (order-free split-long sums) and round back to
+  * the integer grid — two runs over any partitioning of the same input
+  * produce bit-identical centroids. No RNG anywhere: initialization is
+  * the k smallest ids (data-independent and stable), iterations are a
+  * FIXED unrolled count (no driver-side convergence actions).
+  *
+  * Scale posture per iteration (the 100 TB contract):
+  *  - assignment: one broadcast of k centroids, argmax-cosine via
+  *    max_by — map-side only, no shuffle of the corpus;
+  *  - update: posexplode to (cell, dim) partial sums — the groupBy
+  *    combines map-side, so each task ships at most k x dims rows;
+  *  - empty cells inherit their previous centroid (left join + coalesce)
+  *    so k never silently shrinks.
+  */
+object KMeans {
+
+  /** Train `k` centroids with `iters` Lloyd iterations.
+    *
+    * @param vectors (id, q) — id ascending-unique, q = quantized ARRAY<LONG>
+    * @return (cell INT, cq ARRAY<LONG>) — k rows
+    */
+  def fit(vectors: DataFrame, id: String, q: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val v = vectors.select(col(id).as("__vid"), col(q).as("__vq"))
+      .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
+
+    // init: the k smallest ids, numbered 0..k-1 in id order
+    val init = v.orderBy(col("__vid")).limit(k)
+      .select(col("__vid"), col("__vq").as("cq"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__vid"))) - 1).cast("int"))
+      .select(col("cell"), col("cq"))
+
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val c = cents
+        .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+      // assignment: per vector, the cell with max (cosine, -cell) —
+      // the cell tiebreak makes ties deterministic
+      val assigned = v.crossJoin(broadcast(c))
+        .select(col("__vid"), col("__vq"),
+          col("cell"),
+          VectorOps.cosine(VectorOps.qdot(col("__vq"), col("cq")),
+            col("__vn2"), col("cn2")).as("__cos"))
+        .groupBy(col("__vid"))
+        .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"),
+          first(col("__vq")).as("__vq"))
+      // update: exact per-(cell, dim) mean, rounded back to the grid
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__vq")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(Exact.exactIntSum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cell"), col("__pos"),
+          // round-half-away-from-zero-ish integer mean on the quantized
+          // grid: (2s + n) div (2n) with INTEGRAL division (truncation
+          // toward zero) — exact integer arithmetic, and DuckDB's `//`
+          // truncates identically, so the whole training loop is
+          // oracle-mirrorable (q40)
+          expr("CAST((__s * 2 + __n) div (__n * 2) AS BIGINT)").as("__m"))
+      val updated = sums
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("cq2"))
+      // empty cells keep their previous centroid
+      cents.join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cq2"), col("cq")).as("cq"))
+    }
+  }
+
+  /** Assign each vector to its trained cell: (id, cell). Same broadcast
+    * argmax-cosine as training (one map-side pass, no corpus shuffle). */
+  def assign(vectors: DataFrame, id: String, q: String, centroids: DataFrame): DataFrame = {
+    val c = centroids.withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    vectors.select(col(id), col(q).as("__vq"))
+      .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
+      .crossJoin(broadcast(c))
+      .select(col(id), col("cell"),
+        VectorOps.cosine(VectorOps.qdot(col("__vq"), col("cq")),
+          col("__vn2"), col("cn2")).as("__cos"))
+      .groupBy(col(id))
+      .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
+  }
+}
