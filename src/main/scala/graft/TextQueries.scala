@@ -323,6 +323,41 @@ object TextQueries {
       // fingerprint; the Spark side (exploded shingles) never emits rows
       // for them, so the oracle must exclude them too.
 
+  // --- E2e: winnowing fingerprint pairs (rolling-hash dedup) -------------
+  // MOSS-style local fingerprints (TextOps.winnowFingerprints): pairs of
+  // documents sharing >= 2 winnowed window-minima — catches shared RUNS
+  // (quotation/plagiarism/boilerplate) that whole-document hashing (q16)
+  // and global min-hash (q23) both miss. Candidates come from an fp
+  // equi-join; no all-pairs product anywhere.
+  private val q41 = Q(
+    (spark, dir) => {
+      val fps = TextOps.winnowFingerprints(docs(spark, dir), "doc_id", "text")
+      fps.alias("a")
+        .join(fps.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 7),
+      g AS (SELECT doc_id, list_transform(range(1, len(t) - 2), i ->
+              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gr
+            FROM d),
+      f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(gr) - 2), j ->
+              list_min(gr[j:j+3]))) AS fps
+            FROM g),
+      x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+            FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+      FROM p WHERE n_shared >= 2
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
   // --- E4e: token counting, whitespace vs BPE-ish regex tokenizer --------
   private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val q24 = Q(
@@ -417,6 +452,7 @@ object TextQueries {
     "q21_quality_score" -> q21,
     "q22_lang_id" -> q22,
     "q23_fingerprint" -> q23,
+    "q41_winnowing" -> q41,
     "q24_token_count" -> q24,
     "q34_tfidf_keywords" -> q34,
     "q38_doc_chunking" -> q38,

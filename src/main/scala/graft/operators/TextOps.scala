@@ -187,6 +187,45 @@ object TextOps {
       .filter(col("n_tokens") > 0)
   }
 
+  /** Winnowing document fingerprints (the MOSS rolling-selection scheme:
+    * Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every `gram`-token
+    * gram, then keep the MINIMUM hash of each `window` consecutive
+    * grams. Guarantee: any shared token run of length >= gram+window-1
+    * between two documents produces at least one shared fingerprint —
+    * local plagiarism/quotation detection that whole-document hashes
+    * miss. Entirely per-row array ops (codegen'd, shuffle-free); output
+    * one row per (id, distinct fp), ready for a fp equi-join — never an
+    * all-pairs product. */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+                         gram: Int = 4, window: Int = 4): DataFrame = {
+    require(gram > 0 && window > 0, "gram and window must be positive")
+    // Shape: explode gram START POSITIONS and keep every expression a
+    // scalar (codegen'd md5 per gram row, then a running `min` window
+    // over the next `window-1` rows). The array formulation —
+    // transform(sequence, j => array_min(slice(grams, j, w))) followed
+    // by explode — is catastrophically slow: the nested interpreted
+    // HOF array is re-evaluated under the Generate, turning a 0.3 s
+    // stage into ~300 s at sf0.1. Cost here is one shuffle by doc id +
+    // per-doc sort (docs are bounded length), all codegen.
+    val t = col("__t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
+    df.select(col(id), tokens(col(text)).as("__t"))
+      // shorter docs have no complete window; filtering (not a `when`
+      // fallback) keeps every sequence() ascending
+      .filter(size(t) >= gram + window - 1)
+      .select(col(id), t, (size(t) - lit(gram - 1)).as("__G"),
+        explode(sequence(lit(1), size(t) - lit(gram - 1))).as("__i"))
+      .select(col(id), col("__G"), col("__i"),
+        md5(concat_ws(" ",
+          (0 until gram).map(o => element_at(t, col("__i") + lit(o))): _*)).as("__h"))
+      .select(col(id), col("__G"), col("__i"), min(col("__h")).over(w).as("fp"))
+      .filter(col("__i") <= col("__G") - lit(window - 1))
+      .select(col(id), col("fp"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays:
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
     * bit-identical across engines. */

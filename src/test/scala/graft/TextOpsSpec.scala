@@ -23,6 +23,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0))
   }
 
+  test("winnowing: a shared run of gram+window-1 tokens guarantees a shared fingerprint") {
+    // docs 0 and 1 share a 7-token run embedded in different contexts;
+    // doc 2 is unrelated; doc 3 is too short for any window
+    val docs = Seq(
+      (0L, "aa bb the quick brown fox jumps over lazy cc dd"),
+      (1L, "xx yy zz the quick brown fox jumps over lazy ww"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "too short for windows"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((byDoc(0L) & byDoc(2L)).isEmpty, "unrelated docs share a fingerprint")
+    assert(!byDoc.contains(3L), "sub-window doc must emit no fingerprints")
+  }
+
   test("simhashPairs chunk-join finds exactly the brute-force pairs") {
     val docs = Seq(
       (0L, "spark makes fast tables and fast joins really fast"),
