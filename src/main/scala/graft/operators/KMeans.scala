@@ -75,9 +75,14 @@ object KMeans {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as("cq2"))
-      // empty cells keep their previous centroid
+      // empty cells keep their previous centroid. localCheckpoint (k
+      // rows — trivial) cuts the iteration lineage: without it every
+      // iteration references the previous centroids TWICE (assignment +
+      // fallback join), so the physical plan doubles per iteration
+      // (8 BNLJs / 48 exchanges at iters=2 before the cut).
       cents.join(updated, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cq2"), col("cq")).as("cq"))
+        .localCheckpoint(true)
     }
   }
 
