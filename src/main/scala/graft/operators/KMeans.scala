@@ -34,7 +34,12 @@ object KMeans {
     * @return (cell INT, cq ARRAY<LONG>) — k rows
     */
   def fit(vectors: DataFrame, id: String, q: String, k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    // NB: a corpus with fewer than k vectors yields fewer than k
+    // centroids (init is the first k rows in id order) — the "empty
+    // cells keep their centroid" guarantee below covers iteration-time
+    // shrinkage, not undersized input.
     val v = vectors.select(col(id).as("__vid"), col(q).as("__vq"))
       .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
 

@@ -230,10 +230,13 @@ object TextOps {
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
     * bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {
-    // Bind the intersection ONCE: array_intersect is the dominant
-    // per-pair cost on the candidate-verification path, and two separate
-    // trees would double it wherever codegen subexpression elimination
-    // doesn't apply.
+    // NOTE: the val-bound `inter` still embeds the same expression tree
+    // twice — within one projection, codegen subexpression elimination
+    // normally dedupes it, but hot paths should not rely on that: the
+    // q17/q39 candidate-verification path (TextQueries.nearDupPairs)
+    // projects the intersection size as its own column in a separate
+    // step so CollapseProject cannot duplicate it. This helper is the
+    // convenience/compositional form.
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }

@@ -140,9 +140,17 @@ object Pipeline {
             Silver.toSilverBcb(bronze, name)
           }
         }
-        scala.concurrent.Await.result(
+        try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
+        catch { case e: Throwable =>
+          // fail-fast must not leave orphaned futures writing bronze
+          // paths that a retry of run() would race: interrupt the pool
+          // and wait for in-flight writes to wind down before rethrowing
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+        }
       } finally pool.shutdown()
     }
     val bcbIncrement = bcbFrames.reduceOption(_ unionByName _)
@@ -166,7 +174,7 @@ object Pipeline {
     // rows regardless of mark/timestamp granularity.
     val silverPath = s"$rootDir/silver/bcb_sgs.parquet"
     val merged = state.bcbLastDate match {
-      case Some(_) if java.nio.file.Files.exists(java.nio.file.Paths.get(silverPath)) =>
+      case Some(_) if pathExists(spark, silverPath) =>
         graft.operators.Relational.dedupKeepFirst(
           spark.read.parquet(silverPath).unionByName(bcbIncrement),
           keys = Seq("series_id", "date"), order = Seq(col("value")))
@@ -189,6 +197,13 @@ object Pipeline {
     // silver projection so Catalyst pushes the date_ref predicate below
     // the enrich join. The durable silver store merges increment +
     // history with the same natural-key dedup as BCB.
+    //
+    // SEMANTIC TRADE (inherent to any high-water-mark scheme): a later
+    // CSV drop that REVISES or backfills a row at date_ref <= mark is
+    // not picked up by incremental runs — the mark filter is what buys
+    // skipping old periods. Sources that revise history should run
+    // without statePath (full reprocess, the reference's own behavior)
+    // or reset state.json; append-only drops get the fast path.
     val anpSilverAll = Silver.enrichUf(Silver.toSilverAnp(anpRaw), ufDim)
     val anpIncrement = state.anpLastPeriod match {
       case Some(p) => anpSilverAll.filter(col("date_ref") > lit(p).cast("timestamp"))
@@ -196,7 +211,7 @@ object Pipeline {
     }
     val anpPath = s"$rootDir/silver/anp_prices.parquet"
     val anpMerged = state.anpLastPeriod match {
-      case Some(_) if java.nio.file.Files.exists(java.nio.file.Paths.get(anpPath)) =>
+      case Some(_) if pathExists(spark, anpPath) =>
         graft.operators.Relational.dedupKeepFirst(
           spark.read.parquet(anpPath).unionByName(anpIncrement),
           keys = Seq("date_ref", "uf_sigla", "product"), order = Seq(col("price")))
@@ -237,7 +252,9 @@ object Pipeline {
     // intra-day time components on the next run. (The merge dedup above
     // would still collapse them, but the mark itself should be exact.)
     statePath.foreach { p =>
-      val hwmFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      // full microsecond precision (Spark timestamps are micros): a
+      // seconds-granular mark would re-admit rows with fractional parts
+      val hwmFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
       def mark(df: DataFrame, ts: String, prev: Option[String]): Option[String] =
         Option(df.agg(max(col(ts))).collect().head.get(0))
           .map(_.asInstanceOf[java.sql.Timestamp].toLocalDateTime.format(hwmFmt))
@@ -249,6 +266,19 @@ object Pipeline {
     }
 
     Result(bcbSilver, bcbIncrement, anpSilver, anpIncrement, ufDim, gold, summary)
+  }
+
+  /** Scheme-aware existence check through the Hadoop FileSystem API —
+    * `java.nio.file.Files.exists` sees only the LOCAL filesystem and
+    * would make every merge-vs-initial-load decision wrong on
+    * hdfs:// / s3a:// paths (an existing remote store would be silently
+    * replaced by just the increment). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val abs = if (path.contains("://")) path
+              else "file:" + new java.io.File(path).getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(abs), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(abs))
   }
 
   /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:

@@ -57,14 +57,20 @@ object Silver {
     * partition-merge-order dependent, so the same input could hash
     * differently across runs — the marts carry the same determinism
     * contract as the oracle-checked queries. */
+  /** Gold means quantize at 1e-6, not cents: fine-precision series (a
+    * daily rate like 0.049041) would lose percent-level accuracy at
+    * scale 2, and micro-units still keep the exactIntSum overflow
+    * envelope (values to ~1e6) far beyond these sources' ranges. */
+  private val GoldAvgScale = 6
+
   def buildGold(bcbSilver: DataFrame, anpSilver: DataFrame): Map[String, DataFrame] = Map(
     "bcb_monthly" -> bcbSilver
       .withColumn("month", date_trunc("month", col("date")))
       .groupBy(col("series_id"), col("series_name"), col("month"))
-      .agg(graft.functions.Exact.exactAvg(col("value")).as("avg_value"),
+      .agg(graft.functions.Exact.exactAvg(col("value"), GoldAvgScale).as("avg_value"),
         max_by(col("value"), struct(col("date"), col("value"))).as("last_value")),
     "anp_monthly" -> anpSilver
       .withColumn("month", date_trunc("month", col("date_ref")))
       .groupBy(col("uf_sigla"), col("product"), col("month"))
-      .agg(graft.functions.Exact.exactAvg(col("price")).as("avg_price")))
+      .agg(graft.functions.Exact.exactAvg(col("price"), GoldAvgScale).as("avg_price")))
 }

@@ -102,7 +102,7 @@ object EventStreams {
                  keys: Seq[String]): Unit = {
     val fresh = batch.dropDuplicates(keys)
     val merged =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      if (graft.pipeline.Pipeline.pathExists(spark, path))
         spark.read.parquet(path)
           .join(broadcast(fresh.select(keys.map(col): _*)), keys, "left_anti")
           .unionByName(fresh)

@@ -67,7 +67,7 @@ class PipelineSpec extends SparkSpec {
     val s1 = IncrementalState.fromFile(statePath)
     // marks are FULL timestamps, not truncated dates (same-day rows with
     // intra-day time components must not be re-admitted)
-    assert(s1.bcbLastDate.contains("2024-02-29 00:00:00"))
+    assert(s1.bcbLastDate.contains("2024-02-29 00:00:00.000000"))
     val fullRows = r1.bcbSilver.count()
     assert(fullRows == 4)
     // second run: the increment is empty (nothing past the mark), but
@@ -80,7 +80,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/warehouse/gold_bcb_monthly").count() == 2)
     assert(r2.summary == r1.summary) // summary still reports the history
     // the mark survives an empty increment
-    assert(IncrementalState.fromFile(statePath).bcbLastDate.contains("2024-02-29 00:00:00"))
+    assert(IncrementalState.fromFile(statePath).bcbLastDate.contains("2024-02-29 00:00:00.000000"))
   }
 
   test("ANP incremental: mark pushdown loads only new periods and merges history") {
@@ -89,7 +89,7 @@ class PipelineSpec extends SparkSpec {
     val r1 = Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
     assert(r1.anpSilver.count() == 8)
     assert(IncrementalState.fromFile(statePath)
-      .anpLastPeriod.contains("2024-02-20 00:00:00"))
+      .anpLastPeriod.contains("2024-02-20 00:00:00.000000"))
     // the CSV grows by two March rows; only those pass the mark
     val cfg2 = cfg.copy(anpBronzeFile = fixture("anp_semicolon_v2.csv"))
     val r2 = Pipeline.run(spark, fetcher, cfg2, root, fixture("bcb_series.csv"), Some(statePath))
@@ -97,7 +97,7 @@ class PipelineSpec extends SparkSpec {
     assert(r2.anpSilver.count() == 10)
     assert(spark.read.parquet(s"$root/silver/anp_prices.parquet").count() == 10)
     assert(IncrementalState.fromFile(statePath)
-      .anpLastPeriod.contains("2024-03-12 00:00:00"))
+      .anpLastPeriod.contains("2024-03-12 00:00:00.000000"))
     // third run on the unchanged CSV: empty increment, history intact
     val r3 = Pipeline.run(spark, fetcher, cfg2, root, fixture("bcb_series.csv"), Some(statePath))
     assert(r3.anpIncrement.isEmpty)
