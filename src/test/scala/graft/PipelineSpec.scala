@@ -104,6 +104,29 @@ class PipelineSpec extends SparkSpec {
     assert(r3.anpSilver.count() == 10)
   }
 
+  test("ANP revision semantics: incremental skips old-period revisions; full reprocess recovers them") {
+    // The documented high-water-mark trade (Pipeline.scala TRANSFORM
+    // comment): a revised row at date_ref <= mark is invisible to
+    // incremental runs, and a stateless run (the reference's own
+    // full-reprocess behavior) picks it up.
+    val root = Files.createTempDirectory("graft-anp-rev").toString
+    val statePath = s"$root/state/state.json"
+    Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
+    def amDiesel(): Double = spark.read.parquet(s"$root/silver/anp_prices.parquet")
+      .filter(col("uf_sigla") === "AM" && col("date_ref") === lit("2024-02-15").cast("timestamp"))
+      .first().getAs[Double]("price")
+    assert(amDiesel() == 6.74)
+    // revised CSV: the 15/02 AM DIESEL price changes 6,74 -> 6,80
+    val revised = Paths.get(root, "anp_revised.csv")
+    Files.writeString(revised,
+      fixtureText("anp_semicolon.csv").replace("15/02/2024;6,74", "15/02/2024;6,80"))
+    val cfgRev = cfg.copy(anpBronzeFile = revised.toString)
+    Pipeline.run(spark, fetcher, cfgRev, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(amDiesel() == 6.74, "incremental run must not see the old-period revision")
+    Pipeline.run(spark, fetcher, cfgRev, root, fixture("bcb_series.csv"))
+    assert(amDiesel() == 6.80, "stateless full reprocess must pick up the revision")
+  }
+
   test("per-series fetch is parallel-safe: 12 series land correct bronze + silver") {
     // 12 enabled series through the bounded fetch pool — every series
     // must land its own bronze file and contribute its rows to silver,
