@@ -55,7 +55,10 @@ object GraphOps {
           (least(col("lbl"), coalesce(col("ll"), col("lbl"))) =!= col("old")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("node"), col("lbl")).localCheckpoint()
+      // plain projection over the ALREADY-checkpointed `next`: lineage
+      // stays cut and re-checkpointing it would cost one more
+      // materialization job per iteration
+      labels = next.select(col("node"), col("lbl"))
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
