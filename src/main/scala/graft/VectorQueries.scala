@@ -152,32 +152,35 @@ object VectorQueries {
   private val NeardupTables = 8
   private val NeardupBits = 8
 
+  /** LSH-candidate near-dup pairs with exact rescoring — shared by q27
+    * (pairs) and q42 (clusters). */
+  private def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.embeddings(spark, dir).select(col("vec_id"),
+      explode(array((0 until NeardupTables).map { t =>
+        struct(lit(t).as("t"),
+          VectorOps.signBucketAt(col("embedding"), t * NeardupBits, NeardupBits).as("h"))
+      }: _*)).as("tb"))
+    // Aliased self-join (qualified names, not Dataset column refs) so
+    // the bucket equality is a real equi-key — see TextOps.simhashPairs.
+    val cand = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val e = quantized(spark, dir)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na")),
+        Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosine(VectorOps.qdot(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
   private val q27 = Q(
-    (spark, dir) => {
-      val bucketed = Tables.embeddings(spark, dir).select(col("vec_id"),
-        explode(array((0 until NeardupTables).map { t =>
-          struct(lit(t).as("t"),
-            VectorOps.signBucketAt(col("embedding"), t * NeardupBits, NeardupBits).as("h"))
-        }: _*)).as("tb"))
-      // Aliased self-join (qualified names, not Dataset column refs) so
-      // the bucket equality is a real equi-key — see TextOps.simhashPairs.
-      val cand = bucketed.alias("a")
-        .join(bucketed.alias("b"),
-          col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-      val e = quantized(spark, dir)
-      cand
-        .join(e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na")),
-          Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb")),
-          Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          VectorOps.cosine(VectorOps.qdot(col("qa"), col("qb")),
-            col("na"), col("nb")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (spark, dir) => lshNearDupPairs(spark, dir).orderBy(col("a_id"), col("b_id")),
     Some(s"""
       WITH $qnormSqlCte,
       b AS (
@@ -422,10 +425,63 @@ object VectorQueries {
       SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- E3f: embedding near-dup CLUSTERS + canonical survivor -------------
+  // The q39 story for embeddings: pairs alone don't dedup a corpus —
+  // (a,b) and (b,c) must collapse into one cluster labeled by its
+  // minimum vec_id (the canonical survivor). Connected components of
+  // the q27 LSH pair graph; oracle = recursive-CTE transitive closure
+  // over the identical mirrored pair CTE.
+  private val q42 = Q(
+    (spark, dir) => {
+      graft.operators.GraphOps
+        .connectedComponents(lshNearDupPairs(spark, dir), "a_id", "b_id")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $qnormSqlCte,
+      b AS (
+        SELECT vec_id, r.t,
+               CAST((embedding[8*r.t+1] >= 0) AS INT)*128
+             + CAST((embedding[8*r.t+2] >= 0) AS INT)*64
+             + CAST((embedding[8*r.t+3] >= 0) AS INT)*32
+             + CAST((embedding[8*r.t+4] >= 0) AS INT)*16
+             + CAST((embedding[8*r.t+5] >= 0) AS INT)*8
+             + CAST((embedding[8*r.t+6] >= 0) AS INT)*4
+             + CAST((embedding[8*r.t+7] >= 0) AS INT)*2
+             + CAST((embedding[8*r.t+8] >= 0) AS INT) AS bucket
+        FROM embeddings, range($NeardupTables) r(t)),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM b x JOIN b y
+          ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      d AS (
+        SELECT cand.a_id, cand.b_id, sum(ea.v * eb.v) AS dot
+        FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+                  JOIN e eb ON eb.vec_id = cand.b_id AND eb.i = ea.i
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a_id, b_id
+        FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                / sqrt(CAST(nb.n2 AS DOUBLE)) >= 0.4),
+      ed AS (SELECT a_id AS s, b_id AS t FROM p
+             UNION SELECT b_id, a_id FROM p
+             UNION SELECT a_id, a_id FROM p
+             UNION SELECT b_id, b_id FROM p),
+      reach(s, t) AS (
+        SELECT s, t FROM ed
+        UNION
+        SELECT reach.s, ed.t FROM reach JOIN ed ON reach.t = ed.s)
+      SELECT s AS vec_id, CAST(min(t) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY s
+      ORDER BY vec_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
     "q27_embed_neardup" -> q27,
     "q32_ann_ivf" -> q32,
-    "q40_ann_ivf_kmeans" -> q40)
+    "q40_ann_ivf_kmeans" -> q40,
+    "q42_embed_clusters" -> q42)
 }
