@@ -6,6 +6,23 @@ import graft.operators.Layout
 
 class LayoutSpec extends SparkSpec {
 
+  test("hive-partitioned layout prunes partitions at the scan (S8 scale posture)") {
+    // The gold tiers are partitionBy(series_id / uf_sigla); at 100 TB a
+    // key-filtered read must touch ONE partition directory, not scan
+    // everything and filter. Assert the predicate lands in the scan's
+    // PartitionFilters (partition pruning), not a post-scan Filter.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-prune").toString
+    (1L to 1000L).map(i => (i % 10, i, i * 1.5)).toDF("series_id", "k", "v")
+      .write.partitionBy("series_id").parquet(s"$dir/gold")
+    val read = spark.read.parquet(s"$dir/gold").filter(col("series_id") === 3)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("series_id"),
+      s"partition predicate not pruned at scan:\n$scan")
+    assert(read.count() == 100)
+  }
+
   test("same-key bucketed tables join with no shuffle exchange") {
     val dir = Files.createTempDirectory("graft-buckets").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
