@@ -148,7 +148,10 @@ object Pipeline {
           // paths that a retry of run() would race: interrupt the pool
           // and wait for in-flight writes to wind down before rethrowing
           pool.shutdownNow()
-          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          if (!pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
+            System.err.println(
+              "[pipeline] WARNING: fetch pool did not quiesce within 5 min; " +
+                "an in-flight bronze write may race a retried run")
           throw e
         }
       } finally pool.shutdown()
@@ -274,11 +277,14 @@ object Pipeline {
     * hdfs:// / s3a:// paths (an existing remote store would be silently
     * replaced by just the increment). */
   def pathExists(spark: SparkSession, path: String): Boolean = {
-    val abs = if (path.contains("://")) path
-              else "file:" + new java.io.File(path).getAbsolutePath
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(abs), spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(abs))
+    // Path(path).getFileSystem resolves scheme-less paths against
+    // fs.defaultFS — the SAME resolution spark.read.parquet applies to
+    // the string — so the existence check and the read can never
+    // disagree about which filesystem a path lives on. (Hardcoding a
+    // file: prefix here would re-introduce the local-only bug for
+    // scheme-less paths on a defaultFS=hdfs cluster.)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:
@@ -287,14 +293,13 @@ object Pipeline {
     * still correct). Public: the streaming merge sink
     * ([[graft.streaming.EventStreams.mergeSink]]) reuses it per batch. */
   def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    // resolve scheme-less paths to absolute file: URIs so relative
-    // rootDirs don't produce malformed URIs
-    val abs = if (path.contains("://")) path
-              else "file:" + new java.io.File(path).getAbsolutePath
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(abs), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(abs)
-    val tmp = new org.apache.hadoop.fs.Path(abs + ".__swap_tmp")
+    // same defaultFS-aware resolution as pathExists (and as the write/
+    // read below): no hand-built URIs, so paths with spaces or a
+    // cluster defaultFS both resolve consistently
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + ".__swap_tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(tmp, target))

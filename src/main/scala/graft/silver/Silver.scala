@@ -49,6 +49,12 @@ object Silver {
     Relational.enrichLeft(anpSilver,
       ufDim.select(col("uf_sigla"), col("uf_nome"), col("regiao_nome")), "uf_sigla")
 
+  /** Gold means quantize at 1e-6, not cents: fine-precision series (a
+    * daily rate like 0.049041) would lose percent-level accuracy at
+    * scale 2, and micro-units still keep the exactIntSum overflow
+    * envelope (values to ~1e6) far beyond these sources' ranges. */
+  private val GoldAvgScale = 6
+
   /** Gold marts (transform.py:111-134): monthly aggregates. `last_value`
     * is value-at-max-date per month — `max_by`, the deterministic form of
     * the reference's order-dependent groupby `last` (value tiebreak makes
@@ -57,12 +63,6 @@ object Silver {
     * partition-merge-order dependent, so the same input could hash
     * differently across runs — the marts carry the same determinism
     * contract as the oracle-checked queries. */
-  /** Gold means quantize at 1e-6, not cents: fine-precision series (a
-    * daily rate like 0.049041) would lose percent-level accuracy at
-    * scale 2, and micro-units still keep the exactIntSum overflow
-    * envelope (values to ~1e6) far beyond these sources' ranges. */
-  private val GoldAvgScale = 6
-
   def buildGold(bcbSilver: DataFrame, anpSilver: DataFrame): Map[String, DataFrame] = Map(
     "bcb_monthly" -> bcbSilver
       .withColumn("month", date_trunc("month", col("date")))

@@ -18,8 +18,13 @@ class LayoutSpec extends SparkSpec {
       .write.partitionBy("series_id").parquet(s"$dir/gold")
     val read = spark.read.parquet(s"$dir/gold").filter(col("series_id") === 3)
     val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("series_id"),
-      s"partition predicate not pruned at scan:\n$scan")
+    // the predicate must be INSIDE the PartitionFilters list — the key
+    // alone always appears (empty list + output attributes), so match
+    // the bracket contents
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("series_id"),
+      s"partition predicate not pruned at scan (PartitionFilters: [$pf]):\n$scan")
     assert(read.count() == 100)
   }
 
