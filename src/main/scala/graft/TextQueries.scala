@@ -168,6 +168,59 @@ object TextQueries {
       SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
       ORDER BY doc_id ASC NULLS FIRST"""))
 
+  // --- E2f: quality-based survivor selection per near-dup cluster --------
+  // What a production training-data dedup actually ships: among the
+  // members of each near-dup cluster, KEEP the best document — here by
+  // type-token ratio (the q21 quality signal; a single exact-int
+  // division, so the ranking is bit-identical across engines), doc_id
+  // as the deterministic tiebreak. Output one row per multi-member
+  // cluster: (cluster_id, survivor_id, n_members).
+  private val q43 = Q(
+    (spark, dir) => {
+      val clusters = graft.operators.GraphOps
+        .connectedComponents(nearDupPairs(spark, dir), "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val t = TextOps.tokens(col("text"))
+      val quality = docs(spark, dir).select(col("doc_id"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+      clusters.join(quality, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("ttr"), -col("doc_id"))).as("survivor_id"))
+        .select(col("cluster_id"), col("survivor_id"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSqlCte,
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= $JaccardThreshold),
+      e AS (SELECT a_id AS s, b_id AS t FROM p
+            UNION SELECT b_id, a_id FROM p
+            UNION SELECT a_id, a_id FROM p
+            UNION SELECT b_id, b_id FROM p),
+      reach(s, t) AS (
+        SELECT s, t FROM e
+        UNION
+        SELECT reach.s, e.t FROM reach JOIN e ON reach.t = e.s),
+      cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+      qm AS (SELECT doc_id,
+                    CAST(len(list_distinct(t2)) AS DOUBLE) / len(t2) AS ttr
+             FROM (SELECT doc_id, string_split(text, ' ') t2 FROM documents)),
+      jj AS (SELECT cl.cluster_id, cl.doc_id, qm.ttr
+             FROM cl JOIN qm ON qm.doc_id = cl.doc_id),
+      rr AS (SELECT cluster_id, doc_id,
+                    row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY ttr DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn,
+                    count(*) OVER (PARTITION BY cluster_id) AS n_members
+             FROM jj)
+      SELECT cluster_id, doc_id AS survivor_id, CAST(n_members AS BIGINT) AS n_members
+      FROM rr WHERE rn = 1
+      ORDER BY cluster_id ASC NULLS FIRST"""))
+
   // --- E2b: SimHash near-dup (pigeonhole chunk-join, no all-pairs) -------
   private val q18 = Q(
     (spark, dir) => {
@@ -456,5 +509,6 @@ object TextQueries {
     "q24_token_count" -> q24,
     "q34_tfidf_keywords" -> q34,
     "q38_doc_chunking" -> q38,
-    "q39_neardup_clusters" -> q39)
+    "q39_neardup_clusters" -> q39,
+    "q43_dedup_survivors" -> q43)
 }

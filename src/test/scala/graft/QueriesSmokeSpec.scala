@@ -16,7 +16,8 @@ class QueriesSmokeSpec extends SparkSpec {
       // near-dup style queries can legitimately be empty at tiny scale;
       // everything else must produce output
       val emptyOk = Set("q17_near_dup_lsh", "q18_simhash_pairs", "q27_embed_neardup",
-        "q39_neardup_clusters", "q41_winnowing", "q42_embed_clusters")
+        "q39_neardup_clusters", "q41_winnowing", "q42_embed_clusters",
+        "q43_dedup_survivors")
       val n = df.count()
       assert(n > 0 || emptyOk(name), s"$name returned 0 rows")
     }
