@@ -221,6 +221,37 @@ object TextQueries {
       FROM rr WHERE rn = 1
       ORDER BY cluster_id ASC NULLS FIRST"""))
 
+  // --- E4g: deterministic train/val/test split ---------------------------
+  // Reproducible dataset splits are a training-data primitive: the
+  // split is a pure function of the stable document id (salted md5
+  // bucket 0-99 -> 80/10/10), so it is identical on any cluster, any
+  // partitioning, any rerun — no RNG, no state. Per-(split, source)
+  // counts are the auditable output.
+  private val q44 = Q(
+    (spark, dir) => {
+      val b = conv(substring(
+        md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 100
+      docs(spark, dir)
+        .select(col("source"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+               CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) % 100 AS bkt
+        FROM documents)
+      SELECT CASE WHEN bkt < 80 THEN 'train'
+                  WHEN bkt < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM b GROUP BY 1, 2
+      ORDER BY split ASC NULLS FIRST, source ASC NULLS FIRST"""))
+
   // --- E2b: SimHash near-dup (pigeonhole chunk-join, no all-pairs) -------
   private val q18 = Q(
     (spark, dir) => {
@@ -510,5 +541,6 @@ object TextQueries {
     "q34_tfidf_keywords" -> q34,
     "q38_doc_chunking" -> q38,
     "q39_neardup_clusters" -> q39,
-    "q43_dedup_survivors" -> q43)
+    "q43_dedup_survivors" -> q43,
+    "q44_data_split" -> q44)
 }
