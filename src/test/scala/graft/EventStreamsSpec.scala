@@ -184,6 +184,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 2 && rows.head.getAs[Long]("n") == 3L)
   }
 
+  test("dedupStream -> mergeSink: at-least-once input becomes an exactly-once table") {
+    // The full ingestion repair path: duplicate deliveries (same
+    // event_id) arrive across separate files AND across a query
+    // restart; the watermark dedup drops repeats and the keyed upsert
+    // absorbs batch replays — the warehouse table ends with exactly one
+    // row per event id.
+    val root = java.nio.file.Files.createTempDirectory("graft-e1e").toString
+    val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def arrive(rows: (Long, Timestamp, Long, String, Double, String)*): Unit =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(in)
+    def start() = EventStreams.mergeSink(
+      EventStreams.dedupStream(
+        EventStreams.readEventStream(spark, in), keys = Seq("event_id")),
+      table, ckpt, keys = Seq("event_id"))
+
+    arrive(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:30"), 7L, "click", 1.0, "{}"), // dup delivery
+      (2L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0, "{}"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // a replayed id and a fresh one arrive while the query is down
+    arrive(
+      (2L, ts("2024-01-01 10:02:00"), 8L, "view", 2.0, "{}"), // dup delivery
+      (3L, ts("2024-01-01 10:03:00"), 9L, "click", 4.0, "{}"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(table).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"expected exactly-once ids, got $got")
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1L, 1.0),
