@@ -39,7 +39,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = Queries.all.map { case (name, q) =>
+    // Optional comma-separated query filter for targeted re-timing
+    // (regression triage without paying for the full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => Queries.all.filter { case (n, _) => names(n) }
+      case None => Queries.all
+    }
+    val results = selected.map { case (name, q) =>
+      // localCheckpoint blocks (iterative queries: CC, k-means) are
+      // RDD-level caches that clearCache() does NOT drop; they are
+      // reaped by the ContextCleaner only after a driver GC collects the
+      // dead RDD references. Force one per query BEFORE the warm-up so
+      // late queries aren't timed under the block-manager pressure of
+      // every earlier query's dead checkpoints — and never between the
+      // warm-up and the timed runs: a fresh full GC leaves the heap cold
+      // (re-faulting pages inflated unrelated queries ~1.5x when the GC
+      // sat inside the iteration loop).
+      System.gc()
       run(q.fn) // untimed warm-up: codegen/JIT compile
       val times = (1 to iters).map { _ =>
         // Queries may persist() diamond subtrees; without this the timed

@@ -19,46 +19,63 @@ object GraphOps {
     * Scale: two equi-joins + a hash agg per iteration, and the jumping
     * step makes the iteration count O(log diameter) — a million-node
     * chain converges in ~20 rounds where plain propagation would need a
-    * million. Lineage is cut with an eager localCheckpoint per
-    * iteration, the standard guard for iterative DataFrame algorithms.
-    * The convergence flag is computed inside the same projection, so
-    * detecting the fixpoint is a filter on checkpointed data, not an
-    * extra join.
+    * million. Lineage is cut with a localCheckpoint per iteration, the
+    * standard guard for iterative DataFrame algorithms.
+    *
+    * Driver synchronization is ONE job per iteration: the checkpoint is
+    * lazy and is materialized by the same aggregate that computes the
+    * convergence signal. The signal is sum(lbl): labels only ever
+    * DECREASE, so the label sum strictly decreases until the fixpoint —
+    * equal consecutive sums IS convergence, no changed-flag join or
+    * separate isEmpty scan needed. (Exact even under 64-bit wrap-around
+    * as long as n * max_id < 2^64: a genuine decrease is then never a
+    * multiple of 2^64, so wrapped sums can only be equal at the
+    * fixpoint.)
+    *
+    * The identity-label initialization is folded into the edge set as
+    * self-loops, so iteration 1 is a plain groupBy-min over edges — no
+    * init job and no left-join-with-coalesce on the hot path.
     *
     * Input: one row per undirected edge (a, b). Output: (node,
     * cluster_id) for every node that appears in an edge.
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 40): DataFrame = {
+    // Both directions + self-loops: min over "neighbors" then includes
+    // the node's own label for free (replaces labels.join + coalesce).
     val edges = pairs.select(col(a).as("s"), col(b).as("t"))
       .unionByName(pairs.select(col(b).as("s"), col(a).as("t")))
+      .unionByName(pairs.select(col(a).as("s"), col(a).as("t")))
+      .unionByName(pairs.select(col(b).as("s"), col(b).as("t")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+      .localCheckpoint() // eager: shared by every iteration
+    var labels: DataFrame = null
+    var prevSig: Option[(Long, Long)] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("t"), col("lbl").as("tlbl")), Seq("t"))
-        .groupBy(col("s").as("node"))
-        .agg(min(col("tlbl")).as("nlbl"))
-      val adopted = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: follow my label's label (path halving)
-      val next = adopted
-        .join(labels.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
-          (least(col("lbl"), coalesce(col("ll"), col("lbl"))) =!= col("old")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      // plain projection over the ALREADY-checkpointed `next`: lineage
-      // stays cut and re-checkpointing it would cost one more
-      // materialization job per iteration
-      labels = next.select(col("node"), col("lbl"))
+      // min label among self + neighbors (self-loops make this total);
+      // iteration 1 reads edge targets directly — label(t) = t initially
+      val nmin =
+        if (labels == null)
+          edges.groupBy(col("s").as("node")).agg(min(col("t")).as("lbl"))
+        else
+          edges
+            .join(labels.select(col("node").as("t"), col("lbl").as("tlbl")), Seq("t"))
+            .groupBy(col("s").as("node"))
+            .agg(min(col("tlbl")).as("lbl"))
+      // pointer jump on the FRESH labels: follow my label's label (path
+      // halving) — jumping the newer mapping shortcuts further per round
+      val next = nmin
+        .join(nmin.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false) // lazy: materialized by the signal job
+      // ONE action: materializes the checkpoint AND reads the signal
+      val row = next.agg(sum(col("lbl")), count(lit(1))).head()
+      val sig = if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      labels = next
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Bench regression gate: fail loudly when any query slows down.
+
+Usage: python3 tools/bench_gate.py <prev_bench.json> <new_bench.json> \
+           [--ratio 1.5] [--floor 0.75]
+
+Compares the per-query times of two bench JSON lines (the one-line
+format Bench.scala prints / the driver records as BENCH_r{N}.json) and
+exits non-zero if any query present in BOTH runs exceeds
+`ratio` x its previous time AND its new time is above `floor` seconds
+(sub-second queries swing ±2x on scheduler noise alone — see
+docs/SCALING.md's noise note — so tiny absolute regressions are not
+actionable). New queries and removed queries are reported, not gated.
+
+Rationale (VERDICT r3 #7): q39 regressed 2.1x between rounds and nothing
+flagged it; this makes the next silent regression a red exit code.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read().strip()
+    try:  # a whole-file JSON doc (the driver's pretty-printed BENCH_r{N}.json)
+        doc = json.loads(text)
+    except json.JSONDecodeError:  # raw Bench.scala output: JSON is the last line
+        doc = json.loads(text.splitlines()[-1])
+    # the driver's BENCH_r{N}.json wraps Bench.scala's line under "parsed",
+    # or (when its parse came up empty) embeds it in the "tail" log capture
+    if isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    elif "queries" not in doc and "tail" in doc:
+        for line in reversed(doc["tail"].splitlines()):
+            if '"metric"' in line and '"queries"' in line:
+                doc = json.loads(line[line.index("{"):])
+                break
+        else:
+            raise SystemExit(f"{path}: no bench JSON line found in 'tail'")
+    return {k: v for k, v in doc.get("queries", {}).items() if v >= 0}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prev")
+    ap.add_argument("new")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=0.75)
+    args = ap.parse_args()
+
+    prev, new = load(args.prev), load(args.new)
+    shared = sorted(set(prev) & set(new))
+    regressions = []
+    for q in shared:
+        if new[q] > prev[q] * args.ratio and new[q] > args.floor:
+            regressions.append((q, prev[q], new[q]))
+    for q in sorted(set(new) - set(prev)):
+        print(f"NEW  {q}: {new[q]:.2f}s (not gated)")
+    for q in sorted(set(prev) - set(new)):
+        print(f"GONE {q}: was {prev[q]:.2f}s")
+    for q, p, n in regressions:
+        print(f"REGRESSION {q}: {p:.2f}s -> {n:.2f}s ({n / p:.2f}x > {args.ratio}x)")
+    tot_prev = sum(prev[q] for q in shared)
+    tot_new = sum(new[q] for q in shared)
+    print(f"\nshared-query total: {tot_prev:.2f}s -> {tot_new:.2f}s "
+          f"({len(shared)} queries); {len(regressions)} regression(s)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
