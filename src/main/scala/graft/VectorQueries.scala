@@ -228,15 +228,22 @@ object VectorQueries {
 
   // --- E3d: IVF-style ANN — centroid cells + multi-probe search ----------
   // The inverted-file scale path: every vector is assigned to its nearest
-  // centroid cell once (a broadcast join against the tiny centroid set);
-  // a query probes its nprobe=2 nearest cells and ranks only those
-  // vectors. Centroids here are a deterministic modulo sample of the
-  // corpus (a stand-in for k-means — training is out of scope); the
-  // oracle runs the identical cell/probe semantics.
+  // centroid cell once (a broadcast join against the centroid set); a
+  // query probes its nprobe nearest cells and ranks only those vectors.
+  // Centroids here are a deterministic modulo sample of the corpus (the
+  // stepping stone to q40's trained k-means); the SAMPLING STEP is
+  // ⌈√n⌉, so the centroid count — and with it the broadcast and the
+  // O(n·k) assignment — grows sublinearly (√n cells of ~√n vectors, the
+  // IVF norm), and nprobe grows with the cell count (⌈√step⌉ ≈ ⌈√k⌉,
+  // floor 2) so recall holds as cells multiply. The oracle runs the
+  // identical cell/probe semantics from the same count-derived step.
   private val q32 = Q(
     (spark, dir) => {
       val e = quantized(spark, dir)
-      val cents = e.filter(col("vec_id") % 100 === 0)
+      val n = Tables.embeddings(spark, dir).count()
+      val step = math.ceil(math.sqrt(n.toDouble)).toInt
+      val nprobe = math.max(2, math.ceil(math.sqrt(step.toDouble)).toInt)
+      val cents = e.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
       val sim = e.crossJoin(broadcast(cents))
         .select(col("vec_id").as("vid"), col("c_id"),
@@ -248,7 +255,7 @@ object VectorQueries {
       val ranked = sim.withColumn("rn", row_number().over(w)).persist()
       val cells = ranked.filter(col("rn") === 1)
         .select(col("vid"), col("c_id").as("cell"))
-      val probes = ranked.filter(col("rn") <= 2 && col("vid") < 10)
+      val probes = ranked.filter(col("rn") <= nprobe && col("vid") < 10)
         .select(col("vid").as("qid"), col("c_id").as("cell"))
       val cand = probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vid"))
@@ -268,9 +275,12 @@ object VectorQueries {
     },
     Some(s"""
       WITH $qnormSqlCte,
+      ss AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS step,
+                    GREATEST(2, CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)) AS np
+             FROM embeddings),
       cdot AS (
         SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND b.vec_id % 100 = 0
+        FROM e a JOIN e b ON a.i = b.i AND b.vec_id % (SELECT step FROM ss) = 0
         GROUP BY 1, 2),
       csim AS (
         SELECT vid, c_id,
@@ -282,7 +292,8 @@ object VectorQueries {
                  ORDER BY cos_sim DESC NULLS LAST, c_id ASC NULLS FIRST) AS rn
         FROM csim),
       cells AS (SELECT vid, c_id AS cell FROM ranked WHERE rn = 1),
-      probes AS (SELECT vid, c_id AS cell FROM ranked WHERE rn <= 2 AND vid < 10),
+      probes AS (SELECT vid, c_id AS cell FROM ranked
+                 WHERE rn <= (SELECT np FROM ss) AND vid < 10),
       cand AS (
         SELECT p.vid AS qid, c.vid AS cid
         FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
@@ -307,14 +318,23 @@ object VectorQueries {
   // q32's "centroids are a modulo sample" caveat, closed: centroids come
   // from 2 deterministic spherical k-means iterations
   // (operators/KMeans.fit — exact-integer means, id-ordered init, no
-  // RNG), then the same probe-2-cells/rescore flow as q32. The ORACLE
+  // RNG), then the same probe-nprobe-cells/rescore flow as q32. The ORACLE
   // replays the identical unrolled training in SQL (HUGEINT sums,
   // `//` = Spark's `div` truncation), so even the learned centroids are
   // hash-checked across engines.
   private val q40 = Q(
     (spark, dir) => {
       val e = quantized(spark, dir)
-      val k = ((Tables.embeddings(spark, dir).count() + 99) / 100).toInt
+      // k = ⌈√n⌉, the IVF norm: the centroid set (and so its broadcast
+      // and the O(n·k) assignment) grows SUBLINEARLY with the corpus —
+      // 10⁹ vectors ⇒ ~32k centroids (a few MB broadcast), never the
+      // corpus-proportional n/100 that melts at scale. nprobe scales
+      // with the cell count (⌈√k⌉, floor 2) so recall doesn't shrink as
+      // cells multiply. Both are mirrored EXACTLY in the oracle's kk CTE
+      // (double-precision sqrt/ceil are IEEE-identical across engines).
+      val n = Tables.embeddings(spark, dir).count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
       val cents = graft.operators.KMeans.fit(e, "vec_id", "q", k, iters = 2)
         .withColumn("cn2", VectorOps.qnorm2(col("cq")))
       val sim = e.crossJoin(broadcast(cents))
@@ -327,7 +347,7 @@ object VectorQueries {
       val ranked = sim.withColumn("rn", row_number().over(w)).persist()
       val cells = ranked.filter(col("rn") === 1)
         .select(col("vid"), col("cell"))
-      val probes = ranked.filter(col("rn") <= 2 && col("vid") < 10)
+      val probes = ranked.filter(col("rn") <= nprobe && col("vid") < 10)
         .select(col("vid").as("qid"), col("cell"))
       val cand = probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vid"))
@@ -352,7 +372,9 @@ object VectorQueries {
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
         n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1),
-        kk AS (SELECT CAST((count(*) + 99) // 100 AS BIGINT) AS k FROM embeddings),
+        kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
+                      GREATEST(2, CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)) AS np
+               FROM embeddings),
         c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id
           FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
@@ -405,7 +427,8 @@ object VectorQueries {
                    cdot.cell ASC) AS rn
           FROM cdot JOIN n ON n.vec_id = cdot.vid JOIN c2n ON c2n.cell = cdot.cell),
         cells AS (SELECT vid, cell FROM ranked WHERE rn = 1),
-        probes AS (SELECT vid, cell FROM ranked WHERE rn <= 2 AND vid < 10),
+        probes AS (SELECT vid, cell FROM ranked
+                   WHERE rn <= (SELECT np FROM kk) AND vid < 10),
         cand AS (
           SELECT p.vid AS qid, c.vid AS cid
           FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),

@@ -43,13 +43,25 @@ object KMeans {
     val v = vectors.select(col(id).as("__vid"), col(q).as("__vq"))
       .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
 
-    // init: the k smallest ids, numbered 0..k-1 in id order
-    val init = v.orderBy(col("__vid")).limit(k)
-      .select(col("__vid"), col("__vq").as("cq"))
-      .withColumn("cell",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__vid"))) - 1).cast("int"))
-      .select(col("cell"), col("cq"))
+    // init: the k smallest ids, numbered 0..k-1 in id order. The ids are
+    // collected to the driver (k rows — bounded by the caller's centroid
+    // budget, ⌈√n⌉ on the q40 path) and joined back as a broadcast map:
+    // no global-ORDER-BY window (which would be a single-partition sort
+    // and warn `WindowExec: No Partition Defined`), and the numbering is
+    // deterministic because ids are unique.
+    val spark = vectors.sparkSession
+    val idType = v.schema("__vid").dataType
+    val initIds = v.select(col("__vid")).orderBy(col("__vid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
+    val cellOfId = spark.createDataFrame(
+      spark.sparkContext.parallelize(initIds.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__vid", idType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType))))
+    val init = v.join(broadcast(cellOfId), Seq("__vid"))
+      .select(col("cell"), col("__vq").as("cq"))
 
     (0 until iters).foldLeft(init) { (cents, _) =>
       val c = cents
