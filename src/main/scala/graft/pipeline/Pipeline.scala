@@ -104,7 +104,8 @@ object Pipeline {
 
   def run(spark: SparkSession, fetcher: JsonFetcher, cfg: RunConfig,
           rootDir: String, seriesCsvPath: String,
-          statePath: Option[String] = None): Result = {
+          statePath: Option[String] = None,
+          forceDimRefresh: Boolean = false): Result = {
 
     val state = statePath.map(IncrementalState.fromFile).getOrElse(IncrementalState.empty)
 
@@ -186,8 +187,22 @@ object Pipeline {
     swapWrite(spark, merged, silverPath)
     val bcbSilver = spark.read.parquet(silverPath)
 
-    val ufDim = IbgeSource.fetch(spark, fetcher)
-    ufDim.write.mode("overwrite").parquet(s"$rootDir/bronze/ibge_uf_dim.parquet")
+    // `ibge_last_sync` drives a real skip (the asymmetry vs the BCB/ANP
+    // marks closed): the UF dimension changes ~never, so when the state
+    // says it was synced TODAY and the bronze copy exists, the refetch is
+    // skipped and bronze is served as-is. `forceDimRefresh` (or a stale /
+    // absent mark, or a missing bronze file) takes the fetch path.
+    val ufDimPath = s"$rootDir/bronze/ibge_uf_dim.parquet"
+    val dimFresh = !forceDimRefresh &&
+      state.ibgeLastSync.contains(java.time.LocalDate.now().toString) &&
+      pathExists(spark, ufDimPath)
+    val ufDim =
+      if (dimFresh) spark.read.parquet(ufDimPath)
+      else {
+        val fetched = IbgeSource.fetch(spark, fetcher)
+        fetched.write.mode("overwrite").parquet(ufDimPath)
+        fetched
+      }
 
     val anpRaw = CsvDialect.read(spark, cfg.anpBronzeFile)
     anpRaw.write.mode("overwrite").parquet(s"$rootDir/bronze/anp_raw.parquet")

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
@@ -112,7 +111,12 @@ object IbgeSource {
   * single column. */
 object CsvDialect {
   def read(spark: SparkSession, path: String): DataFrame = {
-    if (!Files.exists(Paths.get(path)))
+    // Same defaultFS-aware resolution as the rest of the pipeline
+    // (Pipeline.pathExists): `java.nio.file.Files.exists` sees only the
+    // local filesystem, so an existing hdfs:///s3a:// (or file:-
+    // qualified) path would raise the "file not found" error instead of
+    // being read.
+    if (!graft.pipeline.Pipeline.pathExists(spark, path))
       throw new java.io.FileNotFoundException(
         s"ANP file not found: $path. Download the CSV and place it at this path.")
     val semi = spark.read

@@ -127,6 +127,28 @@ class PipelineSpec extends SparkSpec {
     assert(amDiesel() == 6.80, "stateless full reprocess must pick up the revision")
   }
 
+  test("ibge_last_sync skips the dim refetch when synced today; force refetches") {
+    val root = Files.createTempDirectory("graft-ibge-sync").toString
+    val statePath = s"$root/state/state.json"
+    Pipeline.run(spark, fetcher, cfg, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(IncrementalState.fromFile(statePath)
+      .ibgeLastSync.contains(java.time.LocalDate.now().toString))
+    // a fetcher WITHOUT an IBGE fixture: the synced-today skip means the
+    // dim endpoint is never consulted and bronze serves the dimension
+    val noIbge = FixtureFetcher(Map(
+      BcbSource.url(11, "2024-01-01", "2024-03-01") -> fixtureText("bcb_payload.json")))
+    val r2 = Pipeline.run(spark, noIbge, cfg, root, fixture("bcb_series.csv"), Some(statePath))
+    assert(r2.ufDim.count() == 6)
+    assert(r2.ufDim.filter(col("uf_sigla") === "SP").first()
+      .getAs[String]("uf_nome") == "São Paulo")
+    // forceDimRefresh overrides the freshness skip -> fetcher consulted
+    val e = intercept[RuntimeException] {
+      Pipeline.run(spark, noIbge, cfg, root, fixture("bcb_series.csv"),
+        Some(statePath), forceDimRefresh = true)
+    }
+    assert(e.getMessage.contains("no fixture"))
+  }
+
   test("per-series fetch is parallel-safe: 12 series land correct bronze + silver") {
     // 12 enabled series through the bounded fetch pool — every series
     // must land its own bronze file and contribute its rows to silver,

@@ -47,4 +47,18 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("/nonexistent/anp.csv"))
   }
+
+  test("CsvDialect existence check is filesystem-aware, not local-only") {
+    // a scheme-qualified path to an EXISTING file must read (a
+    // java.nio Files.exists check would see the URI as a relative local
+    // path and wrongly raise "not found")...
+    val semi = CsvDialect.read(spark, "file://" + fixture("anp_semicolon.csv"))
+    assert(semi.columns.length == 8 && semi.count() == 12)
+    // ...while a scheme-qualified MISSING path still gets the actionable
+    // error rather than a raw Spark analysis failure
+    val e = intercept[java.io.FileNotFoundException] {
+      CsvDialect.read(spark, "file:///nonexistent/anp.csv")
+    }
+    assert(e.getMessage.contains("file:///nonexistent/anp.csv"))
+  }
 }
