@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.pipeline.Pipeline
+
+/** Streaming near-duplicate detection (E2's streaming form, the same way
+  * [[EventStreams.dedupStream]] is E1's): documents arrive as a stream
+  * and each micro-batch is checked against an INCREMENTAL MinHash-band
+  * index of everything seen so far — new-vs-history candidates come from
+  * a (band, band-hash) equi-join against the persisted index, never a
+  * rescan of old text, and never an all-pairs product.
+  *
+  * Banding parameters and verification are IDENTICAL to the batch path
+  * (TextQueries q17: 64 permutations, 16 bands x 4 rows, exact-Jaccard
+  * verify at 0.5), so streaming arrival order cannot change WHAT is a
+  * near-dup — only when it is discovered. [[batchPairs]] is the one-shot
+  * reference form; the spec asserts stream == batch on the same corpus.
+  *
+  * Exactly-once: each persisted store is advanced with
+  * [[EventStreams.mergeBatch]]'s keyed idempotent upsert, so a replayed
+  * micro-batch (foreachBatch's at-least-once contract after a crash)
+  * re-derives the same candidate pairs and re-upserts the same rows —
+  * a no-op. Crash BETWEEN the three merges is also safe: pairs are
+  * upserted before the index admits the batch's bands, so the retry
+  * re-finds (never loses) the batch's pairs.
+  *
+  * Scale posture: per batch the work is O(batch x collisions) — band
+  * signatures for the batch only, one equi-join against the band index,
+  * exact verification only for colliding id pairs against the shingle
+  * store. The index upserts go through the same swap-write seam as
+  * [[EventStreams.mergeSink]]; on a transactional table format
+  * (Delta/Iceberg) they become partitioned MERGE INTOs with no change
+  * above this seam — the rewrite cost, not the algorithm, is what the
+  * format upgrade buys.
+  */
+object NearDupStream {
+
+  // q17's banding constants (TextQueries.scala) — keep in lockstep.
+  val Perms = 64
+  val Bands = 16
+  val BandRows = 4
+  val JaccardThreshold = 0.5
+
+  /** Band signature rows for a static frame: (doc_id, band, bh) — `Bands`
+    * rows per document with at least one shingle. The band hash is
+    * [[TextOps.bandHash]] (md5 over the band's minhash run), a storable
+    * key with the same collision semantics as q17's struct equality. */
+  def docBands(docs: DataFrame): DataFrame = {
+    val sigs = TextOps.minhashSignatures(
+      TextOps.explodedShingles(docs, "doc_id", "text"), "doc_id", Perms)
+    val mh = (0 until Perms).map(k => col(s"m$k"))
+    sigs.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), TextOps.bandHash(mh, b, BandRows).as("bh"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Distinct shingle sets for exact verification: (doc_id, sh). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    TextOps.explodedShingles(docs, "doc_id", "text")
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+
+  /** Exact-Jaccard verification of candidate id pairs against a shingle
+    * store — the same two-step projection as the batch path (the
+    * intersection is computed once per pair). */
+  private def verify(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sha"), col("shb"))).as("__i"),
+        size(col("sha")).as("__na"), size(col("shb")).as("__nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+
+  /** One-shot batch reference: the pairs the stream must converge to on
+    * the same corpus, regardless of how it was micro-batched. */
+  def batchPairs(docs: DataFrame): DataFrame = {
+    val bands = docBands(docs)
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verify(cand, shingleSets(docs))
+  }
+
+  /** Process one micro-batch of (doc_id, text) rows against the index at
+    * `indexDir`, upserting verified pairs into `pairsPath`. Exposed for
+    * direct testing (replay = no-op); [[start]] wires it to foreachBatch. */
+  def processBatch(spark: SparkSession, batch: DataFrame,
+                   indexDir: String, pairsPath: String): Unit = {
+    val bandsPath = s"$indexDir/bands.parquet"
+    val setsPath = s"$indexDir/shingles.parquet"
+    def stored(path: String, like: DataFrame): DataFrame =
+      if (Pipeline.pathExists(spark, path)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+
+    val docsB = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    val newBands = docBands(docsB)
+    val newSets = shingleSets(docsB)
+
+    // Candidates: batch bands vs (history + batch) bands. least/greatest
+    // normalizes order so batch-internal pairs and a replayed batch (its
+    // docs already indexed) dedup to the same (a_id, b_id) row.
+    val allBands = stored(bandsPath, newBands).unionByName(newBands)
+    val cand = newBands.alias("a")
+      .join(allBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    val allSets = stored(setsPath, newSets).unionByName(newSets)
+      .dropDuplicates("doc_id")
+
+    // pairs BEFORE index: a crash between the merges then re-finds the
+    // batch's pairs on replay instead of losing them to self-collision
+    EventStreams.mergeBatch(spark, verify(cand, allSets), pairsPath,
+      keys = Seq("a_id", "b_id"))
+    EventStreams.mergeBatch(spark, newBands, bandsPath, keys = Seq("doc_id", "band"))
+    EventStreams.mergeBatch(spark, newSets, setsPath, keys = Seq("doc_id"))
+  }
+
+  /** Wire a (doc_id, text) stream into the incremental index. */
+  def start(docsStream: DataFrame, indexDir: String, pairsPath: String,
+            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processBatch(b.sparkSession, b.toDF(), indexDir, pairsPath)
+      }
+      .start()
+}
