@@ -527,6 +527,82 @@ object TextQueries {
       WHERE len(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) > 0
       ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST"""))
 
+  // --- E4f: eval-set decontamination (train/eval n-gram overlap) ---------
+  // The step a training pipeline runs before the split ships: how much of
+  // each training document is textually present in the eval set? Eval =
+  // the deterministic doc_id % 10 == 0 slice (in production: the actual
+  // benchmark corpus); contamination = fraction of a train doc's DISTINCT
+  // 5-grams that occur anywhere in the eval set. The exact/near dupes
+  // planted across sources surface as contamination 1.0 — precisely the
+  // docs a decontamination pass must drop.
+  //
+  // Scale shape: one distinct-gram explode + a gram equi-join (left join
+  // against the DISTINCT eval gram set, so no row multiplication) + a
+  // per-doc count agg — no all-pairs, map-side combinable, the join key
+  // is the gram string (hash-partitioned). At 100 TB the eval side is
+  // tiny and broadcasts; the train side never shuffles whole documents,
+  // only (doc_id, gram) pairs.
+  private val q45 = Q(
+    (spark, dir) => {
+      val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
+        .select(col("doc_id"), col("s")).distinct()
+      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("s")).distinct().withColumn("__hit", lit(1))
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(evalGrams, Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+        .orderBy(col("contamination").desc_nulls_last, col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
+      ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      c AS (
+        SELECT g.doc_id, count(*) AS n_grams, count(ev.s) AS n_hits
+        FROM g LEFT JOIN ev USING (s) WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+      SELECT doc_id, n_grams, n_hits,
+             CAST(n_hits AS DOUBLE) / n_grams AS contamination
+      FROM c WHERE n_hits > 0
+      ORDER BY contamination DESC NULLS LAST, doc_id ASC NULLS FIRST"""))
+
+  // --- E4g: repetition ratio (gopher-style quality signal) ---------------
+  // Max bigram frequency over total bigrams per document — the "most
+  // repeated n-gram fraction" filter from published data-quality
+  // pipelines (high ratio = boilerplate/template text). Multiplicity
+  // matters, so this uses the RAW exploded bigrams (no distinct); one
+  // count agg per (doc, gram) then a per-doc sum/max — two map-side
+  // combinable aggs, no joins at all.
+  private val q46 = Q(
+    (spark, dir) => {
+      val perGram = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 2)
+        .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      perGram.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+        .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
+          (col("max_rep").cast("double") / col("n_bigrams")).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc_nulls_last, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS s
+                 FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
+      c AS (SELECT doc_id, s, count(*) AS c FROM b GROUP BY 1, 2),
+      r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS max_rep
+            FROM c GROUP BY 1)
+      SELECT doc_id, n_bigrams, max_rep,
+             CAST(max_rep AS DOUBLE) / n_bigrams AS rep_ratio
+      FROM r ORDER BY rep_ratio DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 20"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -542,5 +618,7 @@ object TextQueries {
     "q38_doc_chunking" -> q38,
     "q39_neardup_clusters" -> q39,
     "q43_dedup_survivors" -> q43,
-    "q44_data_split" -> q44)
+    "q44_data_split" -> q44,
+    "q45_decontamination" -> q45,
+    "q46_repetition_ratio" -> q46)
 }
