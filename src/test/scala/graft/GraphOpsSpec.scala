@@ -13,6 +13,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("an empty pair set yields an empty labeling (and terminates)") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(pairs, "a", "b").isEmpty)
+  }
+
+  test("self-pairs and duplicate edges don't distort labels") {
+    // replays/self-joins can emit (x,x) and repeated pairs; labeling
+    // must be unaffected and the sum-convergence signal must still fire
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (5L, 5L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs, "a", "b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 5L)))
+  }
+
   test("a chain far longer than the iteration cap converges (pointer jumping)") {
     // plain propagation needs diameter iterations (60 > maxIter); path
     // halving needs O(log n) — this guards the long-chain crash class
