@@ -44,7 +44,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => Queries.all.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        val known = Queries.all.map(_._1).toSet
+        val unknown = names -- known
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        Queries.all.filter { case (n, _) => names(n) }
       case None => Queries.all
     }
     val results = selected.map { case (name, q) =>

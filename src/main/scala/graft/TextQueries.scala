@@ -17,10 +17,12 @@ import graft.operators.{Relational, TextOps}
   */
 object TextQueries {
 
-  private val MinhashPerms = 64
-  private val Bands = 16 // x4 rows = 64 perms
-  private val BandRows = 4
-  private val JaccardThreshold = 0.5
+  // Near-dup parameters live in TextOps (single source of truth shared
+  // with streaming/NearDupStream); these are interpolation aliases.
+  private val MinhashPerms = TextOps.MinhashPerms
+  private val Bands = TextOps.LshBands
+  private val BandRows = TextOps.LshBandRows
+  private val JaccardThreshold = TextOps.DefaultJaccardThreshold
 
   // The testdata corpus arrives as one small parquet file -> one input
   // partition; the per-row work here (shingling, hashing) is CPU-heavy,
@@ -98,31 +100,18 @@ object TextQueries {
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      // Exact-Jaccard verification: distinct shingle SETS built on the
-      // same codegen'd exploded path (collect_set; set order is
-      // irrelevant to array_intersect sizes). The candidate subtree has
-      // exactly ONE consumer, so nothing needs persist() and the bench
-      // measures a cold plan honestly. No broadcast hint: the set table
-      // is corpus-sized, so a forced broadcast would hit the driver /
-      // 8 GB broadcast limits at scale — AQE broadcasts when it is
-      // actually small and shuffle-joins otherwise.
-      val candSets = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
-        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
-      cand
-        .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-        .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-        // Two-step projection: materialize the intersection size as its
-        // own (non-cheap) column first — CollapseProject refuses to
-        // inline non-cheap expressions referenced twice, so the
-        // intersection is computed exactly once per candidate pair even
-        // without relying on codegen subexpression elimination.
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("sha"), col("shb"))).as("__i"),
-          size(col("sha")).as("__na"), size(col("shb")).as("__nb"))
-        .select(col("a_id"), col("b_id"),
-          (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
+      // Exact-Jaccard verification via the shared TextOps.jaccardVerify
+      // (single intersection eval through a two-step projection; also
+      // the streaming path's verifier, so the semantics cannot drift).
+      // The candidate subtree has exactly ONE consumer, so nothing needs
+      // persist() and the bench measures a cold plan honestly. No
+      // broadcast hint: the set table is corpus-sized, so a forced
+      // broadcast would hit the driver / 8 GB broadcast limits at scale
+      // — AQE broadcasts when it is actually small and shuffle-joins
+      // otherwise.
+      TextOps.jaccardVerify(cand,
+        TextOps.shingleSets(docs(spark, dir), "doc_id", "text"),
+        "doc_id", JaccardThreshold)
   }
 
   private val q17 = Q(
@@ -544,8 +533,11 @@ object TextQueries {
   // only (doc_id, gram) pairs.
   private val q45 = Q(
     (spark, dir) => {
+      // persist: the distinct-gram subtree feeds BOTH the train side and
+      // the eval side (a diamond) — without it the corpus-wide explode +
+      // distinct runs twice
       val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
-        .select(col("doc_id"), col("s")).distinct()
+        .select(col("doc_id"), col("s")).distinct().persist()
       val evalGrams = grams.filter(col("doc_id") % 10 === 0)
         .select(col("s")).distinct().withColumn("__hit", lit(1))
       grams.filter(col("doc_id") % 10 =!= 0)

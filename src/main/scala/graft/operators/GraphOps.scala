@@ -70,9 +70,18 @@ object GraphOps {
         .join(nmin.select(col("node").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
         .localCheckpoint(false) // lazy: materialized by the signal job
-      // ONE action: materializes the checkpoint AND reads the signal
-      val row = next.agg(sum(col("lbl")), count(lit(1))).head()
+      // ONE action: materializes the checkpoint AND reads the signal.
+      // max(abs(lbl)) rides along to ENFORCE the wrap-exactness
+      // precondition (n * max|id| < 2^63): labels are always node ids,
+      // so checking it once — on the first signal — covers every round.
+      // Callers with huge hashed ids get a loud error here instead of a
+      // silent premature fixpoint.
+      val row = next.agg(sum(col("lbl")), count(lit(1)), max(abs(col("lbl")))).head()
       val sig = if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+      if (i == 0 && !row.isNullAt(2))
+        require(row.getLong(2).toDouble * sig._2 < 9.2e18,
+          s"connectedComponents sum-convergence needs n * max|id| < 2^63 " +
+            s"(n=${sig._2}, max|id|=${row.getLong(2)}); remap ids to a dense range")
       converged = prevSig.contains(sig)
       prevSig = Some(sig)
       labels = next

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Near-dup banding geometry + verification threshold, shared by the
+    * batch path (TextQueries q17/q39/q43) and the streaming path
+    * (streaming/NearDupStream). Tune HERE: a divergence between the two
+    * paths would silently break the stream == batch equivalence the
+    * NearDupStreamSpec proves. 64 perms / 16 bands x 4 rows puts the
+    * LSH S-curve threshold at ~(1/16)^(1/4) ≈ 0.5. */
+  val MinhashPerms = 64
+  val LshBands = 16
+  val LshBandRows = 4
+  val DefaultJaccardThreshold = 0.5
+
   /** Whitespace tokenization — the corpus contract (documents.text is
     * single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
@@ -225,6 +236,33 @@ object TextOps {
       .select(col(id), col("fp"))
       .distinct()
   }
+
+  /** Distinct shingle SETS for exact-Jaccard verification: one row per
+    * (id, sh ARRAY<STRING>). collect_set order is irrelevant — only
+    * intersection/size arithmetic consumes it. */
+  def shingleSets(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    explodedShingles(df, id, text, n)
+      .groupBy(col(id)).agg(collect_set(col("s")).as("sh"))
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    * a (doc_id, sh) shingle-set store: joins both sides' sets, computes
+    * |a ∩ b| ONCE via a two-step projection (CollapseProject refuses to
+    * inline the non-cheap intersection referenced twice, so this holds
+    * without relying on codegen subexpression elimination), and keeps
+    * pairs at or above `threshold`. Shared by q17/q39/q43 and the
+    * streaming near-dup index. */
+  def jaccardVerify(cand: DataFrame, sets: DataFrame, id: String,
+                    threshold: Double = DefaultJaccardThreshold): DataFrame =
+    cand
+      .join(sets.select(col(id).as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sets.select(col(id).as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sha"), col("shb"))).as("__i"),
+        size(col("sha")).as("__na"), size(col("shb")).as("__nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays:
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is

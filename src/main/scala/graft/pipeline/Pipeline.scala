@@ -286,11 +286,24 @@ object Pipeline {
     Result(bcbSilver, bcbIncrement, anpSilver, anpIncrement, ufDim, gold, summary)
   }
 
+  private def swapTmp(t: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(t.getParent, t.getName + ".__swap_tmp")
+  private def swapOld(t: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(t.getParent, t.getName + ".__swap_old")
+
   /** Scheme-aware existence check through the Hadoop FileSystem API —
     * `java.nio.file.Files.exists` sees only the LOCAL filesystem and
     * would make every merge-vs-initial-load decision wrong on
     * hdfs:// / s3a:// paths (an existing remote store would be silently
-    * replaced by just the increment). */
+    * replaced by just the increment).
+    *
+    * SELF-HEALING: before answering, repair a swap that crashed between
+    * its two renames (see [[swapWrite]]) — otherwise a merge decision
+    * taken on the crashed state would silently treat the whole store as
+    * empty and a subsequent full-replace write would make the loss
+    * permanent. A missing target with a COMPLETE tmp (its _SUCCESS
+    * commit marker exists) promotes the tmp; a missing target with an
+    * incomplete tmp restores the graveyarded previous version. */
   def pathExists(spark: SparkSession, path: String): Boolean = {
     // Path(path).getFileSystem resolves scheme-less paths against
     // fs.defaultFS — the SAME resolution spark.read.parquet applies to
@@ -299,25 +312,52 @@ object Pipeline {
     // file: prefix here would re-introduce the local-only bug for
     // scheme-less paths on a defaultFS=hdfs cluster.)
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val (tmp, old) = (swapTmp(p), swapOld(p))
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        // crashed after graveyarding the old version, before promoting
+        // the fully-committed new one: finish the swap
+        if (!fs.rename(tmp, p)) sys.error(s"failed to heal swap of $p from $tmp")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        // crashed mid-write (tmp incomplete): restore the old version
+        fs.delete(tmp, true)
+        if (!fs.rename(old, p)) sys.error(s"failed to heal swap of $p from $old")
+      }
+    }
+    fs.exists(p)
   }
 
   /** Overwrite `path` with `df` even when `df`'s lineage reads `path`:
-    * write to a sibling temp dir, then atomically swap via FileSystem
-    * rename (works on HDFS/local; on object stores rename is a copy but
-    * still correct). Public: the streaming merge sink
-    * ([[graft.streaming.EventStreams.mergeSink]]) reuses it per batch. */
+    * write to a sibling temp dir, then swap via FileSystem renames
+    * (atomic moves on HDFS/local; on object stores a rename is a copy
+    * but still correct). Public: the streaming merge sink
+    * ([[graft.streaming.EventStreams.mergeSink]]) reuses it per batch.
+    *
+    * CRASH POSTURE: the target is never deleted before its replacement
+    * is fully committed — the old version is renamed to a graveyard
+    * sibling, the tmp is renamed into place, then the graveyard is
+    * dropped. The target therefore never exists in a partial state, and
+    * a crash in the vulnerable window (target absent) is repaired by
+    * [[pathExists]]'s heal step on the next read/merge decision. A
+    * transactional table format would make this one atomic commit; this
+    * is the strongest sequence plain directories support. */
   def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
     // same defaultFS-aware resolution as pathExists (and as the write/
     // read below): no hand-built URIs, so paths with spaces or a
     // cluster defaultFS both resolve consistently
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      target.getParent, target.getName + ".__swap_tmp")
+    val (tmp, old) = (swapTmp(target), swapOld(target))
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(target)) {
+      fs.delete(old, true) // stale graveyard from an interrupted cleanup
+      if (!fs.rename(target, old))
+        sys.error(s"failed to graveyard $target before swapping in $tmp")
+    }
     if (!fs.rename(tmp, target))
       sys.error(s"failed to swap $tmp into place at $target")
+    fs.delete(old, true)
   }
 }

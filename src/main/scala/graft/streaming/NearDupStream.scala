@@ -23,9 +23,13 @@ import graft.pipeline.Pipeline
   * [[EventStreams.mergeBatch]]'s keyed idempotent upsert, so a replayed
   * micro-batch (foreachBatch's at-least-once contract after a crash)
   * re-derives the same candidate pairs and re-upserts the same rows —
-  * a no-op. Crash BETWEEN the three merges is also safe: pairs are
-  * upserted before the index admits the batch's bands, so the retry
-  * re-finds (never loses) the batch's pairs.
+  * a no-op. Crash BETWEEN the three merges is safe: pairs are upserted
+  * before the index admits the batch's bands, so the retry re-finds
+  * (never loses) the batch's pairs. Crash INSIDE a merge's swap is also
+  * safe: swapWrite graveyards the old version instead of deleting it,
+  * and [[Pipeline.pathExists]] heals the interrupted swap (promote the
+  * committed tmp, or restore the graveyard) before the next merge
+  * decision — the index is never silently read as empty.
   *
   * Scale posture: per batch the work is O(batch x collisions) — band
   * signatures for the batch only, one equi-join against the band index,
@@ -38,11 +42,13 @@ import graft.pipeline.Pipeline
   */
 object NearDupStream {
 
-  // q17's banding constants (TextQueries.scala) — keep in lockstep.
-  val Perms = 64
-  val Bands = 16
-  val BandRows = 4
-  val JaccardThreshold = 0.5
+  // The banding geometry is TextOps' single source of truth — the same
+  // values the batch path (TextQueries q17/q39/q43) compiles against,
+  // so the two paths cannot drift apart.
+  val Perms: Int = TextOps.MinhashPerms
+  val Bands: Int = TextOps.LshBands
+  val BandRows: Int = TextOps.LshBandRows
+  val JaccardThreshold: Double = TextOps.DefaultJaccardThreshold
 
   /** Band signature rows for a static frame: (doc_id, band, bh) — `Bands`
     * rows per document with at least one shingle. The band hash is
@@ -61,23 +67,12 @@ object NearDupStream {
 
   /** Distinct shingle sets for exact verification: (doc_id, sh). */
   def shingleSets(docs: DataFrame): DataFrame =
-    TextOps.explodedShingles(docs, "doc_id", "text")
-      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+    TextOps.shingleSets(docs, "doc_id", "text")
 
-  /** Exact-Jaccard verification of candidate id pairs against a shingle
-    * store — the same two-step projection as the batch path (the
-    * intersection is computed once per pair). */
+  /** Exact-Jaccard verification — the batch path's own verifier
+    * (TextOps.jaccardVerify: single intersection eval per pair). */
   private def verify(cand: DataFrame, sets: DataFrame): DataFrame =
-    cand
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sha"), col("shb"))).as("__i"),
-        size(col("sha")).as("__na"), size(col("shb")).as("__nb"))
-      .select(col("a_id"), col("b_id"),
-        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    TextOps.jaccardVerify(cand, sets, "doc_id", JaccardThreshold)
 
   /** One-shot batch reference: the pairs the stream must converge to on
     * the same corpus, regardless of how it was micro-batched. */
@@ -105,29 +100,38 @@ object NearDupStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
 
     val docsB = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-    val newBands = docBands(docsB)
-    val newSets = shingleSets(docsB)
+    // The batch's signatures are consumed by FOUR subtrees (both sides
+    // of the candidate join, the verify input, and their own index
+    // merges) — persist so the 64-aggregate MinHash pipeline runs once
+    // per batch, not once per consumer.
+    val newBands = docBands(docsB).persist()
+    val newSets = shingleSets(docsB).persist()
+    try {
+      // Candidates: batch bands vs (history + batch) bands.
+      // least/greatest normalizes order so batch-internal pairs and a
+      // replayed batch (its docs already indexed) dedup to the same
+      // (a_id, b_id) row.
+      val allBands = stored(bandsPath, newBands).unionByName(newBands)
+      val cand = newBands.alias("a")
+        .join(allBands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+        .distinct()
+      val allSets = stored(setsPath, newSets).unionByName(newSets)
+        .dropDuplicates("doc_id")
 
-    // Candidates: batch bands vs (history + batch) bands. least/greatest
-    // normalizes order so batch-internal pairs and a replayed batch (its
-    // docs already indexed) dedup to the same (a_id, b_id) row.
-    val allBands = stored(bandsPath, newBands).unionByName(newBands)
-    val cand = newBands.alias("a")
-      .join(allBands.alias("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-      .distinct()
-    val allSets = stored(setsPath, newSets).unionByName(newSets)
-      .dropDuplicates("doc_id")
-
-    // pairs BEFORE index: a crash between the merges then re-finds the
-    // batch's pairs on replay instead of losing them to self-collision
-    EventStreams.mergeBatch(spark, verify(cand, allSets), pairsPath,
-      keys = Seq("a_id", "b_id"))
-    EventStreams.mergeBatch(spark, newBands, bandsPath, keys = Seq("doc_id", "band"))
-    EventStreams.mergeBatch(spark, newSets, setsPath, keys = Seq("doc_id"))
+      // pairs BEFORE index: a crash between the merges then re-finds the
+      // batch's pairs on replay instead of losing them to self-collision
+      EventStreams.mergeBatch(spark, verify(cand, allSets), pairsPath,
+        keys = Seq("a_id", "b_id"))
+      EventStreams.mergeBatch(spark, newBands, bandsPath, keys = Seq("doc_id", "band"))
+      EventStreams.mergeBatch(spark, newSets, setsPath, keys = Seq("doc_id"))
+    } finally {
+      newBands.unpersist()
+      newSets.unpersist()
+    }
   }
 
   /** Wire a (doc_id, text) stream into the incremental index. */

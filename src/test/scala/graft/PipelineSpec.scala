@@ -174,6 +174,40 @@ class PipelineSpec extends SparkSpec {
     assert(perSeries.values.toSet.size == 1, s"uneven per-series rows: $perSeries")
   }
 
+  test("a swap interrupted between renames self-heals on the next pathExists") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-heal").toString
+    val table = s"$root/t.parquet"
+    val target = new org.apache.hadoop.fs.Path(table)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "t.parquet.__swap_tmp")
+    val old = new org.apache.hadoop.fs.Path(root, "t.parquet.__swap_old")
+    def readKeys() = spark.read.parquet(table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    Pipeline.swapWrite(spark, Seq((1L, "a")).toDF("k", "v"), table)
+
+    // crash AFTER the replacement fully committed to tmp and the old
+    // version was graveyarded, BEFORE the tmp->target rename: the heal
+    // must promote the committed tmp (v2 wins, graveyard dropped)
+    Seq((2L, "b")).toDF("k", "v").write.parquet(tmp.toString)
+    assert(fs.rename(target, old))
+    assert(!fs.exists(target))
+    assert(Pipeline.pathExists(spark, table), "heal must restore the table")
+    assert(readKeys() == Seq(2L))
+    assert(!fs.exists(old) && !fs.exists(tmp))
+
+    // crash MID-WRITE: tmp exists but is uncommitted (no _SUCCESS) and
+    // the old version is graveyarded: the heal must restore the old
+    // version and drop the garbage tmp
+    Seq((3L, "c")).toDF("k", "v").write.parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    assert(fs.rename(target, old))
+    assert(Pipeline.pathExists(spark, table), "heal must restore the old version")
+    assert(readKeys() == Seq(2L))
+    assert(!fs.exists(old) && !fs.exists(tmp))
+  }
+
   test("gold marts hash identically across different input partitionings") {
     // exactAvg's determinism contract: the same rows through ANY
     // partitioning/merge order produce bit-identical doubles. A float

@@ -38,7 +38,12 @@ def load(path: str) -> dict:
                 break
         else:
             raise SystemExit(f"{path}: no bench JSON line found in 'tail'")
-    return {k: v for k, v in doc.get("queries", {}).items() if v >= 0}
+    queries = doc.get("queries", {})
+    if not queries:
+        # an empty dict must never silently pass the gate (format drift,
+        # a typo'd SPARK_GRAFT_BENCH_ONLY, or a driver parse gone wrong)
+        raise SystemExit(f"{path}: no per-query timings found — refusing to gate")
+    return dict(queries)  # keep failed (-1) entries: they gate below
 
 
 def main() -> int:
@@ -50,22 +55,34 @@ def main() -> int:
     args = ap.parse_args()
 
     prev, new = load(args.prev), load(args.new)
-    shared = sorted(set(prev) & set(new))
+    # a query that FAILS in the new run (-1) is the worst regression of
+    # all — it must gate, not vanish; a query failed in BOTH runs is
+    # reported but not double-counted as new breakage
+    broken = sorted(q for q in new if new[q] < 0 and prev.get(q, 0) >= 0)
+    still_broken = sorted(q for q in new if new[q] < 0 and prev.get(q, 0) < 0)
+    prev = {k: v for k, v in prev.items() if v >= 0}
+    new_ok = {k: v for k, v in new.items() if v >= 0}
+    shared = sorted(set(prev) & set(new_ok))
     regressions = []
     for q in shared:
-        if new[q] > prev[q] * args.ratio and new[q] > args.floor:
-            regressions.append((q, prev[q], new[q]))
-    for q in sorted(set(new) - set(prev)):
-        print(f"NEW  {q}: {new[q]:.2f}s (not gated)")
+        if new_ok[q] > prev[q] * args.ratio and new_ok[q] > args.floor:
+            regressions.append((q, prev[q], new_ok[q]))
+    for q in sorted(set(new_ok) - set(prev)):
+        print(f"NEW  {q}: {new_ok[q]:.2f}s (not gated)")
     for q in sorted(set(prev) - set(new)):
         print(f"GONE {q}: was {prev[q]:.2f}s")
+    for q in broken:
+        print(f"BROKEN {q}: was {prev[q]:.2f}s, now FAILS (-1)")
+    for q in still_broken:
+        print(f"STILL-BROKEN {q}: failed in both runs")
     for q, p, n in regressions:
         print(f"REGRESSION {q}: {p:.2f}s -> {n:.2f}s ({n / p:.2f}x > {args.ratio}x)")
     tot_prev = sum(prev[q] for q in shared)
-    tot_new = sum(new[q] for q in shared)
+    tot_new = sum(new_ok[q] for q in shared)
     print(f"\nshared-query total: {tot_prev:.2f}s -> {tot_new:.2f}s "
-          f"({len(shared)} queries); {len(regressions)} regression(s)")
-    return 1 if regressions else 0
+          f"({len(shared)} queries); {len(regressions)} regression(s), "
+          f"{len(broken)} newly broken")
+    return 1 if regressions or broken else 0
 
 
 if __name__ == "__main__":
