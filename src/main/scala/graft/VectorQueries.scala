@@ -239,9 +239,7 @@ object VectorQueries {
   // identical cell/probe semantics from the same count-derived step.
   private val q32 = Q(
     (spark, dir) => {
-      // persist: consumed by the centroid filter, the assignment, and
-      // both rescore joins — one quantize pass instead of four
-      val e = quantized(spark, dir).persist()
+      val e = quantized(spark, dir)
       val n = Tables.embeddings(spark, dir).count()
       val step = math.ceil(math.sqrt(n.toDouble)).toInt
       val nprobe = math.max(2, math.ceil(math.sqrt(step.toDouble)).toInt)
@@ -326,9 +324,7 @@ object VectorQueries {
   // hash-checked across engines.
   private val q40 = Q(
     (spark, dir) => {
-      // persist: consumed by training (via KMeans.fit), the assignment,
-      // and both rescore joins — one quantize pass instead of five
-      val e = quantized(spark, dir).persist()
+      val e = quantized(spark, dir)
       // k = ⌈√n⌉, the IVF norm: the centroid set (and so its broadcast
       // and the O(n·k) assignment) grows SUBLINEARLY with the corpus —
       // 10⁹ vectors ⇒ ~32k centroids (a few MB broadcast), never the

@@ -40,14 +40,8 @@ object KMeans {
     // centroids (init is the first k rows in id order) — the "empty
     // cells keep their centroid" guarantee below covers iteration-time
     // shrinkage, not undersized input.
-    // persist: the quantized+normed corpus is re-read by EVERY iteration
-    // (assignment + update) — without this each of the 2-3 consumers per
-    // iteration recomputes the scan/quantize subtree. Unpersisted before
-    // returning: each iteration's eager localCheckpoint makes the
-    // returned centroids independent of this frame.
     val v = vectors.select(col(id).as("__vid"), col(q).as("__vq"))
       .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
-      .persist()
 
     // init: the k smallest ids, numbered 0..k-1 in id order. The ids are
     // collected to the driver (k rows — bounded by the caller's centroid
@@ -69,7 +63,7 @@ object KMeans {
     val init = v.join(broadcast(cellOfId), Seq("__vid"))
       .select(col("cell"), col("__vq").as("cq"))
 
-    try (0 until iters).foldLeft(init) { (cents, _) =>
+    (0 until iters).foldLeft(init) { (cents, _) =>
       val c = cents
         .withColumn("cn2", VectorOps.qnorm2(col("cq")))
       // assignment: per vector, the cell with max (cosine, -cell) —
@@ -106,7 +100,7 @@ object KMeans {
       cents.join(updated, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cq2"), col("cq")).as("cq"))
         .localCheckpoint(true)
-    } finally v.unpersist()
+    }
   }
 
   /** Assign each vector to its trained cell: (id, cell). Same broadcast
