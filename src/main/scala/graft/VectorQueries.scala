@@ -245,17 +245,29 @@ object VectorQueries {
       val nprobe = math.max(2, math.ceil(math.sqrt(step.toDouble)).toInt)
       val cents = e.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
-      val sim = e.crossJoin(broadcast(cents))
+      // Cell assignment is an ARGMAX, not a ranking: one map-only
+      // codegen'd pass (CellArgMaxCosineLong) over the corpus with the
+      // centroid set packed into a single broadcast row — no n x k row
+      // blow-up, no window sort, no aggregate exchange. Ties break to
+      // the smallest c_id, matching the rn=1 / ORDER BY cos DESC,
+      // c_id ASC semantics the oracle replays.
+      val ca = VectorOps.centroidArrays(
+        cents.select(col("c_id").as("cell"), col("cq")), "cell", "cq")
+      val cells = e.crossJoin(broadcast(ca))
+        .select(col("vec_id").as("vid"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).as("cell"))
+      // Only the nprobe-ranked cells of the 10 QUERY vectors need the
+      // ranking join — filter first, rank 10 x k rows instead of n x k.
+      val sim = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
         .select(col("vec_id").as("vid"), col("c_id"),
           VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
             col("n2"), col("cn2")).as("cos_sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vid"))
         .orderBy(col("cos_sim").desc_nulls_last, col("c_id").asc_nulls_first)
-      val ranked = sim.withColumn("rn", row_number().over(w)).persist()
-      val cells = ranked.filter(col("rn") === 1)
-        .select(col("vid"), col("c_id").as("cell"))
-      val probes = ranked.filter(col("rn") <= nprobe && col("vid") < 10)
+      val probes = sim
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
         .select(col("vid").as("qid"), col("c_id").as("cell"))
       val cand = probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vid"))
@@ -337,17 +349,24 @@ object VectorQueries {
       val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
       val cents = graft.operators.KMeans.fit(e, "vec_id", "q", k, iters = 2)
         .withColumn("cn2", VectorOps.qnorm2(col("cq")))
-      val sim = e.crossJoin(broadcast(cents))
+      // Same argmax/window split as q32: assignment is one map-only
+      // codegen'd pass (ties to the smallest cell, matching the
+      // oracle's rn=1 ORDER BY cos DESC, cell ASC), and only the 10
+      // query vectors pay for a ranked window.
+      val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+      val cells = e.crossJoin(broadcast(ca))
+        .select(col("vec_id").as("vid"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+      val sim = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
         .select(col("vec_id").as("vid"), col("cell"),
           VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
             col("n2"), col("cn2")).as("cos_sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vid"))
         .orderBy(col("cos_sim").desc_nulls_last, col("cell").asc_nulls_first)
-      val ranked = sim.withColumn("rn", row_number().over(w)).persist()
-      val cells = ranked.filter(col("rn") === 1)
-        .select(col("vid"), col("cell"))
-      val probes = ranked.filter(col("rn") <= nprobe && col("vid") < 10)
+      val probes = sim
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
         .select(col("vid").as("qid"), col("cell"))
       val cand = probes.join(cells, Seq("cell"))
         .filter(col("qid") =!= col("vid"))

@@ -19,8 +19,10 @@ import graft.functions.Exact
   * FIXED unrolled count (no driver-side convergence actions).
   *
   * Scale posture per iteration (the 100 TB contract):
-  *  - assignment: one broadcast of k centroids, argmax-cosine via
-  *    max_by — map-side only, no shuffle of the corpus;
+  *  - assignment: the k centroids travel as three parallel arrays on a
+  *    SINGLE broadcast row and the argmax-cosine runs inside one
+  *    codegen'd expression ([[graft.plans.CellArgMaxCosineLong]]) —
+  *    map-only, no n x k row blow-up, no shuffle of the corpus;
   *  - update: posexplode to (cell, dim) partial sums — the groupBy
   *    combines map-side, so each task ships at most k x dims rows;
   *  - empty cells inherit their previous centroid (left join + coalesce)
@@ -64,18 +66,18 @@ object KMeans {
       .select(col("cell"), col("__vq").as("cq"))
 
     (0 until iters).foldLeft(init) { (cents, _) =>
-      val c = cents
-        .withColumn("cn2", VectorOps.qnorm2(col("cq")))
-      // assignment: per vector, the cell with max (cosine, -cell) —
-      // the cell tiebreak makes ties deterministic
-      val assigned = v.crossJoin(broadcast(c))
+      // assignment: per vector, the cell with max (cosine, -cell) — the
+      // cell tiebreak makes ties deterministic. ONE map-only codegen'd
+      // pass: the k centroids ride along as three parallel arrays on a
+      // single broadcast row and the argmax runs inside
+      // CellArgMaxCosineLong — no n x k row blow-up and no per-
+      // iteration aggregate exchange (the crossJoin + max_by
+      // formulation this replaces shuffled the whole corpus per pass).
+      val assigned = v.crossJoin(broadcast(
+          VectorOps.centroidArrays(cents, "cell", "cq")))
         .select(col("__vid"), col("__vq"),
-          col("cell"),
-          VectorOps.cosine(VectorOps.qdot(col("__vq"), col("cq")),
-            col("__vn2"), col("cn2")).as("__cos"))
-        .groupBy(col("__vid"))
-        .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"),
-          first(col("__vq")).as("__vq"))
+          VectorOps.cellArgMax(col("__vq"), col("__vn2"),
+            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
       // update: exact per-(cell, dim) mean, rounded back to the grid
       val sums = assigned
         .select(col("cell"), posexplode(col("__vq")).as(Seq("__pos", "__x")))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector operators: exact cosine similarity, top-k search, and
@@ -40,6 +40,34 @@ object VectorOps {
     * (cast, sqrt, divide) are correctly rounded and engine-independent. */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt(n2a.cast("double")) / sqrt(n2b.cast("double"))
+
+  /** Pack a centroid table into ONE row of three parallel arrays
+    * (cells ARRAY<BIGINT>, cqs ARRAY<ARRAY<BIGINT>>, cn2s ARRAY<BIGINT>),
+    * sorted by cell id — the broadcast-row input of [[cellArgMax]].
+    * The interpreted `transform` lambdas run over k elements of a SINGLE
+    * row, so the cost is negligible and the per-vector hot path stays
+    * fully codegen'd. */
+  def centroidArrays(cents: DataFrame, cellCol: String, cqCol: String): DataFrame =
+    cents
+      .select(struct(col(cellCol).cast("long").as("cell"), col(cqCol).as("cq"),
+        qnorm2(col(cqCol)).as("cn2")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(
+        transform(col("cs"), s => s.getField("cell")).as("cells"),
+        transform(col("cs"), s => s.getField("cq")).as("cqs"),
+        transform(col("cs"), s => s.getField("cn2")).as("cn2s"))
+
+  /** IVF cell assignment as one codegen'd map-only expression
+    * ([[graft.plans.CellArgMaxCosineLong]]): the cell id with maximal
+    * cosine (ties to the smallest id). Replaces the crossJoin + max_by
+    * formulation, which materializes n x k rows and shuffles a hash
+    * aggregate per assignment pass. */
+  def cellArgMax(q: Column, qn2: Column, cells: Column, cqs: Column, cn2s: Column): Column = {
+    val b = org.apache.spark.sql.graftbridge.ColumnBridge
+    b.column(graft.plans.CellArgMaxCosineLong(
+      b.expression(q), b.expression(qn2), b.expression(cells),
+      b.expression(cqs), b.expression(cn2s)))
+  }
 
   /** Sign-bit LSH bucket over the first `bits` dimensions (axis-aligned
     * random-hyperplane hashing). 2^bits buckets; vectors only compete

@@ -31,6 +31,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(BigInt(got) == want)
   }
 
+  test("cellArgMax (codegen) equals the crossJoin + max_by formulation") {
+    // seeded random corpus + centroid set; the expression must pick the
+    // same cell as the relational argmax for every vector, including on
+    // cosine ties (both break to the smallest cell id)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i =>
+      (i, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val nCents = 13
+    val e = corpus.toDF("vec_id", "v")
+      .select(col("vec_id"), VectorOps.quantized(col("v")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+    val cents = e.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cell"), col("q").as("cq"))
+      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    val viaMaxBy = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
+          col("n2"), col("cn2")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = e.crossJoin(broadcast(
+        VectorOps.centroidArrays(cents, "cell", "cq")))
+      .select(col("vec_id"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr.size == 200 && viaExpr == viaMaxBy)
+    // an exact tie: a vector equal to TWO duplicate centroids must take
+    // the smaller cell id
+    val dupCents = Seq((5L, corpus.head._2), (9L, corpus.head._2))
+      .toDF("cell", "cq0")
+      .select(col("cell"), VectorOps.quantized(col("cq0")).as("cq"))
+    val tied = e.filter(col("vec_id") === 0L)
+      .crossJoin(broadcast(VectorOps.centroidArrays(dupCents, "cell", "cq")))
+      .select(VectorOps.cellArgMax(col("q"), col("n2"),
+        col("cells"), col("cqs"), col("cn2s"))).first().getLong(0)
+    assert(tied == 5L)
+  }
+
   test("cosine of identical vectors is 1.0 within fp rounding") {
     val df = vecs.toDF("id", "v").select(col("id"), VectorOps.quantized(col("v")).as("q"))
       .withColumn("n2", VectorOps.qnorm2(col("q")))
