@@ -531,19 +531,26 @@ object TextQueries {
   // is the gram string (hash-partitioned). At 100 TB the eval side is
   // tiny and broadcasts; the train side never shuffles whole documents,
   // only (doc_id, gram) pairs.
+  /** Per-TRAIN-doc distinct-5-gram counts vs the eval slice: (doc_id,
+    * n_grams, n_hits). The q45/q47 shared core — q45 reports the overlap,
+    * q47 acts on it (removal). */
+  private def trainEvalGramCounts(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the distinct-gram subtree feeds BOTH the train side and
+    // the eval side (a diamond) — without it the corpus-wide explode +
+    // distinct runs twice
+    val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
+      .select(col("doc_id"), col("s")).distinct().persist()
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(evalGrams, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+  }
+
   private val q45 = Q(
     (spark, dir) => {
-      // persist: the distinct-gram subtree feeds BOTH the train side and
-      // the eval side (a diamond) — without it the corpus-wide explode +
-      // distinct runs twice
-      val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
-        .select(col("doc_id"), col("s")).distinct().persist()
-      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("s")).distinct().withColumn("__hit", lit(1))
-      grams.filter(col("doc_id") % 10 =!= 0)
-        .join(evalGrams, Seq("s"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      trainEvalGramCounts(spark, dir)
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_grams"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
@@ -595,6 +602,161 @@ object TextQueries {
       FROM r ORDER BY rep_ratio DESC NULLS LAST, doc_id ASC NULLS FIRST
       LIMIT 20"""))
 
+  // --- E4h: contamination REMOVAL (q45 acted on) --------------------------
+  // The step after measuring contamination: DROP every train document
+  // whose eval overlap crosses the threshold and account for it per
+  // source. Threshold = half the doc's distinct 5-grams, compared in
+  // integer space (2*n_hits >= n_grams) so no float crosses an engine
+  // boundary. Train docs too short to produce a 5-gram have no counts
+  // row and are kept (nothing measurable overlaps).
+  //
+  // Scale shape: q45's gram join + ONE more left join keyed on doc_id
+  // (the drop set is tiny — contaminated docs — so AQE broadcasts it)
+  // and a per-source agg. No new corpus-wide shuffle.
+  private val q47 = Q(
+    (spark, dir) => {
+      val dropIds = trainEvalGramCounts(spark, dir)
+        .filter(col("n_hits") * 2 >= col("n_grams"))
+        .select(col("doc_id"), lit(1).as("__drop"))
+      docs(spark, dir).filter(col("doc_id") % 10 =!= 0)
+        .join(dropIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"), count(col("__drop")).as("n_dropped"))
+        .select(col("source"), col("n_train"), col("n_dropped"),
+          (col("n_train") - col("n_dropped")).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
+      ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+      c AS (
+        SELECT g.doc_id, count(*) AS n_grams, count(ev.s) AS n_hits
+        FROM g LEFT JOIN ev USING (s) WHERE g.doc_id % 10 <> 0 GROUP BY 1),
+      dr AS (SELECT doc_id FROM c WHERE n_hits * 2 >= n_grams)
+      SELECT d.source, count(*) AS n_train,
+             count(dr.doc_id) AS n_dropped,
+             count(*) - count(dr.doc_id) AS n_kept
+      FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+      WHERE d.doc_id % 10 <> 0
+      GROUP BY 1 ORDER BY d.source ASC NULLS FIRST"""))
+
+  // --- E4i: quality-filter funnel (C4/Gopher-style cascade) ---------------
+  // The per-source accounting a curation pipeline publishes with every
+  // dataset release: documents surviving each filter stage, applied in
+  // order — (1) token-count bounds [20, 90], (2) repetition cap
+  // rep_ratio <= 0.08 (as 25*max_rep <= 2*n_bigrams — exact integers),
+  // (3) stopword-ratio floor >= 0.02 (as 50*n_stop >= n_tokens).
+  // Thresholds sit at the measured p90 tails of this corpus so each
+  // stage does visible work.
+  //
+  // Scale shape: the per-doc flags are one map-side pass over text plus
+  // the q46 bigram agg (both hash-partitioned by doc_id, joined on that
+  // key), then ONE tiny per-source agg. Conditional sums, no windows.
+  private val q48 = Q(
+    (spark, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val stop = array(Stopwords.map(lit): _*)
+      val stats = docs(spark, dir).select(col("doc_id"), col("source"),
+        size(t).cast("long").as("nt"),
+        size(filter(t, x => array_contains(stop, x))).cast("long").as("nstop"))
+      val rep = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 2)
+        .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nb"), max(col("c")).as("mr"))
+      // left join: a doc with <2 tokens has no bigrams — repetition
+      // passes vacuously (0 <= 0); the length stage already drops it
+      val flags = stats.join(rep, Seq("doc_id"), "left")
+        .select(col("source"),
+          (col("nt") >= 20 && col("nt") <= 90).as("p_len"),
+          (coalesce(col("mr"), lit(0L)) * 25
+            <= coalesce(col("nb"), lit(0L)) * 2).as("p_rep"),
+          (col("nstop") * 50 >= col("nt")).as("p_stop"))
+      flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p_len"), 1L).otherwise(0L)).as("after_len"),
+        sum(when(col("p_len") && col("p_rep"), 1L).otherwise(0L)).as("after_rep"),
+        sum(when(col("p_len") && col("p_rep") && col("p_stop"), 1L)
+          .otherwise(0L)).as("after_stop"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS s
+                 FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
+      cg AS (SELECT doc_id, s, count(*) AS c FROM b GROUP BY 1, 2),
+      rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                     CAST(max(c) AS BIGINT) AS mr
+              FROM cg GROUP BY 1),
+      st AS (SELECT doc_id, source,
+                    CAST(len(t) AS BIGINT) AS nt,
+                    CAST(len(list_filter(t, x -> list_contains(
+                      [${Stopwords.map("'" + _ + "'").mkString(",")}], x)))
+                      AS BIGINT) AS nstop
+             FROM (SELECT doc_id, source, string_split(text, ' ') t
+                   FROM documents)),
+      f AS (SELECT st.source,
+                   (nt >= 20 AND nt <= 90) AS p_len,
+                   (coalesce(mr, 0) * 25 <= coalesce(nb, 0) * 2) AS p_rep,
+                   (nstop * 50 >= nt) AS p_stop
+            FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS after_len,
+             CAST(sum(CASE WHEN p_len AND p_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_rep,
+             CAST(sum(CASE WHEN p_len AND p_rep AND p_stop THEN 1 ELSE 0 END)
+               AS BIGINT) AS after_stop
+      FROM f GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+
+  // --- E4j: domain-mixture resampling ------------------------------------
+  // Data mixing: each source gets a target sampling rate (the mixture
+  // config; here a pure function of the source index — in production a
+  // tiny broadcast table) and every document keeps/drops by a salted
+  // md5 bucket of its doc_id. Deterministic on any cluster, any
+  // partitioning, any rerun — the same property q44's split relies on —
+  // so a resampled corpus is reproducible bit-for-bit. Output: per-source
+  // target rate vs achieved counts.
+  //
+  // Scale shape: one map-side pass (hash + compare), one tiny agg. The
+  // filter itself never shuffles — at 100 TB this is a scan-speed op.
+  private val q49 = Q(
+    (spark, dir) => {
+      val srcIdx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+      val rate = when(srcIdx % 4 === 0, 1000L).when(srcIdx % 4 === 1, 500L)
+        .when(srcIdx % 4 === 2, 250L).otherwise(750L)
+      val bkt = conv(substring(
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 1000
+      docs(spark, dir)
+        .select(col("source"), rate.as("rate_permille"),
+          when(bkt < rate, 1L).otherwise(0L).as("__keep"))
+        .groupBy(col("source"), col("rate_permille"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__keep")).as("n_sampled"))
+        .select(col("source"), col("rate_permille"), col("n_docs"),
+          col("n_sampled"),
+          (col("n_sampled").cast("double") / col("n_docs")).as("effective_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+               CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
+                 WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+                 ELSE 750 END AS rate_permille,
+               CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) % 1000 AS bkt
+        FROM documents)
+      SELECT source, CAST(rate_permille AS BIGINT) AS rate_permille,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN bkt < rate_permille THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sampled,
+             CAST(sum(CASE WHEN bkt < rate_permille THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS effective_rate
+      FROM b GROUP BY 1, 2 ORDER BY source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -612,5 +774,8 @@ object TextQueries {
     "q43_dedup_survivors" -> q43,
     "q44_data_split" -> q44,
     "q45_decontamination" -> q45,
-    "q46_repetition_ratio" -> q46)
+    "q46_repetition_ratio" -> q46,
+    "q47_decontaminate_corpus" -> q47,
+    "q48_quality_funnel" -> q48,
+    "q49_domain_mixture" -> q49)
 }

@@ -23,6 +23,22 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q48 funnel counts are monotonically non-increasing per stage") {
+    Queries.queries("q48_quality_funnel")(spark, sfDir).collect().foreach { r =>
+      val (n, l, rp, s) = (r.getAs[Long]("n_docs"), r.getAs[Long]("after_len"),
+        r.getAs[Long]("after_rep"), r.getAs[Long]("after_stop"))
+      assert(n >= l && l >= rp && rp >= s && s >= 0,
+        s"funnel not monotone for ${r.getAs[String]("source")}: $n $l $rp $s")
+    }
+  }
+
+  test("q47 removal accounting balances: kept + dropped = train") {
+    Queries.queries("q47_decontaminate_corpus")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+        == r.getAs[Long]("n_train"))
+    }
+  }
+
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
