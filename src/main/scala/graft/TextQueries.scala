@@ -757,6 +757,90 @@ object TextQueries {
                AS DOUBLE) / count(*) AS effective_rate
       FROM b GROUP BY 1, 2 ORDER BY source ASC NULLS FIRST"""))
 
+  // --- E4k: passage-level exact dedup (sub-document granularity) ---------
+  // Whole-document hashing (q16) misses boilerplate and quoted passages
+  // repeated ACROSS otherwise-distinct documents — the dedup granularity
+  // "Deduplicating Training Data Makes Language Models Better" (Lee et
+  // al., ACL'22) showed matters most. Split every doc into
+  // NON-overlapping 16-token passages (chunked with stride = size), hash
+  // each, and call a passage duplicated when its exact text appears in
+  // >= 2 distinct documents. Per-source accounting: passages, duplicated
+  // passages, duplicated fraction.
+  //
+  // Scale shape: the chunk explode is map-side (source carried through,
+  // no re-join against the corpus); one hash-agg by passage hash counts
+  // distinct docs; the chunk rows join that agg on the SAME hash key
+  // (co-partitioned exchange) and fold into a tiny per-source agg. The
+  // corpus-wide shuffle moves only (hash, doc_id, source) triples —
+  // never document text.
+  private val q50 = Q(
+    (spark, dir) => {
+      val ch = TextOps.chunked(docs(spark, dir), "doc_id", "text",
+          chunkSize = 16, stride = 16, carry = Seq("source"))
+        .select(col("doc_id"), col("source"), md5(col("chunk")).as("h"))
+      val freq = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(freq, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+        .select(col("source"), col("n_passages"), col("n_dup_passages"),
+          (col("n_dup_passages").cast("double") / col("n_passages"))
+            .as("dup_fraction"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+      c AS (
+        SELECT doc_id, source,
+               unnest(range(greatest(CAST(ceil((len(t) - 16) / 16.0) AS INT) + 1, 1)))
+                 AS chunk_idx,
+               t
+        FROM d),
+      p AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' '))
+                 AS h
+        FROM c
+        WHERE len(t[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) > 0),
+      f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+      SELECT p.source, count(*) AS n_passages,
+             CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+             CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_fraction
+      FROM p JOIN f USING (h)
+      GROUP BY 1 ORDER BY p.source ASC NULLS FIRST"""))
+
+  // --- E4l: cross-source duplicate-content matrix -------------------------
+  // Which source pairs ship the same exact bytes? The mixture-design
+  // companion to q16: per (source_a < source_b) pair, how many distinct
+  // content hashes appear in BOTH. Drives dedup priority ("these two
+  // crawls overlap heavily") and guards double-counting in q49's
+  // mixture rates.
+  //
+  // Scale shape: distinct (hash, source) first — at most n_sources rows
+  // per hash survive, so the self-join on hash fans out at most
+  // n_sources² per hash (bounded by the catalog, not the corpus). Both
+  // join sides share one shuffle key; output is a tiny pair matrix.
+  private val q51 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+        .select(md5(col("text")).as("h"), col("source")).distinct()
+      d.select(col("h"), col("source").as("src_a"))
+        .join(d.select(col("h"), col("source").as("src_b")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -777,5 +861,7 @@ object TextQueries {
     "q46_repetition_ratio" -> q46,
     "q47_decontaminate_corpus" -> q47,
     "q48_quality_funnel" -> q48,
-    "q49_domain_mixture" -> q49)
+    "q49_domain_mixture" -> q49,
+    "q50_passage_dedup" -> q50,
+    "q51_cross_source_overlap" -> q51)
 }

@@ -519,11 +519,72 @@ object VectorQueries {
       FROM reach GROUP BY s
       ORDER BY vec_id ASC NULLS FIRST"""))
 
+  // --- E3f: embedding norm-outlier screening ------------------------------
+  // Curation sanity check before any ANN index is built: per label,
+  // count vectors whose squared norm is > 4x or < 1/4x the label mean —
+  // the broken-encoder / zero-vector / wrong-scale detector a pipeline
+  // runs on every embedding drop. All math is quantized-integer: the
+  // flag is norm2 * n > 4 * sum(norm2) (and the mirror), so no float
+  // mean ever crosses the engine boundary. Spark compares in
+  // decimal(38,0) so the product cannot wrap at 10^9-vector scale
+  // (long would overflow silently with ANSI off).
+  //
+  // Scale shape: one map-side quantize+norm pass, one tiny per-label
+  // agg (10 rows) broadcast back over the corpus, one conditional agg.
+  // The corpus shuffles only (label, n2) pairs — never vectors.
+  // min/max norm2 quantify the spread even when no vector crosses the
+  // outlier band (this corpus is unit-normalized, so n_high = n_low = 0
+  // IS the correct report — "normalized, dot product is safe").
+  private val q52 = Q(
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      val spread =
+        if (e.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) e
+        else e.repartition(col("vec_id"))
+      val n = spread
+        .select(col("label"), VectorOps.quantized(col("embedding")).as("q"))
+        .select(col("label"), VectorOps.qnorm2(col("q")).as("n2"))
+      val s = n.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"),
+        sum(col("n2").cast("decimal(38,0)")).as("sn"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
+      val n2d = col("n2").cast("decimal(38,0)")
+      n.join(broadcast(s), Seq("label"))
+        .groupBy(col("label"), col("n_vecs"), col("min_n2"), col("max_n2"))
+        .agg(
+          sum(when(n2d * col("n_vecs") > col("sn") * 4, 1L).otherwise(0L))
+            .as("n_high"),
+          sum(when(n2d * col("n_vecs") * 4 < col("sn"), 1L).otherwise(0L))
+            .as("n_low"))
+        .select(col("label"), col("n_vecs"), col("n_high"), col("n_low"),
+          col("min_n2"), col("max_n2"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, label, CAST(sum(v * v) AS BIGINT) AS n2
+            FROM e GROUP BY 1, 2),
+      s AS (SELECT label, count(*) AS cnt, CAST(sum(n2) AS HUGEINT) AS sn,
+                   min(n2) AS min_n2, max(n2) AS max_n2
+            FROM n GROUP BY 1)
+      SELECT n.label, s.cnt AS n_vecs,
+             CAST(sum(CASE WHEN n.n2 * s.cnt > 4 * s.sn THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_high,
+             CAST(sum(CASE WHEN 4 * n.n2 * s.cnt < s.sn THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low,
+             s.min_n2, s.max_n2
+      FROM n JOIN s USING (label)
+      GROUP BY 1, 2, s.min_n2, s.max_n2 ORDER BY n.label ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
     "q27_embed_neardup" -> q27,
     "q32_ann_ivf" -> q32,
     "q40_ann_ivf_kmeans" -> q40,
-    "q42_embed_clusters" -> q42)
+    "q42_embed_clusters" -> q42,
+    "q52_embedding_outliers" -> q52)
 }

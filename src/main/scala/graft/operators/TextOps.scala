@@ -183,18 +183,23 @@ object TextOps {
     * Chunk starts step by `stride` (stride < size -> overlapping
     * windows); the tail chunk may be short but is never empty. Explode
     * over chunk starts keeps the whole thing codegen'd and
-    * partition-local (no shuffle). */
+    * partition-local (no shuffle). `carry` columns ride along unchanged
+    * (e.g. `source`), saving a corpus-wide re-join when a consumer needs
+    * per-chunk metadata. */
   def chunked(df: DataFrame, id: String, text: String,
-              chunkSize: Int, stride: Int): DataFrame = {
+              chunkSize: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     val t = col("__t")
+    val cc = carry.map(col)
     val nChunks = ceil((size(t) - lit(chunkSize)) / lit(stride.toDouble)).cast("int") + lit(1)
-    df.select(col(id), tokens(col(text)).as("__t"))
-      .select(col(id), t, explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("__c"))
-      .select(col(id), col("__c").as("chunk_idx"),
-        concat_ws(" ", slice(t, col("__c") * stride + 1, lit(chunkSize))).as("chunk"),
-        size(slice(t, col("__c") * stride + 1, lit(chunkSize)))
-          .cast("long").as("n_tokens"))
+    df.select(col(id) +: cc :+ tokens(col(text)).as("__t"): _*)
+      .select(col(id) +: cc :+ t
+        :+ explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))).as("__c"): _*)
+      .select(col(id) +: cc
+        :+ col("__c").as("chunk_idx")
+        :+ concat_ws(" ", slice(t, col("__c") * stride + 1, lit(chunkSize))).as("chunk")
+        :+ size(slice(t, col("__c") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"): _*)
       .filter(col("n_tokens") > 0)
   }
 

@@ -17,7 +17,7 @@ class QueriesSmokeSpec extends SparkSpec {
       // everything else must produce output
       val emptyOk = Set("q17_near_dup_lsh", "q18_simhash_pairs", "q27_embed_neardup",
         "q39_neardup_clusters", "q41_winnowing", "q42_embed_clusters",
-        "q43_dedup_survivors")
+        "q43_dedup_survivors", "q51_cross_source_overlap")
       val n = df.count()
       assert(n > 0 || emptyOk(name), s"$name returned 0 rows")
     }
@@ -36,6 +36,30 @@ class QueriesSmokeSpec extends SparkSpec {
     Queries.queries("q47_decontaminate_corpus")(spark, sfDir).collect().foreach { r =>
       assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
         == r.getAs[Long]("n_train"))
+    }
+  }
+
+  test("q50 passage accounting: dup passages bounded by total passages") {
+    Queries.queries("q50_passage_dedup")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_dup_passages") >= 0
+        && r.getAs[Long]("n_dup_passages") <= r.getAs[Long]("n_passages"))
+    }
+  }
+
+  test("q51 overlap matrix: ordered pairs with positive shared counts") {
+    Queries.queries("q51_cross_source_overlap")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
+  test("q52 outlier screen: flags bounded, norm spread ordered") {
+    val rows = Queries.queries("q52_embedding_outliers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_high") + r.getAs[Long]("n_low")
+        <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("min_n2") <= r.getAs[Long]("max_n2"))
     }
   }
 
