@@ -579,6 +579,166 @@ object VectorQueries {
       FROM n JOIN s USING (label)
       GROUP BY 1, 2, s.min_n2, s.max_n2 ORDER BY n.label ASC NULLS FIRST"""))
 
+  // --- E3g: ANN recall evaluation (recall@10, two index designs) ----------
+  // The measurement every ANN deployment ships with: per query vector,
+  // how much of the EXACT cosine top-10 does each index recover —
+  // (a) the single-table 4-bit sign bucket (q26's simplest form) and
+  // (b) the 8-table sign-LSH union (q27's production candidate
+  // generator)? Both rankings use the same quantized-integer cosine, so
+  // the top-10 SETS are bit-identical across engines and recall is
+  // exact — not a float-tolerance estimate. Measured result (sf0.1):
+  // BOTH sit near 0.14 mean recall@10 — sign-LSH collision probability
+  // decays toward 0 as pair angles approach 90°, and this corpus's
+  // top-10 neighbors are only moderately similar. That is the
+  // quantified reason the near-dup path (cos >= 0.4 pairs, where
+  // sign-LSH recall is high — VectorQueriesSpec measures it) uses LSH
+  // while the top-k RETRIEVAL path (q40) uses trained-centroid IVF.
+  //
+  // Scale shape: the exact side is O(sample x corpus) — that is the
+  // point: recall is evaluated on a BOUNDED query sample (20 vectors
+  // here), never corpus x corpus, while the approx sides are the
+  // production bucket equi-joins. At 100 TB the sample side broadcasts
+  // and the corpus streams once.
+  private val q53 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), VectorOps.signBucket(col("embedding")).as("bucket")),
+          Seq("vec_id"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("bucket").as("qb"),
+          col("q").as("qq"), col("n2").as("qn2"))
+      val c = e.select(col("vec_id").as("cid"), col("bucket").as("cb"),
+        col("q").as("cq"), col("n2").as("cn2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      def top10(scored: DataFrame): DataFrame = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"))
+      def score(cand: DataFrame): DataFrame = cand.select(col("qid"), col("cid"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cos_sim"))
+      val exact = top10(score(c.join(broadcast(q), col("qid") =!= col("cid"))))
+      val approx1 = top10(score(c.join(broadcast(q),
+          col("qb") === col("cb") && col("qid") =!= col("cid"))))
+        .withColumn("__h1", lit(1))
+      // 8-table union candidates (q27's generator), deduped per
+      // (qid, cid) before the exact rescore
+      val bucketed = Tables.embeddings(spark, dir).select(col("vec_id"),
+        explode(array((0 until NeardupTables).map { t =>
+          struct(lit(t).as("t"),
+            VectorOps.signBucketAt(col("embedding"), t * NeardupBits, NeardupBits)
+              .as("h"))
+        }: _*)).as("tb"))
+      // the 20-query sample side is provably tiny (20 x 8 bucket rows)
+      // -> broadcast it against the corpus-side bucket stream; the
+      // candidate set rejoins q (broadcast) and the corpus on cid
+      val mcand = bucketed.alias("y")
+        .join(broadcast(bucketed.filter(col("vec_id") < 20).alias("x")),
+          col("x.tb") === col("y.tb") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
+        .distinct()
+      val approx8 = top10(score(mcand
+          .join(broadcast(q.select(col("qid"), col("qq"), col("qn2"))), Seq("qid"))
+          .join(c.select(col("cid"), col("cq"), col("cn2")), Seq("cid"))))
+        .withColumn("__h8", lit(1))
+      exact
+        .join(broadcast(approx1), Seq("qid", "cid"), "left")
+        .join(broadcast(approx8), Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("__h1")).as("hits_bucket"),
+          count(col("__h8")).as("hits_multi"))
+        .select(col("qid"), col("n_exact"),
+          col("hits_bucket"),
+          (col("hits_bucket").cast("double") / col("n_exact")).as("recall_bucket"),
+          col("hits_multi"),
+          (col("hits_multi").cast("double") / col("n_exact")).as("recall_multi"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id,
+               CAST((embedding[1] >= 0) AS INT) * 8 + CAST((embedding[2] >= 0) AS INT) * 4
+               + CAST((embedding[3] >= 0) AS INT) * 2 + CAST((embedding[4] >= 0) AS INT) AS bucket
+        FROM embeddings),
+      $qnormSqlCte,
+      dx AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      cx AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      rx AS (
+        SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM cx),
+      ex AS (SELECT qid, cid FROM rx WHERE rn <= 10),
+      cand AS (
+        SELECT a.vec_id AS qid, c.vec_id AS cid
+        FROM bk a JOIN bk c ON a.bucket = c.bucket
+          AND a.vec_id < 20 AND c.vec_id <> a.vec_id),
+      da AS (
+        SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+        FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                  JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      ca AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM da JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      ra AS (
+        SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM ca),
+      ax AS (SELECT qid, cid FROM ra WHERE rn <= 10),
+      mb AS (
+        SELECT vec_id, r.t,
+               CAST((embedding[8*r.t+1] >= 0) AS INT)*128
+             + CAST((embedding[8*r.t+2] >= 0) AS INT)*64
+             + CAST((embedding[8*r.t+3] >= 0) AS INT)*32
+             + CAST((embedding[8*r.t+4] >= 0) AS INT)*16
+             + CAST((embedding[8*r.t+5] >= 0) AS INT)*8
+             + CAST((embedding[8*r.t+6] >= 0) AS INT)*4
+             + CAST((embedding[8*r.t+7] >= 0) AS INT)*2
+             + CAST((embedding[8*r.t+8] >= 0) AS INT) AS bucket
+        FROM embeddings, range($NeardupTables) r(t)),
+      mcand AS (
+        SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+        FROM mb x JOIN mb y ON x.t = y.t AND x.bucket = y.bucket
+          AND x.vec_id < 20 AND y.vec_id <> x.vec_id),
+      dm AS (
+        SELECT mcand.qid, mcand.cid, sum(ea.v * eb.v) AS dot
+        FROM mcand JOIN e ea ON ea.vec_id = mcand.qid
+                   JOIN e eb ON eb.vec_id = mcand.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      cm AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM dm JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      rm AS (
+        SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM cm),
+      am AS (SELECT qid, cid FROM rm WHERE rn <= 10)
+      SELECT ex.qid, count(*) AS n_exact,
+             CAST(count(ax.cid) AS BIGINT) AS hits_bucket,
+             CAST(count(ax.cid) AS DOUBLE) / count(*) AS recall_bucket,
+             CAST(count(am.cid) AS BIGINT) AS hits_multi,
+             CAST(count(am.cid) AS DOUBLE) / count(*) AS recall_multi
+      FROM ex LEFT JOIN ax ON ex.qid = ax.qid AND ex.cid = ax.cid
+              LEFT JOIN am ON ex.qid = am.qid AND ex.cid = am.cid
+      GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -586,5 +746,6 @@ object VectorQueries {
     "q32_ann_ivf" -> q32,
     "q40_ann_ivf_kmeans" -> q40,
     "q42_embed_clusters" -> q42,
-    "q52_embedding_outliers" -> q52)
+    "q52_embedding_outliers" -> q52,
+    "q53_ann_recall" -> q53)
 }

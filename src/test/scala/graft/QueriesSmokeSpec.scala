@@ -63,6 +63,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q53 recall bounded in [0, 1] with exactly 10 exact neighbors") {
+    val rows = Queries.queries("q53_ann_recall")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      assert(r.getAs[Long]("hits_bucket") >= 0
+        && r.getAs[Long]("hits_bucket") <= 10)
+      assert(r.getAs[Long]("hits_multi") >= 0
+        && r.getAs[Long]("hits_multi") <= 10)
+    }
+  }
+
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
