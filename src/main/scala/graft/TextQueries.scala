@@ -313,7 +313,7 @@ object TextQueries {
       GROUP BY 1 ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST LIMIT 20"""))
 
   // --- E4c: per-document quality scoring ---------------------------------
-  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private val Stopwords = operators.Curation.Stopwords
   private val q21 = Q(
     (spark, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -658,23 +658,9 @@ object TextQueries {
   // key), then ONE tiny per-source agg. Conditional sums, no windows.
   private val q48 = Q(
     (spark, dir) => {
-      val t = TextOps.tokens(col("text"))
-      val stop = array(Stopwords.map(lit): _*)
-      val stats = docs(spark, dir).select(col("doc_id"), col("source"),
-        size(t).cast("long").as("nt"),
-        size(filter(t, x => array_contains(stop, x))).cast("long").as("nstop"))
-      val rep = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 2)
-        .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("nb"), max(col("c")).as("mr"))
-      // left join: a doc with <2 tokens has no bigrams — repetition
-      // passes vacuously (0 <= 0); the length stage already drops it
-      val flags = stats.join(rep, Seq("doc_id"), "left")
-        .select(col("source"),
-          (col("nt") >= 20 && col("nt") <= 90).as("p_len"),
-          (coalesce(col("mr"), lit(0L)) * 25
-            <= coalesce(col("nb"), lit(0L)) * 2).as("p_rep"),
-          (col("nstop") * 50 >= col("nt")).as("p_stop"))
+      // Flag computation lives in operators/Curation (the single source
+      // of truth shared with streaming/CurationStream)
+      val flags = operators.Curation.funnelFlags(docs(spark, dir))
       flags.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("p_len"), 1L).otherwise(0L)).as("after_len"),
@@ -724,15 +710,13 @@ object TextQueries {
   // filter itself never shuffles — at 100 TB this is a scan-speed op.
   private val q49 = Q(
     (spark, dir) => {
-      val srcIdx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
-      val rate = when(srcIdx % 4 === 0, 1000L).when(srcIdx % 4 === 1, 500L)
-        .when(srcIdx % 4 === 2, 250L).otherwise(750L)
-      val bkt = conv(substring(
-        md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 7), 16, 10)
-        .cast("long") % 1000
+      // Rate and keep rules live in operators/Curation (shared with
+      // streaming/CurationStream)
       docs(spark, dir)
-        .select(col("source"), rate.as("rate_permille"),
-          when(bkt < rate, 1L).otherwise(0L).as("__keep"))
+        .select(col("source"),
+          operators.Curation.ratePermille(col("source")).as("rate_permille"),
+          when(operators.Curation.mixtureKeep(col("doc_id"), col("source")), 1L)
+            .otherwise(0L).as("__keep"))
         .groupBy(col("source"), col("rate_permille"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__keep")).as("n_sampled"))
         .select(col("source"), col("rate_permille"), col("n_docs"),
