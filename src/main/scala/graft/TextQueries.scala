@@ -727,7 +727,7 @@ object TextQueries {
     Some("""
       WITH b AS (
         SELECT source,
-               CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
+               CASE TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
                  WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
                  ELSE 750 END AS rate_permille,
                CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 7))

@@ -154,12 +154,20 @@ object VectorQueries {
 
   /** LSH-candidate near-dup pairs with exact rescoring — shared by q27
     * (pairs) and q42 (clusters). */
-  private def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = Tables.embeddings(spark, dir).select(col("vec_id"),
+  /** (vec_id, tb = struct(t, h)) exploded rows of the multi-table
+    * sign-LSH index — ONE definition shared by the production candidate
+    * generator ([[lshNearDupPairs]], q27) and its recall evaluation
+    * (q53), so tuning the index cannot silently leave the evaluation
+    * measuring a stale copy. */
+  private def multiTableBands(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       explode(array((0 until NeardupTables).map { t =>
         struct(lit(t).as("t"),
           VectorOps.signBucketAt(col("embedding"), t * NeardupBits, NeardupBits).as("h"))
       }: _*)).as("tb"))
+
+  private def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = multiTableBands(Tables.embeddings(spark, dir))
     // Aliased self-join (qualified names, not Dataset column refs) so
     // the bucket equality is a real equi-key — see TextOps.simhashPairs.
     val cand = bucketed.alias("a")
@@ -537,13 +545,12 @@ object VectorQueries {
   // IS the correct report — "normalized, dot product is safe").
   private val q52 = Q(
     (spark, dir) => {
-      val e = Tables.embeddings(spark, dir)
-      val spread =
-        if (e.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) e
-        else e.repartition(col("vec_id"))
-      val n = spread
-        .select(col("label"), VectorOps.quantized(col("embedding")).as("q"))
-        .select(col("label"), VectorOps.qnorm2(col("q")).as("n2"))
+      // reuse the shared quantize+norm pipeline (and its spread gate);
+      // label rides in on a vec_id equi-join, the q26/q53 pattern
+      val n = quantized(spark, dir)
+        .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .select(col("label"), col("n2"))
       val s = n.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"),
         sum(col("n2").cast("decimal(38,0)")).as("sn"),
         min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
@@ -623,14 +630,10 @@ object VectorQueries {
       val approx1 = top10(score(c.join(broadcast(q),
           col("qb") === col("cb") && col("qid") =!= col("cid"))))
         .withColumn("__h1", lit(1))
-      // 8-table union candidates (q27's generator), deduped per
-      // (qid, cid) before the exact rescore
-      val bucketed = Tables.embeddings(spark, dir).select(col("vec_id"),
-        explode(array((0 until NeardupTables).map { t =>
-          struct(lit(t).as("t"),
-            VectorOps.signBucketAt(col("embedding"), t * NeardupBits, NeardupBits)
-              .as("h"))
-        }: _*)).as("tb"))
+      // 8-table union candidates (q27's generator via the SHARED
+      // multiTableBands definition), deduped per (qid, cid) before the
+      // exact rescore
+      val bucketed = multiTableBands(Tables.embeddings(spark, dir))
       // the 20-query sample side is provably tiny (20 x 8 bucket rows)
       // -> broadcast it against the corpus-side bucket stream; the
       // candidate set rejoins q (broadcast) and the corpus on cid

@@ -56,9 +56,12 @@ object Curation {
 
   /** Mixture target rate in permille for a source (the mixture config;
     * here a pure function of the source index — in production a tiny
-    * broadcast table). */
+    * broadcast table). A source with no digits has a null index, falls
+    * through every when() and takes the 750 default — try_cast (not
+    * cast) so the rule is ANSI-safe and the DuckDB oracle's TRY_CAST
+    * mirrors it instead of erroring. */
   def ratePermille(source: Column): Column = {
-    val idx = regexp_replace(source, "[^0-9]", "").cast("int")
+    val idx = regexp_replace(source, "[^0-9]", "").try_cast("int")
     when(idx % 4 === 0, 1000L).when(idx % 4 === 1, 500L)
       .when(idx % 4 === 2, 250L).otherwise(750L)
   }
