@@ -76,6 +76,23 @@ class TextOpsSpec extends SparkSpec {
     assert(c1.last._3 == "w7 w8 w9" && c1.last._4 == 3L) // short tail kept
   }
 
+  test("chunked carry columns ride along unchanged on every chunk row") {
+    val df = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" "), "srcA"),
+      (2L, "a b", "srcB")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextOps
+      .chunked(df, "doc_id", "text", chunkSize = 4, stride = 2, carry = Seq("source"))
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk"))).toSeq
+    assert(got.count(_._1 == 1L) == 4)
+    assert(got.filter(_._1 == 1L).forall(_._2 == "srcA"))
+    assert(got.filter(_._1 == 2L) == Seq((2L, "srcB", 0, "a b")))
+    // carry-free call keeps the original 4-column shape
+    val plain = graft.operators.TextOps
+      .chunked(df, "doc_id", "text", chunkSize = 4, stride = 2)
+    assert(plain.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk", "n_tokens"))
+  }
+
   test("simhash is deterministic across partitionings") {
     val docs = Seq((0L, "a b c a b"), (1L, "z y x w v u t")).toDF("doc_id", "text")
     def sigs(parts: Int) = {
