@@ -414,6 +414,49 @@ object RelationalQueries {
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
 
+  // --- E7: DecimalType end-to-end — exact monetary aggregation -----------
+  // The type-system corner the float64 reference never exercises: money
+  // held EXACTLY. Prices are quantized to integer cents map-side (one
+  // deterministic round, mirrored verbatim in the oracle), summed as
+  // decimal(38,0) — a BIGINT sum of cents wraps silently past 2^63 with
+  // ANSI off, i.e. at ~9×10^16 dollars, which a 100 TB lineitem CAN
+  // reach; decimal(38,0) cannot — and shipped as a DecimalType column
+  // (hash-compared against DuckDB's HUGEINT→DECIMAL(38,0) cast). The
+  // dollars view is ONE final decimal→double division, the same
+  // exact-integer-then-one-division discipline as Exact.exactSum.
+  //
+  // The exact sum crosses the engine boundary as a STRING: DuckDB's
+  // pandas bridge renders DECIMAL as float64 (lossy past 2^53) while
+  // Spark's parquet decimal arrives as exact Decimal objects — the two
+  // can never hash-equal as numbers, so the serialization boundary is a
+  // decimal→string cast on both sides (exact at ANY magnitude).
+  //
+  // Scale shape: a single map-side-combinable hash agg over 6 groups —
+  // the cents projection adds no shuffle and the decimal accumulator
+  // adds 16 bytes/group.
+  private val q55 = Q(
+    (spark, dir) => {
+      val cents = round(col("l_extendedprice").cast("double") * 100)
+        .cast("long").cast("decimal(38,0)")
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), sum(cents).as("total_cents_dec"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+          col("total_cents_dec").cast("string").as("total_cents"),
+          (col("total_cents_dec").cast("double") / 100.0).as("total_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        FROM lineitem)
+      SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+             CAST(CAST(sum(cents) AS HUGEINT) AS VARCHAR) AS total_cents,
+             CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0 AS total_price
+      FROM c GROUP BY 1, 2
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -431,5 +474,6 @@ object RelationalQueries {
     "q14_pricing_summary" -> q14,
     "q15_topk_revenue" -> q15,
     "q36_percentiles" -> q36,
-    "q37_rollup" -> q37)
+    "q37_rollup" -> q37,
+    "q55_decimal_money" -> q55)
 }

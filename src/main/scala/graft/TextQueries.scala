@@ -525,28 +525,55 @@ object TextQueries {
   // planted across sources surface as contamination 1.0 — precisely the
   // docs a decontamination pass must drop.
   //
-  // Scale shape: one distinct-gram explode + a gram equi-join (left join
-  // against the DISTINCT eval gram set, so no row multiplication) + a
-  // per-doc count agg — no all-pairs, map-side combinable, the join key
-  // is the gram string (hash-partitioned). At 100 TB the eval side is
-  // tiny and broadcasts; the train side never shuffles whole documents,
-  // only (doc_id, gram) pairs.
+  // Scale shape: the gram TEXT never shuffles — each gram is projected
+  // map-side to a 120-bit md5-derived key (two longs, 16 bytes vs the
+  // ~30-60-byte gram string; collision odds at even 10^15 grams are
+  // ~1e-6, and a collision only over-counts one hit). One distinct on
+  // (doc_id, h) then ONE hash-partitioned window over h marks grams
+  // that appear anywhere in the eval slice — no join, no diamond, no
+  // persist; the corpus text is scanned exactly once. The eval slice
+  // here is a 10% doc_id carve-out, so it rides the same hash
+  // partitioning as the train side (NOT a broadcast — that only
+  // applies when the eval set is a real bounded benchmark corpus).
   /** Per-TRAIN-doc distinct-5-gram counts vs the eval slice: (doc_id,
     * n_grams, n_hits). The q45/q47 shared core — q45 reports the overlap,
     * q47 acts on it (removal). */
   private def trainEvalGramCounts(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the distinct-gram subtree feeds BOTH the train side and
-    // the eval side (a diamond) — without it the corpus-wide explode +
-    // distinct runs twice
     val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
-      .select(col("doc_id"), col("s")).distinct().persist()
-    val evalGrams = grams.filter(col("doc_id") % 10 === 0)
-      .select(col("s")).distinct().withColumn("__hit", lit(1))
-    grams.filter(col("doc_id") % 10 =!= 0)
-      .join(evalGrams, Seq("s"), "left")
+      .withColumn("__h", md5(col("s")))
+      .select(col("doc_id"),
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("__h"), 16, 15), 16, 10).cast("long").as("h2"))
+      .distinct()
+    // eval-presence flag per gram: a windowed max over the hash key —
+    // the oracle replays the identical window over md5(s) (the 128-bit
+    // hex; equivalent grouping absent md5 collisions)
+    val hit = max(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2")))
+    grams.withColumn("__hit", hit)
+      .filter(col("doc_id") % 10 =!= 0)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hits"))
   }
+
+  // Oracle twin of [[trainEvalGramCounts]]: same distinct-gram-hash +
+  // windowed eval-presence + per-train-doc counts, shared by q45/q47 so
+  // the two oracles cannot drift.
+  private val gramCountSqlCte =
+    """g AS (
+        SELECT DISTINCT doc_id, md5(s) AS h FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                      || ' ' || t[i+4]))) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))),
+      hw AS (
+        SELECT doc_id,
+               max(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY h) AS hit
+        FROM g),
+      c AS (
+        SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hits
+        FROM hw WHERE doc_id % 10 <> 0 GROUP BY 1)"""
 
   private val q45 = Q(
     (spark, dir) => {
@@ -556,16 +583,8 @@ object TextQueries {
           (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
         .orderBy(col("contamination").desc_nulls_last, col("doc_id"))
     },
-    Some("""
-      WITH g AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                    || ' ' || t[i+4]))) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
-      ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
-      c AS (
-        SELECT g.doc_id, count(*) AS n_grams, count(ev.s) AS n_hits
-        FROM g LEFT JOIN ev USING (s) WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+    Some(s"""
+      WITH $gramCountSqlCte
       SELECT doc_id, n_grams, n_hits,
              CAST(n_hits AS DOUBLE) / n_grams AS contamination
       FROM c WHERE n_hits > 0
@@ -610,7 +629,7 @@ object TextQueries {
   // boundary. Train docs too short to produce a 5-gram have no counts
   // row and are kept (nothing measurable overlaps).
   //
-  // Scale shape: q45's gram join + ONE more left join keyed on doc_id
+  // Scale shape: q45's gram window + ONE left join keyed on doc_id
   // (the drop set is tiny — contaminated docs — so AQE broadcasts it)
   // and a per-source agg. No new corpus-wide shuffle.
   private val q47 = Q(
@@ -626,16 +645,8 @@ object TextQueries {
           (col("n_train") - col("n_dropped")).as("n_kept"))
         .orderBy(col("source"))
     },
-    Some("""
-      WITH g AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                    || ' ' || t[i+4]))) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
-      ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
-      c AS (
-        SELECT g.doc_id, count(*) AS n_grams, count(ev.s) AS n_hits
-        FROM g LEFT JOIN ev USING (s) WHERE g.doc_id % 10 <> 0 GROUP BY 1),
+    Some(s"""
+      WITH $gramCountSqlCte,
       dr AS (SELECT doc_id FROM c WHERE n_hits * 2 >= n_grams)
       SELECT d.source, count(*) AS n_train,
              count(dr.doc_id) AS n_dropped,

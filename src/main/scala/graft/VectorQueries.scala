@@ -342,30 +342,49 @@ object VectorQueries {
   // replays the identical unrolled training in SQL (HUGEINT sums,
   // `//` = Spark's `div` truncation), so even the learned centroids are
   // hash-checked across engines.
+  /** Trained-IVF shared core — q40 (retrieval) and q54 (recall eval)
+    * read the SAME index, so the evaluation can never drift from the
+    * production path (the multiTableBands discipline from q27/q53).
+    *
+    * k = ⌈√n⌉, the IVF norm: the centroid set (and so its broadcast
+    * and the O(n·k) assignment) grows SUBLINEARLY with the corpus —
+    * 10⁹ vectors ⇒ ~32k centroids (a few MB broadcast), never the
+    * corpus-proportional n/100 that melts at scale. nprobe scales
+    * with the cell count (⌈√k⌉, floor 2) so recall doesn't shrink as
+    * cells multiply. Both are mirrored EXACTLY in the oracle's kk CTE
+    * (double-precision sqrt/ceil are IEEE-identical across engines).
+    *
+    * Assignment is one map-only codegen'd pass (ties to the smallest
+    * cell, matching the oracle's rn=1 ORDER BY cos DESC, cell ASC),
+    * materialized ONCE via localCheckpoint — its consumers (q40's
+    * candidate join; q54's TWO probe settings) read n (vid, cell)
+    * pairs, never re-run the O(n·k) argmax.
+    *
+    * @return (quantized corpus, centroids with cn2, cell assignment,
+    *         base nprobe)
+    */
+  private def ivfTrained(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
+    val e = quantized(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val cents = graft.operators.KMeans.fit(e, "vec_id", "q", k, iters = 2)
+      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+    val cells = e.crossJoin(broadcast(ca))
+      .select(col("vec_id").as("vid"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+      .localCheckpoint()
+    (e, cents, cells, nprobe)
+  }
+
   private val q40 = Q(
     (spark, dir) => {
-      val e = quantized(spark, dir)
-      // k = ⌈√n⌉, the IVF norm: the centroid set (and so its broadcast
-      // and the O(n·k) assignment) grows SUBLINEARLY with the corpus —
-      // 10⁹ vectors ⇒ ~32k centroids (a few MB broadcast), never the
-      // corpus-proportional n/100 that melts at scale. nprobe scales
-      // with the cell count (⌈√k⌉, floor 2) so recall doesn't shrink as
-      // cells multiply. Both are mirrored EXACTLY in the oracle's kk CTE
-      // (double-precision sqrt/ceil are IEEE-identical across engines).
-      val n = Tables.embeddings(spark, dir).count()
-      val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-      val cents = graft.operators.KMeans.fit(e, "vec_id", "q", k, iters = 2)
-        .withColumn("cn2", VectorOps.qnorm2(col("cq")))
-      // Same argmax/window split as q32: assignment is one map-only
-      // codegen'd pass (ties to the smallest cell, matching the
-      // oracle's rn=1 ORDER BY cos DESC, cell ASC), and only the 10
-      // query vectors pay for a ranked window.
-      val ca = VectorOps.centroidArrays(cents, "cell", "cq")
-      val cells = e.crossJoin(broadcast(ca))
-        .select(col("vec_id").as("vid"),
-          VectorOps.cellArgMax(col("q"), col("n2"),
-            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+      // Trained index from the shared core; only the 10 query vectors
+      // pay for a ranked window (same argmax/window split as q32).
+      val (e, cents, cells, nprobe) = ivfTrained(spark, dir)
       val sim = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
         .select(col("vec_id").as("vid"), col("cell"),
           VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
@@ -392,8 +411,38 @@ object VectorQueries {
         .select(col("qid"), col("cid"), col("cos_sim"))
         .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
     },
-    Some("""
-      WITH e AS (
+    Some(s"""
+      WITH $ivfSqlCte,
+        probes AS (SELECT vid, cell FROM ranked
+                   WHERE rn <= (SELECT np FROM kk) AND vid < 10),
+        cand AS (
+          SELECT p.vid AS qid, c.vid AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
+        d AS (
+          SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+          FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                    JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+          GROUP BY 1, 2),
+        c2 AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        r AS (
+          SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM c2)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
+  /** Oracle twin of [[ivfTrained]] — the q40 unrolled 2-iteration
+    * k-means replay (HUGEINT-exact sums, `//` = Spark's `div`) up
+    * through the final corpus cell assignment, shared verbatim by the
+    * q40 and q54 oracles so the evaluated index IS the served index.
+    * (A def, not a val: q40 textually precedes this definition, and a
+    * forward-referenced val would interpolate as "null" at object
+    * init.) */
+  private def ivfSqlCte =
+    """e AS (
           SELECT vec_id,
                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
                  generate_subscripts(embedding, 1) AS i
@@ -453,27 +502,7 @@ object VectorQueries {
                    CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) / sqrt(CAST(c2n.cn2 AS DOUBLE)) DESC NULLS LAST,
                    cdot.cell ASC) AS rn
           FROM cdot JOIN n ON n.vec_id = cdot.vid JOIN c2n ON c2n.cell = cdot.cell),
-        cells AS (SELECT vid, cell FROM ranked WHERE rn = 1),
-        probes AS (SELECT vid, cell FROM ranked
-                   WHERE rn <= (SELECT np FROM kk) AND vid < 10),
-        cand AS (
-          SELECT p.vid AS qid, c.vid AS cid
-          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
-        d AS (
-          SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
-          FROM cand JOIN e ea ON ea.vec_id = cand.qid
-                    JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
-          GROUP BY 1, 2),
-        c2 AS (
-          SELECT qid, cid,
-                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
-          FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
-        r AS (
-          SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
-                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
-          FROM c2)
-      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
-      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+        cells AS (SELECT vid, cell FROM ranked WHERE rn = 1)"""
 
   // --- E3f: embedding near-dup CLUSTERS + canonical survivor -------------
   // The q39 story for embeddings: pairs alone don't dedup a corpus —
@@ -599,7 +628,10 @@ object VectorQueries {
   // top-10 neighbors are only moderately similar. That is the
   // quantified reason the near-dup path (cos >= 0.4 pairs, where
   // sign-LSH recall is high — VectorQueriesSpec measures it) uses LSH
-  // while the top-k RETRIEVAL path (q40) uses trained-centroid IVF.
+  // while the top-k RETRIEVAL path (q40) uses trained-centroid IVF —
+  // and q54 closes the comparison from the other side: the SAME
+  // 20-query recall@10 measured on q40's trained index (0.94 vs the
+  // ~0.14 here at the production probe budget).
   //
   // Scale shape: the exact side is O(sample x corpus) — that is the
   // point: recall is evaluated on a BOUNDED query sample (20 vectors
@@ -742,6 +774,141 @@ object VectorQueries {
               LEFT JOIN am ON ex.qid = am.qid AND ex.cid = am.cid
       GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
 
+  // --- E3h: IVF recall evaluation (q53's measurement for q40's index) ----
+  // q53 measured the two sign-LSH designs and concluded "that is why
+  // retrieval uses IVF" — this closes the loop by giving q40's TRAINED
+  // index the same recall@10 measurement, at the production probe
+  // budget nprobe=⌈√k⌉ AND at 4× that budget, so the recall/cost knob
+  // is a measured curve, not a single point. The index under test comes
+  // from the SHARED ivfTrained core (and the oracle replays the SHARED
+  // unrolled-kmeans CTE), so this evaluates exactly what q40 serves.
+  // Measured result (sf0.1, n=2000, k=45): mean recall@10 = 0.94 at
+  // nprobe=7 and 0.985 at nprobe=28 (sf0.01: 0.90 / 1.0) — trained
+  // IVF at √k probes recovers ~6.7× sign-LSH's ~0.14 (q53) on this
+  // moderate-similarity corpus. The "retrieval uses IVF" conclusion
+  // is now measured on the served index, not inferred.
+  //
+  // Scale shape: the exact side is the SAME bounded O(sample × corpus)
+  // broadcast stream as q53 (20 queries, never corpus × corpus); the
+  // approx sides reuse the materialized cell assignment (two probe
+  // settings read ONE O(n·k) argmax pass) and join it against ≤ 20×4√k
+  // probe rows — both sides rescore only their candidates.
+  private val q54 = Q(
+    (spark, dir) => {
+      val (e, cents, cells, nprobe) = ivfTrained(spark, dir)
+      // per-query ranked cells: only the 20 query vectors pay for the
+      // window; the diamond below (two rn cutoffs) recomputes just
+      // 20 × k bounded rows
+      val sim = e.filter(col("vec_id") < 20).crossJoin(broadcast(cents))
+        .select(col("vec_id").as("vid"), col("cell"),
+          VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
+            col("n2"), col("cn2")).as("cos_sim"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cell").asc_nulls_first)
+      val ranked = sim.withColumn("rn", row_number().over(wc))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      def top10(scored: DataFrame): DataFrame = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"))
+      def score(cand: DataFrame): DataFrame = cand.select(col("qid"), col("cid"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq2")),
+          col("qn2"), col("cn22")).as("cos_sim"))
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val cv = e.select(col("vec_id").as("cid"), col("q").as("cq2"), col("n2").as("cn22"))
+      val exact = top10(score(cv.join(broadcast(qv), col("qid") =!= col("cid"))))
+      def approxAt(np: Int): DataFrame = top10(score(
+        ranked.filter(col("rn") <= np)
+          .select(col("vid").as("qid"), col("cell"))
+          .join(cells, Seq("cell"))
+          .filter(col("qid") =!= col("vid"))
+          .select(col("qid"), col("vid").as("cid"))
+          .join(broadcast(qv), Seq("qid"))
+          .join(cv, Seq("cid"))))
+      val a1 = approxAt(nprobe).withColumn("__h1", lit(1))
+      val a4 = approxAt(nprobe * 4).withColumn("__h4", lit(1))
+      exact
+        .join(broadcast(a1), Seq("qid", "cid"), "left")
+        .join(broadcast(a4), Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("__h1")).as("hits_probe"),
+          count(col("__h4")).as("hits_probe4"))
+        .select(col("qid"), col("n_exact"),
+          col("hits_probe"),
+          (col("hits_probe").cast("double") / col("n_exact")).as("recall_probe"),
+          col("hits_probe4"),
+          (col("hits_probe4").cast("double") / col("n_exact")).as("recall_probe4"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH $ivfSqlCte,
+        probes1 AS (SELECT vid, cell FROM ranked
+                    WHERE rn <= (SELECT np FROM kk) AND vid < 20),
+        probes4 AS (SELECT vid, cell FROM ranked
+                    WHERE rn <= 4 * (SELECT np FROM kk) AND vid < 20),
+        dx AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        cx AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                   / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        rx AS (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM cx),
+        ex AS (SELECT qid, cid FROM rx WHERE rn <= 10),
+        cand1 AS (
+          SELECT p.vid AS qid, c.vid AS cid
+          FROM probes1 p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
+        dd1 AS (
+          SELECT cand1.qid, cand1.cid, sum(ea.v * eb.v) AS dot
+          FROM cand1 JOIN e ea ON ea.vec_id = cand1.qid
+                     JOIN e eb ON eb.vec_id = cand1.cid AND eb.i = ea.i
+          GROUP BY 1, 2),
+        cc1 AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                   / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM dd1 JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        rr1 AS (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM cc1),
+        ap1 AS (SELECT qid, cid FROM rr1 WHERE rn <= 10),
+        cand4 AS (
+          SELECT p.vid AS qid, c.vid AS cid
+          FROM probes4 p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid),
+        dd4 AS (
+          SELECT cand4.qid, cand4.cid, sum(ea.v * eb.v) AS dot
+          FROM cand4 JOIN e ea ON ea.vec_id = cand4.qid
+                     JOIN e eb ON eb.vec_id = cand4.cid AND eb.i = ea.i
+          GROUP BY 1, 2),
+        cc4 AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                   / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM dd4 JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        rr4 AS (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM cc4),
+        ap4 AS (SELECT qid, cid FROM rr4 WHERE rn <= 10)
+      SELECT ex.qid, count(*) AS n_exact,
+             CAST(count(ap1.cid) AS BIGINT) AS hits_probe,
+             CAST(count(ap1.cid) AS DOUBLE) / count(*) AS recall_probe,
+             CAST(count(ap4.cid) AS BIGINT) AS hits_probe4,
+             CAST(count(ap4.cid) AS DOUBLE) / count(*) AS recall_probe4
+      FROM ex LEFT JOIN ap1 ON ex.qid = ap1.qid AND ex.cid = ap1.cid
+              LEFT JOIN ap4 ON ex.qid = ap4.qid AND ex.cid = ap4.cid
+      GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -750,5 +917,6 @@ object VectorQueries {
     "q40_ann_ivf_kmeans" -> q40,
     "q42_embed_clusters" -> q42,
     "q52_embedding_outliers" -> q52,
-    "q53_ann_recall" -> q53)
+    "q53_ann_recall" -> q53,
+    "q54_ivf_recall" -> q54)
 }

@@ -41,12 +41,19 @@ object GraphOps {
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 40): DataFrame = {
+    // Materialize the pair pipeline ONCE before fanning it out: the
+    // edge set references `pairs` four times (both directions + two
+    // self-loop branches), and Spark plans each union branch
+    // independently — without this checkpoint an expensive upstream
+    // (e.g. the full MinHash+LSH candidate generation feeding q39/q43)
+    // would execute four times inside the edges job.
+    val p = pairs.select(col(a).as("s"), col(b).as("t")).localCheckpoint()
     // Both directions + self-loops: min over "neighbors" then includes
     // the node's own label for free (replaces labels.join + coalesce).
-    val edges = pairs.select(col(a).as("s"), col(b).as("t"))
-      .unionByName(pairs.select(col(b).as("s"), col(a).as("t")))
-      .unionByName(pairs.select(col(a).as("s"), col(a).as("t")))
-      .unionByName(pairs.select(col(b).as("s"), col(b).as("t")))
+    val edges = p
+      .unionByName(p.select(col("t").as("s"), col("s").as("t")))
+      .unionByName(p.select(col("s"), col("s").as("t")))
+      .unionByName(p.select(col("t").as("s"), col("t")))
       .distinct()
       .localCheckpoint() // eager: shared by every iteration
     var labels: DataFrame = null

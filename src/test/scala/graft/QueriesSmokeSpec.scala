@@ -75,6 +75,39 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q45+q47 leave no pinned storage in a plain session") {
+    // the r4 verdict's persist-leak regression guard: the decontamination
+    // core must not hand a third-party caller pinned cache entries
+    spark.catalog.clearCache()
+    Queries.queries("q45_decontamination")(spark, sfDir).collect()
+    Queries.queries("q47_decontaminate_corpus")(spark, sfDir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decontamination queries left persisted entries behind")
+  }
+
+  test("q54 recall bounded and non-decreasing in the probe budget") {
+    val rows = Queries.queries("q54_ivf_recall")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      val h1 = r.getAs[Long]("hits_probe")
+      val h4 = r.getAs[Long]("hits_probe4")
+      assert(h1 >= 0 && h1 <= 10 && h4 >= 0 && h4 <= 10)
+      // widening the probe set can only add candidates
+      assert(h4 >= h1, s"recall shrank as nprobe grew: $h1 -> $h4")
+    }
+  }
+
+  test("q55 decimal money: string cents exactly re-parse and match dollars") {
+    val rows = Queries.queries("q55_decimal_money")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cents = BigInt(r.getAs[String]("total_cents"))
+      assert(cents > 0)
+      assert(math.abs(cents.toDouble / 100.0 - r.getAs[Double]("total_price")) < 1e-6)
+    }
+  }
+
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
