@@ -31,10 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * is null or the centroid set is empty.
   *
   * Null/NaN contract: array elements must be non-null (guaranteed by
-  * VectorOps.quantized / centroidArrays); norms are > 0 for the nonzero
-  * vectors this stack quantizes, so cosines are finite and the plain
-  * `>` / `==` double comparisons below match Spark's struct-ordering
-  * max_by on the same values.
+  * VectorOps.quantized / centroidArrays); norms must be > 0 so cosines
+  * are finite and the plain `>` / `==` double comparisons below match
+  * Spark's struct-ordering max_by on the same values. The norm
+  * precondition is ENFORCED, not assumed: a zero (or negative) `qn2` or
+  * any zero `cn2s[j]` returns null rather than letting a NaN cosine
+  * make the argmax order-dependent (a NaN seen first would win every
+  * later `>` comparison — divergent from Spark, which sorts NaN
+  * greatest).
   */
 case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expression,
                                 cqs: Expression, cn2s: Expression) extends Expression {
@@ -74,7 +78,9 @@ case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expressio
     val cn2sA = cn2sV.asInstanceOf[ArrayData]
     val k = cellsA.numElements()
     if (k == 0) return null
-    val sq = math.sqrt(n2v.asInstanceOf[Long].toDouble)
+    val n2 = n2v.asInstanceOf[Long]
+    if (n2 <= 0L) return null
+    val sq = math.sqrt(n2.toDouble)
     var bestCos = 0.0
     var bestCell = 0L
     var first = true
@@ -85,7 +91,9 @@ case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expressio
       var dot = 0L
       var i = 0
       while (i < m) { dot += qa.getLong(i) * cq.getLong(i); i += 1 }
-      val cos = dot.toDouble / sq / math.sqrt(cn2sA.getLong(j).toDouble)
+      val cn2 = cn2sA.getLong(j)
+      if (cn2 <= 0L) return null
+      val cos = dot.toDouble / sq / math.sqrt(cn2.toDouble)
       val cell = cellsA.getLong(j)
       if (first || cos > bestCos || (cos == bestCos && cell < bestCell)) {
         bestCos = cos; bestCell = cell; first = false
@@ -113,6 +121,8 @@ case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expressio
     val i = ctx.freshName("i")
     val cos = ctx.freshName("cos")
     val cell = ctx.freshName("cell")
+    val cn2 = ctx.freshName("cn2")
+    val bad = ctx.freshName("badNorm")
     val arrayData = classOf[ArrayData].getName
     ev.copy(code = code"""
       ${qC.code}
@@ -125,11 +135,12 @@ case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expressio
       if (!${qC.isNull} && !${n2C.isNull} && !${cellsC.isNull} &&
           !${cqsC.isNull} && !${cn2sC.isNull}) {
         int $k = ${cellsC.value}.numElements();
-        if ($k > 0) {
+        if ($k > 0 && ${n2C.value} > 0L) {
           double $sq = Math.sqrt((double) ${n2C.value});
           double $bestCos = 0.0;
           long $bestCell = -1L;
           boolean $first = true;
+          boolean $bad = false;
           for (int $j = 0; $j < $k; $j++) {
             $arrayData $cq = ${cqsC.value}.getArray($j);
             int $m = Math.min(${qC.value}.numElements(), $cq.numElements());
@@ -137,14 +148,18 @@ case class CellArgMaxCosineLong(q: Expression, qn2: Expression, cells: Expressio
             for (int $i = 0; $i < $m; $i++) {
               $dot += ${qC.value}.getLong($i) * $cq.getLong($i);
             }
-            double $cos = ((double) $dot) / $sq / Math.sqrt((double) ${cn2sC.value}.getLong($j));
+            long $cn2 = ${cn2sC.value}.getLong($j);
+            if ($cn2 <= 0L) { $bad = true; break; }
+            double $cos = ((double) $dot) / $sq / Math.sqrt((double) $cn2);
             long $cell = ${cellsC.value}.getLong($j);
             if ($first || $cos > $bestCos || ($cos == $bestCos && $cell < $bestCell)) {
               $bestCos = $cos; $bestCell = $cell; $first = false;
             }
           }
-          ${ev.isNull} = false;
-          ${ev.value} = $bestCell;
+          if (!$bad) {
+            ${ev.isNull} = false;
+            ${ev.value} = $bestCell;
+          }
         }
       }
     """)

@@ -31,6 +31,15 @@ import graft.pipeline.Pipeline
   * committed tmp, or restore the graveyard) before the next merge
   * decision — the index is never silently read as empty.
   *
+  * Document UPDATES (cross-batch re-delivery of a doc_id with different
+  * text) are first-class, the same way [[CurationStream]] handles
+  * verdict flips: a re-delivered doc's OLD bands/shingles are excluded
+  * from candidate generation and verification (new rows win), and every
+  * stored pair touching it is retracted and re-derived against the new
+  * text — so the pairs store always equals [[batchPairs]] over the
+  * LATEST version of every document. For an unchanged replay the
+  * re-derived rows equal the retracted ones, preserving the no-op.
+  *
   * Scale posture: per batch the work is O(batch x collisions) — band
   * signatures for the batch only, one equi-join against the band index,
   * exact verification only for colliding id pairs against the shingle
@@ -107,11 +116,19 @@ object NearDupStream {
     val newBands = docBands(docsB).persist()
     val newSets = shingleSets(docsB).persist()
     try {
+      // History EXCLUDING any re-delivered doc's old rows: a CHANGED
+      // document's stale bands/shingles must neither generate candidates
+      // nor verify them (the new version wins; for an unchanged replay
+      // old rows == new rows, so exclusion changes nothing).
+      val batchIds = docsB.select(col("doc_id"))
+      def history(path: String, like: DataFrame): DataFrame =
+        stored(path, like).join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+
       // Candidates: batch bands vs (history + batch) bands.
       // least/greatest normalizes order so batch-internal pairs and a
       // replayed batch (its docs already indexed) dedup to the same
       // (a_id, b_id) row.
-      val allBands = stored(bandsPath, newBands).unionByName(newBands)
+      val allBands = history(bandsPath, newBands).unionByName(newBands)
       val cand = newBands.alias("a")
         .join(allBands.alias("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -119,13 +136,20 @@ object NearDupStream {
         .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
         .distinct()
-      val allSets = stored(setsPath, newSets).unionByName(newSets)
-        .dropDuplicates("doc_id")
+      val allSets = history(setsPath, newSets).unionByName(newSets)
 
-      // pairs BEFORE index: a crash between the merges then re-finds the
-      // batch's pairs on replay instead of losing them to self-collision
-      EventStreams.mergeBatch(spark, verify(cand, allSets), pairsPath,
-        keys = Seq("a_id", "b_id"))
+      // Pair retraction on re-delivery: drop every stored pair touching
+      // a batch doc_id, then admit the freshly verified ones — pairs
+      // proven against a doc's OLD text cannot outlive the update.
+      // Disjoint by construction: every new pair touches a batch doc
+      // (the candidate join's a-side is newBands), every kept pair
+      // touches none. Pairs are still written BEFORE the index merges:
+      // a crash in between re-finds the batch's pairs on replay.
+      val newPairs = verify(cand, allSets).dropDuplicates(Seq("a_id", "b_id"))
+      val keptPairs = stored(pairsPath, newPairs)
+        .join(broadcast(batchIds), col("a_id") === col("doc_id"), "left_anti")
+        .join(broadcast(batchIds), col("b_id") === col("doc_id"), "left_anti")
+      Pipeline.swapWrite(spark, keptPairs.unionByName(newPairs), pairsPath)
       EventStreams.mergeBatch(spark, newBands, bandsPath, keys = Seq("doc_id", "band"))
       EventStreams.mergeBatch(spark, newSets, setsPath, keys = Seq("doc_id"))
     } finally {

@@ -91,6 +91,31 @@ class NearDupStreamSpec extends SparkSpec {
       .groupBy("doc_id").count().filter($"count" =!= NearDupStream.Bands).count() == 0)
   }
 
+  test("re-delivered CHANGED document retracts its stale pairs and re-derives new ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndupdate").toString
+    val index = s"$root/index"; val pairs = s"$root/pairs"
+    NearDupStream.processBatch(spark, df(corpus.filter(d => Set(1L, 3L, 4L)(d._1))), index, pairs)
+    NearDupStream.processBatch(spark, df(corpus.filterNot(d => Set(1L, 3L, 4L)(d._1))), index, pairs)
+    assert(pairsOf(spark.read.parquet(pairs)).map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 7L)))
+
+    // doc 2 changes family: alpha -> near-gamma. Its old pairs (1,2) and
+    // (2,5) were verified against text that no longer exists and must be
+    // retracted; its new text is a near-dup of doc 4, which must appear.
+    val doc2v2 = (1 to 35).map(i => if (i == 35) "tail-changed" else s"gamma$i").mkString(" ")
+    NearDupStream.processBatch(spark, df(Seq(2L -> doc2v2)), index, pairs)
+
+    val updatedCorpus = corpus.map { case (id, t) => if (id == 2L) id -> doc2v2 else id -> t }
+    val streamed = pairsOf(spark.read.parquet(pairs))
+    assert(streamed.map(p => (p._1, p._2)) == Set((1L, 5L), (2L, 4L), (3L, 7L)))
+    assert(streamed == pairsOf(NearDupStream.batchPairs(df(updatedCorpus))),
+      "pairs store must equal batchPairs over the LATEST text of every doc")
+    // the index holds the new version exactly once
+    assert(spark.read.parquet(s"$index/shingles.parquet").count() == 8)
+    assert(spark.read.parquet(s"$index/bands.parquet")
+      .filter($"doc_id" === 2L).count() == NearDupStream.Bands)
+  }
+
   test("replayed micro-batch is a no-op (idempotent merges)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndreplay").toString
     val index = s"$root/index"; val pairs = s"$root/pairs"

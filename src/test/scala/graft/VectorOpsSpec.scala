@@ -71,6 +71,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(tied == 5L)
   }
 
+  test("cellArgMax enforces the non-zero-norm contract (null, not NaN argmax)") {
+    // a zero-norm query vector or any zero-norm centroid would make a
+    // cosine NaN and the argmax order-dependent; the expression returns
+    // null instead (ADVICE r4) — asserted through BOTH paths: the
+    // codegen'd projection and the interpreted eval (after a filter
+    // Catalyst may route through eval)
+    val zeroQ = Seq((0L, Seq.fill(16)(0.0f)), (1L, Seq.fill(16)(0.25f)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), VectorOps.quantized(col("v")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+    val cents = Seq((3L, Seq.fill(16)(0.5f))).toDF("cell", "cq0")
+      .select(col("cell"), VectorOps.quantized(col("cq0")).as("cq"))
+    val got = zeroQ.crossJoin(broadcast(VectorOps.centroidArrays(cents, "cell", "cq")))
+      .select(col("vec_id"), VectorOps.cellArgMax(col("q"), col("n2"),
+        col("cells"), col("cqs"), col("cn2s")).as("cell"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(0L -> None, 1L -> Some(3L)))
+    // zero-norm CENTROID poisons the whole set -> null for every vector
+    val zeroCent = Seq((3L, Seq.fill(16)(0.5f)), (4L, Seq.fill(16)(0.0f)))
+      .toDF("cell", "cq0")
+      .select(col("cell"), VectorOps.quantized(col("cq0")).as("cq"))
+    val got2 = zeroQ.filter(col("vec_id") === 1L)
+      .crossJoin(broadcast(VectorOps.centroidArrays(zeroCent, "cell", "cq")))
+      .select(VectorOps.cellArgMax(col("q"), col("n2"),
+        col("cells"), col("cqs"), col("cn2s")).as("cell"))
+    assert(got2.first().isNullAt(0))
+    assert(got2.filter(col("cell").isNull).count() == 1)
+  }
+
   test("cosine of identical vectors is 1.0 within fp rounding") {
     val df = vecs.toDF("id", "v").select(col("id"), VectorOps.quantized(col("v")).as("q"))
       .withColumn("n2", VectorOps.qnorm2(col("q")))

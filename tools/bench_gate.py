@@ -58,7 +58,10 @@ def main() -> int:
     # a query that FAILS in the new run (-1) is the worst regression of
     # all — it must gate, not vanish; a query failed in BOTH runs is
     # reported but not double-counted as new breakage
-    broken = sorted(q for q in new if new[q] < 0 and prev.get(q, 0) >= 0)
+    broken = sorted(q for q in new if new[q] < 0 and q in prev and prev[q] >= 0)
+    # a query absent from prev that fails on its first run has no baseline
+    # time to print — classify separately so the report can't KeyError
+    new_broken = sorted(q for q in new if new[q] < 0 and q not in prev)
     still_broken = sorted(q for q in new if new[q] < 0 and prev.get(q, 0) < 0)
     prev = {k: v for k, v in prev.items() if v >= 0}
     new_ok = {k: v for k, v in new.items() if v >= 0}
@@ -73,6 +76,8 @@ def main() -> int:
         print(f"GONE {q}: was {prev[q]:.2f}s")
     for q in broken:
         print(f"BROKEN {q}: was {prev[q]:.2f}s, now FAILS (-1)")
+    for q in new_broken:
+        print(f"NEW+BROKEN {q}: FAILS (-1) in its first recorded run")
     for q in still_broken:
         print(f"STILL-BROKEN {q}: failed in both runs")
     for q, p, n in regressions:
@@ -81,8 +86,8 @@ def main() -> int:
     tot_new = sum(new_ok[q] for q in shared)
     print(f"\nshared-query total: {tot_prev:.2f}s -> {tot_new:.2f}s "
           f"({len(shared)} queries); {len(regressions)} regression(s), "
-          f"{len(broken)} newly broken")
-    return 1 if regressions or broken else 0
+          f"{len(broken) + len(new_broken)} newly broken")
+    return 1 if regressions or broken or new_broken else 0
 
 
 if __name__ == "__main__":

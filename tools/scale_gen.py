@@ -33,8 +33,23 @@ COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(base: str, out: str, copies: int) -> None:
     import os
+    # rot = 16*k wraps mod 64 at k=4: copy 4's embeddings would be
+    # bit-identical to copy 0's (cross-copy cosine 1.0), silently breaking
+    # the "cross-copy cosines scrambled" invariant documented above.
+    if copies > 4:
+        raise SystemExit("copies > 4 would repeat the dimension rotation "
+                         "(16*k mod 64) — cross-copy cosines of 1.0 break "
+                         "the linear-growth invariant; use <= 4")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # the k*1_000_000 id offset is only injective if base ids stay below 1M
+    max_ids = con.execute(
+        f"SELECT (SELECT max(doc_id) FROM read_parquet('{base}/documents.parquet')), "
+        f"(SELECT max(vec_id) FROM read_parquet('{base}/embeddings.parquet'))"
+    ).fetchone()
+    if any(m is not None and m >= 1_000_000 for m in max_ids):
+        raise SystemExit(f"base ids {max_ids} >= 1_000_000 would collide "
+                         "with the per-copy id offset")
     doc_parts = []
     emb_parts = []
     for k in range(copies):
