@@ -537,24 +537,11 @@ object TextQueries {
   // applies when the eval set is a real bounded benchmark corpus).
   /** Per-TRAIN-doc distinct-5-gram counts vs the eval slice: (doc_id,
     * n_grams, n_hits). The q45/q47 shared core — q45 reports the overlap,
-    * q47 acts on it (removal). */
-  private def trainEvalGramCounts(spark: SparkSession, dir: String): DataFrame = {
-    val grams = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text", 5)
-      .withColumn("__h", md5(col("s")))
-      .select(col("doc_id"),
-        conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(col("__h"), 16, 15), 16, 10).cast("long").as("h2"))
-      .distinct()
-    // eval-presence flag per gram: a windowed max over the hash key —
-    // the oracle replays the identical window over md5(s) (the 128-bit
-    // hex; equivalent grouping absent md5 collisions)
-    val hit = max(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2")))
-    grams.withColumn("__hit", hit)
-      .filter(col("doc_id") % 10 =!= 0)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hits"))
-  }
+    * q47 acts on it (removal). The implementation (and its scale-shape
+    * notes) lives in [[graft.operators.Curation.contaminationCounts]],
+    * the seam the curated-corpus write path shares. */
+  private def trainEvalGramCounts(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.contaminationCounts(docs(spark, dir))
 
   // Oracle twin of [[trainEvalGramCounts]]: same distinct-gram-hash +
   // windowed eval-presence + per-train-doc counts, shared by q45/q47 so
@@ -634,9 +621,8 @@ object TextQueries {
   // and a per-source agg. No new corpus-wide shuffle.
   private val q47 = Q(
     (spark, dir) => {
-      val dropIds = trainEvalGramCounts(spark, dir)
-        .filter(col("n_hits") * 2 >= col("n_grams"))
-        .select(col("doc_id"), lit(1).as("__drop"))
+      val dropIds = operators.Curation.contaminationDropIds(docs(spark, dir))
+        .withColumn("__drop", lit(1))
       docs(spark, dir).filter(col("doc_id") % 10 =!= 0)
         .join(dropIds, Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -836,6 +822,78 @@ object TextQueries {
       GROUP BY 1, 2
       ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""))
 
+  // --- E4m: training-sequence packing accounting --------------------------
+  // The last prep step before text ships to a trainer: concatenate
+  // documents and cut the stream into fixed context-window sequences
+  // ("concat-then-chunk" packing, the standard pretraining recipe —
+  // documents crossing a boundary are split, nothing is padded). The
+  // packing key is (source, shard) with shard = doc_id % 8: the ordered
+  // cumulative token sum runs per shard, NOT corpus-global — a single
+  // unpartitioned window would funnel 100 TB through one partition (the
+  // q40-era WindowExec hazard); sharding keeps every window partition
+  // bounded while the assignment stays a pure function of (doc_id,
+  // n_tokens), deterministic on any cluster. In production the shard
+  // count scales with the corpus (it only changes which docs share a
+  // boundary). Output per source: docs, tokens, sequences (per-shard
+  // ceil), boundary-split docs, packing efficiency (token fill of the
+  // allocated sequence slots; no padding waste is hidden because the
+  // tail sequence of each shard is counted as a full slot).
+  private val q56 = Q(
+    (spark, dir) => {
+      val B = 256L // context window: tokens per packed sequence
+      val S = 8L   // packing shards per source
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val t = docs(spark, dir).select(col("source"), col("doc_id"),
+        pmod(col("doc_id"), lit(S)).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val c = t.withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_a", expr(s"cb div $B"))
+        .withColumn("seq_b", expr(s"(cb + n_tokens - 1) div $B"))
+      val seqs = c.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tokens")).as("st"))
+        .groupBy(col("source"))
+        .agg(sum(expr(s"(st + ${B - 1}) div $B")).as("n_seqs"),
+          sum(col("st")).as("total_tokens"))
+      val split = c.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("seq_b") > col("seq_a"), 1L).otherwise(0L)).as("n_split_docs"))
+      seqs.join(split, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_seqs"), col("n_split_docs"),
+          (col("total_tokens").cast("double") / (col("n_seqs") * B))
+            .as("pack_efficiency"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id, doc_id % 8 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+                 ORDER BY doc_id ASC NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t),
+      s AS (
+        SELECT source, shard, n_tokens, cb // 256 AS seq_a,
+               (cb + n_tokens - 1) // 256 AS seq_b
+        FROM c),
+      sq AS (SELECT source, shard, sum(n_tokens) AS st FROM s GROUP BY 1, 2),
+      a1 AS (SELECT source, CAST(sum((st + 255) // 256) AS BIGINT) AS n_seqs,
+                    CAST(sum(st) AS BIGINT) AS total_tokens
+             FROM sq GROUP BY 1),
+      a2 AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN seq_b > seq_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_split_docs
+             FROM s GROUP BY 1)
+      SELECT a1.source, n_docs, total_tokens, n_seqs, n_split_docs,
+             CAST(total_tokens AS DOUBLE) / (n_seqs * 256) AS pack_efficiency
+      FROM a1 JOIN a2 ON a1.source = a2.source
+      ORDER BY a1.source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -858,5 +916,6 @@ object TextQueries {
     "q48_quality_funnel" -> q48,
     "q49_domain_mixture" -> q49,
     "q50_passage_dedup" -> q50,
-    "q51_cross_source_overlap" -> q51)
+    "q51_cross_source_overlap" -> q51,
+    "q56_sequence_packing" -> q56)
 }

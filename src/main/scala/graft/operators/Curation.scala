@@ -83,4 +83,71 @@ object Curation {
       .filter(col("p_len") && col("p_rep") && col("p_stop"))
       .filter(mixtureKeep(col("doc_id"), col("source")))
       .select(col("doc_id"), col("source"))
+
+  /** Per-TRAIN-doc distinct-5-gram eval-overlap counts — the
+    * decontamination measurement core shared by TextQueries q45/q47 and
+    * the curated-corpus write path ([[graft.pipeline.CuratedCorpus]]).
+    * Eval slice = doc_id % 10 == 0 (in production: the actual benchmark
+    * corpus). Output: (doc_id, n_grams, n_hits) for every train doc
+    * with at least one 5-gram.
+    *
+    * Scale shape: the gram TEXT never shuffles — each gram is projected
+    * map-side to a 120-bit md5-derived key (two longs, 16 bytes vs the
+    * ~30-60-byte gram string; collision odds at even 10^15 grams are
+    * ~1e-6, and a collision only over-counts one hit). One distinct on
+    * (doc_id, h) then ONE hash-partitioned window over h marks grams
+    * that appear anywhere in the eval slice — no join, no diamond, no
+    * persist; the corpus text is scanned exactly once. The eval slice
+    * here is a 10% doc_id carve-out, so it rides the same hash
+    * partitioning as the train side (NOT a broadcast — that only
+    * applies when the eval set is a real bounded benchmark corpus). */
+  def contaminationCounts(docs: DataFrame): DataFrame = {
+    val grams = TextOps.explodedShingles(docs, "doc_id", "text", 5)
+      .withColumn("__h", md5(col("s")))
+      .select(col("doc_id"),
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("__h"), 16, 15), 16, 10).cast("long").as("h2"))
+      .distinct()
+    // eval-presence flag per gram: a windowed max over the hash key —
+    // the oracle replays the identical window over md5(s) (the 128-bit
+    // hex; equivalent grouping absent md5 collisions)
+    val hit = max(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2")))
+    grams.withColumn("__hit", hit)
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hits"))
+  }
+
+  /** Decontamination drop set (q47's rule): train docs whose eval
+    * overlap reaches HALF their distinct 5-grams, compared in integer
+    * space so no float crosses an engine boundary. Train docs too short
+    * to produce a 5-gram have no counts row and are kept. */
+  def contaminationDropIds(docs: DataFrame): DataFrame =
+    contaminationCounts(docs)
+      .filter(col("n_hits") * 2 >= col("n_grams"))
+      .select(col("doc_id"))
+
+  /** Near-dup LOSERS under q43's survivor rule: members of any near-dup
+    * cluster EXCEPT its best-quality member (type-token ratio, smallest
+    * doc_id as tiebreak — exact-integer-division ranking, bit-identical
+    * across engines). Computed over whatever corpus slice is passed in;
+    * docs in no cluster never appear. Scale: pairs come from the banded
+    * LSH join ([[TextOps.nearDupPairs]]), clusters from the
+    * pointer-jumped min-label propagation ([[GraphOps]]) — both
+    * all-pairs-free; the survivor pick is one hash agg over cluster
+    * members (a vanishing fraction of the corpus). */
+  def nearDupLoserIds(docs: DataFrame): DataFrame = {
+    val clusters = GraphOps
+      .connectedComponents(TextOps.nearDupPairs(docs, "doc_id", "text"), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val t = TextOps.tokens(col("text"))
+    val quality = docs.select(col("doc_id"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val survivors = clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("ttr"), -col("doc_id"))).as("doc_id"))
+    clusters.select(col("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
 }

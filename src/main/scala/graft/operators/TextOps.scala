@@ -269,6 +269,33 @@ object TextOps {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** One-shot batch near-dup pairs over a static corpus: MinHash
+    * signatures → (band, band-hash) equi-join candidates → exact-Jaccard
+    * verification, with the geometry constants above. Output: (a_id,
+    * b_id, jaccard), a_id < b_id. Shared by the streaming index's batch
+    * reference ([[graft.streaming.NearDupStream.batchPairs]] delegates
+    * here) and the curated-corpus write path
+    * ([[graft.pipeline.CuratedCorpus]]), so every consumer finds the
+    * same pairs. Never an all-pairs product: candidates come from the
+    * band equi-join; exact verification touches only collisions. */
+  def nearDupPairs(docs: DataFrame, id: String, text: String,
+                   threshold: Double = DefaultJaccardThreshold): DataFrame = {
+    val sigs = minhashSignatures(explodedShingles(docs, id, text), id, MinhashPerms)
+    val mh = (0 until MinhashPerms).map(k => col(s"m$k"))
+    val bands = sigs.select(col(id),
+      explode(array((0 until LshBands).map { b =>
+        struct(lit(b).as("band"), bandHash(mh, b, LshBandRows).as("bh"))
+      }: _*)).as("x"))
+      .select(col(id), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, shingleSets(docs, id, text), id, threshold)
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays:
     * |a ∩ b| / (|a| + |b| - |a ∩ b|) — the single integer division is
     * bit-identical across engines. */

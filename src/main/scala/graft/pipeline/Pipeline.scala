@@ -343,14 +343,16 @@ object Pipeline {
     * [[pathExists]]'s heal step on the next read/merge decision. A
     * transactional table format would make this one atomic commit; this
     * is the strongest sequence plain directories support. */
-  def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def swapWrite(spark: SparkSession, df: DataFrame, path: String,
+                partitionBy: Seq[String] = Nil): Unit = {
     // same defaultFS-aware resolution as pathExists (and as the write/
     // read below): no hand-built URIs, so paths with spaces or a
     // cluster defaultFS both resolve consistently
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (tmp, old) = (swapTmp(target), swapOld(target))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp.toString)
     if (fs.exists(target)) {
       fs.delete(old, true) // stale graveyard from an interrupted cleanup
       if (!fs.rename(target, old))

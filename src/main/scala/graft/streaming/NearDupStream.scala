@@ -84,17 +84,11 @@ object NearDupStream {
     TextOps.jaccardVerify(cand, sets, "doc_id", JaccardThreshold)
 
   /** One-shot batch reference: the pairs the stream must converge to on
-    * the same corpus, regardless of how it was micro-batched. */
-  def batchPairs(docs: DataFrame): DataFrame = {
-    val bands = docBands(docs)
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    verify(cand, shingleSets(docs))
-  }
+    * the same corpus, regardless of how it was micro-batched. Delegates
+    * to [[TextOps.nearDupPairs]] — the same signatures, banding, and
+    * verifier as [[docBands]]/[[processBatch]] compose incrementally. */
+  def batchPairs(docs: DataFrame): DataFrame =
+    TextOps.nearDupPairs(docs, "doc_id", "text", JaccardThreshold)
 
   /** Process one micro-batch of (doc_id, text) rows against the index at
     * `indexDir`, upserting verified pairs into `pairsPath`. Exposed for

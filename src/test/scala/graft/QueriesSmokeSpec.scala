@@ -108,6 +108,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q56 packing: efficiency in (0,1], splits and slots bounded") {
+    val rows = Queries.queries("q56_sequence_packing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val eff = r.getAs[Double]("pack_efficiency")
+      assert(eff > 0 && eff <= 1.0, s"pack_efficiency out of range: $eff")
+      assert(r.getAs[Long]("n_split_docs") <= r.getAs[Long]("n_docs"))
+      // every token is allocated a slot; slots never undershoot tokens
+      assert(r.getAs[Long]("n_seqs") * 256 >= r.getAs[Long]("total_tokens"))
+    }
+  }
+
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
