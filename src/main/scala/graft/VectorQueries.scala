@@ -909,6 +909,171 @@ object VectorQueries {
               LEFT JOIN ap4 ON ex.qid = ap4.qid AND ex.cid = ap4.cid
       GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
 
+  // --- E3h: TWO-LEVEL IVF (coarse quantizer routing) -----------------------
+  // Flat IVF's honest caveat at the far end of the mandate (r4 verdict):
+  // with k = ⌈√n⌉ cells, assignment is O(n·k·d) — at 10¹⁰ vectors that
+  // is 10¹⁵·d multiplies per pass. The standard fix (IMI / hierarchical
+  // coarse quantization) adds a SECOND level: ~n^(1/4) "super" cells
+  // over the √n centroids. Assignment becomes two map-only argmax
+  // passes — O(n·(√k + k/√k)·d), ~160x less at 10¹⁰ — and queries route
+  // super → member cells → candidates. The trade is recall at super
+  // boundaries (a vector's best cell can live in a different super);
+  // both levels stay deterministic modulo samples (q32's discipline) so
+  // the ORACLE replays the full two-level semantics exactly.
+  //
+  // Plan shape: the super set (n^(1/4) rows) and the per-super packed
+  // centroid arrays (the k centroids re-grouped, same few MB as flat
+  // IVF's broadcast) are both broadcast; the corpus is touched by TWO
+  // codegen'd map-only passes (coarse argmax, then fine argmax against
+  // only the member centroids via the broadcast equi-join on the coarse
+  // id). No n x k rows, no corpus shuffle, no window over the corpus.
+  private val q57 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val n = Tables.embeddings(spark, dir).count()
+      val step = math.ceil(math.sqrt(n.toDouble)).toLong
+      val cents = e.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+      val k = cents.count()
+      val sstep = math.ceil(math.sqrt(k.toDouble)).toLong
+      val p2 = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      val smod = step * sstep
+      val supers = e.filter(col("vec_id") % smod === 0)
+        .select(col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
+
+      // level 1: coarse argmax over the ~n^(1/4) supers — corpus and
+      // centroids take the same codegen'd map-only pass
+      val sa = VectorOps.centroidArrays(
+        supers.select(col("s_id").as("cell"), col("sq").as("cq")), "cell", "cq")
+      val vsuper = e.crossJoin(broadcast(sa))
+        .select(col("vec_id"), col("q"), col("n2"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).as("super"))
+      val csuper = vsuper.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("c_id"), col("super"))
+
+      // level 2: fine argmax against ONLY the member centroids of the
+      // vector's super (per-super packed arrays, broadcast equi-join)
+      val perSuper = VectorOps.centroidArraysBy(
+        cents.join(csuper, Seq("c_id"))
+          .select(col("super"), col("c_id").as("cell"), col("cq")),
+        "super", "cell", "cq")
+      val cells = vsuper.join(broadcast(perSuper), Seq("super"))
+        .select(col("vec_id").as("vid"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).as("cell"))
+
+      // query routing: top-2 supers, then top-p2 member cells, then
+      // exact rescore of the candidate vectors (q32's tail)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val ssim = qs.crossJoin(broadcast(supers))
+        .select(col("qid"), col("s_id"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("sq")),
+            col("qn2"), col("sn2")).as("cs"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cs").desc_nulls_last, col("s_id").asc_nulls_first)
+      val psup = ssim.withColumn("rn", row_number().over(ws)).filter(col("rn") <= 2)
+        .select(col("qid"), col("s_id").as("super"))
+      val csim = psup
+        .join(broadcast(cents.join(csuper, Seq("c_id"))), Seq("super"))
+        .join(qs, Seq("qid"))
+        .select(col("qid"), col("c_id"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cs"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cs").desc_nulls_last, col("c_id").asc_nulls_first)
+      val pcell = csim.withColumn("rn", row_number().over(wc)).filter(col("rn") <= p2)
+        .select(col("qid"), col("c_id").as("cell"))
+      val cand = pcell.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid").as("cid"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq2"), col("n2").as("cn22")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq2")),
+            col("qn2"), col("cn22")).as("cos_sim"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS step FROM embeddings),
+      k2 AS (SELECT count(*) AS k FROM embeddings
+             WHERE vec_id % (SELECT step FROM kk) = 0),
+      ks AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS sstep,
+                    GREATEST(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS p2
+             FROM k2),
+      sm AS (SELECT (SELECT step FROM kk) * (SELECT sstep FROM ks) AS smod),
+      sdot AS (
+        SELECT a.vec_id AS vid, b.vec_id AS s_id, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND b.vec_id % (SELECT smod FROM sm) = 0
+        GROUP BY 1, 2),
+      ssim AS (
+        SELECT vid, s_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cs
+        FROM sdot JOIN n na ON na.vec_id = vid JOIN n nb ON nb.vec_id = s_id),
+      sranked AS (
+        SELECT vid, s_id, row_number() OVER (PARTITION BY vid
+                 ORDER BY cs DESC NULLS LAST, s_id ASC NULLS FIRST) AS rn
+        FROM ssim),
+      vsuper AS (SELECT vid, s_id AS super FROM sranked WHERE rn = 1),
+      csuper AS (SELECT vid AS c_id, super FROM vsuper
+                 WHERE vid % (SELECT step FROM kk) = 0),
+      cdot AS (
+        SELECT a.vec_id AS vid, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND b.vec_id % (SELECT step FROM kk) = 0
+        GROUP BY 1, 2),
+      csim AS (
+        SELECT vid, c_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cs
+        FROM cdot JOIN n na ON na.vec_id = vid JOIN n nb ON nb.vec_id = c_id),
+      vcell AS (
+        SELECT vid, c_id AS cell FROM (
+          SELECT cm.vid, cm.c_id, row_number() OVER (PARTITION BY cm.vid
+                   ORDER BY cm.cs DESC NULLS LAST, cm.c_id ASC NULLS FIRST) AS rn
+          FROM csim cm
+          JOIN csuper ON csuper.c_id = cm.c_id
+          JOIN vsuper ON vsuper.vid = cm.vid AND vsuper.super = csuper.super)
+        WHERE rn = 1),
+      psup AS (SELECT vid, s_id AS super FROM sranked WHERE rn <= 2 AND vid < 10),
+      pcell AS (
+        SELECT vid, cell FROM (
+          SELECT cm.vid, cm.c_id AS cell, row_number() OVER (PARTITION BY cm.vid
+                   ORDER BY cm.cs DESC NULLS LAST, cm.c_id ASC NULLS FIRST) AS rn
+          FROM csim cm
+          JOIN csuper ON csuper.c_id = cm.c_id
+          JOIN psup ON psup.vid = cm.vid AND psup.super = csuper.super)
+        WHERE rn <= (SELECT p2 FROM ks)),
+      cand AS (
+        SELECT p.vid AS qid, c.vid AS cid
+        FROM pcell p JOIN vcell c ON c.cell = p.cell AND c.vid <> p.vid),
+      d AS (
+        SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+        FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                  JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      r AS (
+        SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c2)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -918,5 +1083,6 @@ object VectorQueries {
     "q42_embed_clusters" -> q42,
     "q52_embedding_outliers" -> q52,
     "q53_ann_recall" -> q53,
-    "q54_ivf_recall" -> q54)
+    "q54_ivf_recall" -> q54,
+    "q57_ann_ivf2" -> q57)
 }

@@ -57,6 +57,23 @@ object VectorOps {
         transform(col("cs"), s => s.getField("cq")).as("cqs"),
         transform(col("cs"), s => s.getField("cn2")).as("cn2s"))
 
+  /** Per-GROUP [[centroidArrays]]: one packed row per value of
+    * `groupCol` — the broadcast table of a TWO-LEVEL IVF, where each
+    * coarse cell carries only its member centroids and a vector's fine
+    * assignment joins its coarse cell's row (still a broadcast: the
+    * whole table is the k centroids re-grouped, same few MB). */
+  def centroidArraysBy(cents: DataFrame, groupCol: String,
+                       cellCol: String, cqCol: String): DataFrame =
+    cents
+      .select(col(groupCol), struct(col(cellCol).cast("long").as("cell"),
+        col(cqCol).as("cq"), qnorm2(col(cqCol)).as("cn2")).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col(groupCol),
+        transform(col("cs"), s => s.getField("cell")).as("cells"),
+        transform(col("cs"), s => s.getField("cq")).as("cqs"),
+        transform(col("cs"), s => s.getField("cn2")).as("cn2s"))
+
   /** IVF cell assignment as one codegen'd map-only expression
     * ([[graft.plans.CellArgMaxCosineLong]]): the cell id with maximal
     * cosine (ties to the smallest id). Replaces the crossJoin + max_by

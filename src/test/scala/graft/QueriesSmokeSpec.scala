@@ -120,6 +120,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q57 two-level IVF: 3 ranked neighbors per query, valid cosines") {
+    val rows = Queries.queries("q57_ann_ivf2")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"qid $q returned ${rs.length} neighbors")
+      val cos = rs.map(_.getAs[Double]("cos_sim"))
+      assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+      assert(cos.sameElements(cos.sortBy(-_)), s"qid $q neighbors not rank-ordered")
+    }
+  }
+
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
