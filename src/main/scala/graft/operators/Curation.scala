@@ -102,30 +102,45 @@ object Curation {
     * partitioning as the train side (NOT a broadcast — that only
     * applies when the eval set is a real bounded benchmark corpus). */
   def contaminationCounts(docs: DataFrame): DataFrame = {
-    val grams = TextOps.explodedShingles(docs, "doc_id", "text", 5)
+    val grams = gramKeys(docs)
+    // eval-presence flag per gram: a windowed max over the hash key —
+    // the oracle replays the identical window over md5(s) (the 128-bit
+    // hex; equivalent grouping absent md5 collisions)
+    val hit = max(when(isEval(col("doc_id")), 1L).otherwise(0L))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2")))
+    grams.withColumn("__hit", hit)
+      .filter(!isEval(col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hits"))
+  }
+
+  /** The eval-slice rule: doc_id % 10 == 0 (q44/q45's carve-out; in
+    * production a membership test against the benchmark corpus).
+    * Shared by the batch queries and [[graft.streaming.DecontamStream]]. */
+  def isEval(docId: Column): Column = docId % 10 === 0
+
+  /** Distinct md5-derived 120-bit gram keys per doc: (doc_id, h1, h2) —
+    * the map-side projection that keeps gram TEXT off the wire (two
+    * longs, 16 bytes vs the ~30-60-byte gram string). */
+  def gramKeys(docs: DataFrame): DataFrame =
+    TextOps.explodedShingles(docs, "doc_id", "text", 5)
       .withColumn("__h", md5(col("s")))
       .select(col("doc_id"),
         conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(col("__h"), 16, 15), 16, 10).cast("long").as("h2"))
       .distinct()
-    // eval-presence flag per gram: a windowed max over the hash key —
-    // the oracle replays the identical window over md5(s) (the 128-bit
-    // hex; equivalent grouping absent md5 collisions)
-    val hit = max(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2")))
-    grams.withColumn("__hit", hit)
-      .filter(col("doc_id") % 10 =!= 0)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hits"))
-  }
 
-  /** Decontamination drop set (q47's rule): train docs whose eval
-    * overlap reaches HALF their distinct 5-grams, compared in integer
-    * space so no float crosses an engine boundary. Train docs too short
-    * to produce a 5-gram have no counts row and are kept. */
+  /** The contamination drop RULE (q47): eval overlap reaches HALF the
+    * doc's distinct 5-grams, compared in integer space so no float
+    * crosses an engine boundary. */
+  def contaminationDrop(nGrams: Column, nHits: Column): Column =
+    nHits * 2 >= nGrams
+
+  /** Decontamination drop set over a static corpus. Train docs too
+    * short to produce a 5-gram have no counts row and are kept. */
   def contaminationDropIds(docs: DataFrame): DataFrame =
     contaminationCounts(docs)
-      .filter(col("n_hits") * 2 >= col("n_grams"))
+      .filter(contaminationDrop(col("n_grams"), col("n_hits")))
       .select(col("doc_id"))
 
   /** Near-dup LOSERS under q43's survivor rule: members of any near-dup
