@@ -38,11 +38,14 @@ object CurationStream {
     * on the same corpus (unique doc_ids), regardless of micro-batching. */
   def batchKept(docs: DataFrame): DataFrame = Curation.keptDocs(docs)
 
-  /** Per-doc verdicts for one batch: (doc_id, source, kept). In-batch
-    * doc_id conflicts (re-delivery landing in the same batch) resolve
-    * to the lexicographically greatest (text, source) version — an
-    * arbitrary but TOTAL rule, so replays derive identical verdicts
-    * regardless of partition order. */
+  /** Per-doc verdicts for one batch: (doc_id, source, p_funnel, kept) —
+    * the funnel flag rides along separately so downstream consumers
+    * (the streaming curated corpus's stage manifest) can attribute a
+    * rejection to quality vs mixture. In-batch doc_id conflicts
+    * (re-delivery landing in the same batch) resolve to the
+    * lexicographically greatest (text, source) version — an arbitrary
+    * but TOTAL rule, so replays derive identical verdicts regardless of
+    * partition order. */
   def batchVerdicts(docs: DataFrame): DataFrame = {
     val one = docs.select(col("doc_id"), col("text"), col("source"))
       .groupBy(col("doc_id"))
@@ -50,6 +53,7 @@ object CurationStream {
       .select(col("doc_id"), col("v.text").as("text"), col("v.source").as("source"))
     Curation.funnelFlags(one)
       .select(col("doc_id"), col("source"),
+        (col("p_len") && col("p_rep") && col("p_stop")).as("p_funnel"),
         (col("p_len") && col("p_rep") && col("p_stop") &&
           Curation.mixtureKeep(col("doc_id"), col("source"))).as("kept"))
   }
