@@ -894,6 +894,56 @@ object TextQueries {
       FROM a1 JOIN a2 ON a1.source = a2.source
       ORDER BY a1.source ASC NULLS FIRST"""))
 
+  // --- E4j: KMV distinct-vocabulary sketch per source --------------------
+  // Exact COUNT(DISTINCT token) at 100 TB shuffles the entire distinct
+  // (source, token) set — the distinct set IS the shuffle. The KMV
+  // bottom-k sketch (plans/KmvSketchLong, a TypedImperativeAggregate)
+  // carries at most k=256 longs per group per task, combines map-side,
+  // and estimates distinct as (k-1)/normalized(kth) with ±1/√k ≈ 6%
+  // error. Deterministic: "k smallest distinct md5-derived hashes" is a
+  // pure function of the input SET, so any partitioning and any merge
+  // order — and the DuckDB oracle's sort — produce identical bits.
+  // n_tokens rides along to show sketch vs corpus size (6 orders of
+  // magnitude apart at 100 TB).
+  private val KmvK = 256
+  private val q58 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val hv = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+      val sketch = ColumnBridge.column(
+        plans.KmvSketchLong(ColumnBridge.expression(hv), KmvK).toAggregateExpression())
+      docs(spark, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sketch.as("kmv"))
+        .select(col("source"), col("n_tokens"),
+          size(col("kmv")).cast("long").as("kmv_n"),
+          element_at(col("kmv"), -1).as("kmv_kth"),
+          when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+              element_at(col("kmv"), -1).cast("double"))
+            .as("est_distinct"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      cnt AS (SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1),
+      h AS (SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      r AS (SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+            FROM h),
+      kv AS (SELECT source, count(*) AS kmv_n, max(hv) AS kmv_kth
+             FROM r WHERE rn <= $KmvK GROUP BY 1)
+      SELECT c.source, c.n_tokens, kv.kmv_n, kv.kmv_kth,
+             CASE WHEN kv.kmv_n < $KmvK THEN CAST(kv.kmv_n AS DOUBLE)
+                  ELSE ${KmvK - 1}.0 * 1152921504606846976.0
+                       / CAST(kv.kmv_kth AS DOUBLE) END AS est_distinct
+      FROM cnt c JOIN kv USING (source)
+      ORDER BY source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -917,5 +967,6 @@ object TextQueries {
     "q49_domain_mixture" -> q49,
     "q50_passage_dedup" -> q50,
     "q51_cross_source_overlap" -> q51,
-    "q56_sequence_packing" -> q56)
+    "q56_sequence_packing" -> q56,
+    "q58_kmv_distinct" -> q58)
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLong)
+    ext.injectFunction(GraftExtensions.kmvSketchLong)
   }
 }
 
@@ -29,9 +30,21 @@ object GraftExtensions {
       ArrayDotLong(children.head, children(1))
     })
 
+  private val kmvSketchLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch_long"),
+    new ExpressionInfo(classOf[KmvSketchLong].getName, "kmv_sketch_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "kmv_sketch_long takes (hash BIGINT, k INT)")
+      val k = children(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case e => throw new IllegalArgumentException(s"k must be a literal, got $e")
+      }
+      KmvSketchLong(children.head, k)
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = arrayDotLong
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(arrayDotLong, kmvSketchLong))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
