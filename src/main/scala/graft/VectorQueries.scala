@@ -1074,6 +1074,72 @@ object VectorQueries {
       SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- E3i: SemDeDup — semantic dedup over the trained k-means cells -----
+  // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+  // embeddings with k-means, compute pairwise cosine WITHIN each cell
+  // only, connect pairs above the threshold, keep one canonical vector
+  // per semantic-duplicate group. Differs from q42 (sign-LSH pairs) in
+  // mechanism: candidates come from the SAME trained IVF index q40/q54
+  // serve (single-index discipline — dedup and retrieval cannot drift),
+  // and within-cell scoring misses nothing inside a cell (LSH banding
+  // is probabilistic; a cell scan is exhaustive).
+  //
+  // Scale shape: the pair count is Σ|cell|²/2 — the k knob controls it.
+  // The shared k=⌈√n⌉ index gives ~√n-sized cells (O(n^1.5) dots at the
+  // extreme); a production SemDeDup run sizes k so cells stay ~1-10k
+  // vectors (the paper's regime), making the scan O(n·cell). Everything
+  // else is equi-joins on cell/vec_id and the pointer-jumped CC — no
+  // all-pairs anywhere. The oracle replays the identical trained cells
+  // (ivfSqlCte) + transitive closure, so even the cluster labels are
+  // hash-checked.
+  private val q59 = Q(
+    (spark, dir) => {
+      val (e, _, cells, _) = ivfTrained(spark, dir)
+      val cand = cells.select(col("vid").as("a_id"), col("cell"))
+        .join(cells.select(col("vid").as("b_id"), col("cell")), Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+      val pairs = cand
+        .join(e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na")), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosine(VectorOps.qdot(col("qa"), col("qb")),
+            col("na"), col("nb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .join(cells.select(col("vid").as("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $ivfSqlCte,
+      pr AS (
+        SELECT x.vid AS a_id, y.vid AS b_id, x.cell
+        FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid),
+      d AS (
+        SELECT pr.a_id, pr.b_id, sum(ea.v * eb.v) AS dot
+        FROM pr JOIN e ea ON ea.vec_id = pr.a_id
+                JOIN e eb ON eb.vec_id = pr.b_id AND eb.i = ea.i
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a_id, b_id
+        FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                / sqrt(CAST(nb.n2 AS DOUBLE)) >= 0.4),
+      ed AS (SELECT a_id AS s, b_id AS t FROM p
+             UNION SELECT b_id, a_id FROM p
+             UNION SELECT a_id, a_id FROM p
+             UNION SELECT b_id, b_id FROM p),
+      reach(s, t) AS (
+        SELECT s, t FROM ed
+        UNION
+        SELECT reach.s, ed.t FROM reach JOIN ed ON reach.t = ed.s)
+      SELECT r.s AS vec_id, cl.cell, CAST(min(r.t) AS BIGINT) AS cluster_id
+      FROM reach r JOIN cells cl ON cl.vid = r.s
+      GROUP BY r.s, cl.cell
+      ORDER BY vec_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1084,5 +1150,6 @@ object VectorQueries {
     "q52_embedding_outliers" -> q52,
     "q53_ann_recall" -> q53,
     "q54_ivf_recall" -> q54,
-    "q57_ann_ivf2" -> q57)
+    "q57_ann_ivf2" -> q57,
+    "q59_semantic_dedup" -> q59)
 }
