@@ -457,6 +457,70 @@ object RelationalQueries {
       FROM c GROUP BY 1, 2
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
+  // --- table profiling: one-pass, sketch-backed column statistics --------
+  // operators/Profile over lineitem: every column's null count, numeric
+  // min/max, and KMV distinct estimate from ONE aggregation pass (4
+  // agg expressions per column, map-side combinable — never a
+  // per-column scan). The oracle is generated per column from the same
+  // dtype table, mirroring Profile's normalization contract (doubles
+  // hash on their 1e6-quantized integer form, timestamps on their DATE
+  // string) and the q58 bottom-k estimator.
+  private val ProfileK = operators.Profile.DefaultK
+  private final case class PCol(name: String, dtype: String, norm: String, numeric: Boolean)
+  private val lineitemCols = Seq(
+    PCol("l_orderkey", "bigint", "CAST(l_orderkey AS VARCHAR)", numeric = true),
+    PCol("l_partkey", "bigint", "CAST(l_partkey AS VARCHAR)", numeric = true),
+    PCol("l_suppkey", "bigint", "CAST(l_suppkey AS VARCHAR)", numeric = true),
+    PCol("l_linenumber", "int", "CAST(l_linenumber AS VARCHAR)", numeric = true),
+    PCol("l_quantity", "double",
+      "CAST(CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    PCol("l_extendedprice", "double",
+      "CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    PCol("l_discount", "double",
+      "CAST(CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    PCol("l_tax", "double",
+      "CAST(CAST(round(CAST(l_tax AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
+      numeric = true),
+    PCol("l_returnflag", "string", "l_returnflag", numeric = false),
+    PCol("l_linestatus", "string", "l_linestatus", numeric = false),
+    PCol("l_shipdate", "timestamp_ntz",
+      "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)", numeric = false))
+
+  private def profileOracleSql: String = {
+    val ctes = lineitemCols.zipWithIndex.map { case (c, i) =>
+      s"""h_$i AS (SELECT DISTINCT CAST(('0x' || substr(md5(${c.norm}), 1, 15)) AS BIGINT) AS hv
+            FROM lineitem WHERE ${c.name} IS NOT NULL),
+          k_$i AS (SELECT count(*) AS n,
+                   max(CASE WHEN rn <= $ProfileK THEN hv END) AS kth,
+                   CAST(LEAST(count(*), $ProfileK) AS BIGINT) AS kmv_n
+            FROM (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn FROM h_$i))"""
+    }.mkString(",\n")
+    val blocks = lineitemCols.zipWithIndex.map { case (c, i) =>
+      val minMax =
+        if (c.numeric)
+          s"""(SELECT CAST(min(${c.name}) AS DOUBLE) FROM lineitem) AS min_num,
+              (SELECT CAST(max(${c.name}) AS DOUBLE) FROM lineitem) AS max_num"""
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+      s"""SELECT '${c.name}' AS column_name, '${c.dtype}' AS dtype,
+            (SELECT count(*) FROM lineitem) AS n_rows,
+            (SELECT CAST(sum(CASE WHEN ${c.name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem) AS n_nulls,
+            (SELECT kmv_n FROM k_$i) AS kmv_n,
+            (SELECT CASE WHEN n < $ProfileK THEN CAST(kmv_n AS DOUBLE)
+                    ELSE ${ProfileK - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
+             FROM k_$i) AS est_distinct,
+            $minMax"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH\n$ctes\n$blocks\nORDER BY column_name ASC NULLS FIRST"
+  }
+
+  private val q60 = Q(
+    (spark, dir) => operators.Profile.profile(Tables.lineitem(spark, dir), ProfileK),
+    Some(profileOracleSql))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -475,5 +539,6 @@ object RelationalQueries {
     "q15_topk_revenue" -> q15,
     "q36_percentiles" -> q36,
     "q37_rollup" -> q37,
-    "q55_decimal_money" -> q55)
+    "q55_decimal_money" -> q55,
+    "q60_table_profile" -> q60)
 }

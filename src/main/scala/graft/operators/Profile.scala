@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+import graft.plans.KmvSketchLong
+
+/** Schema-dynamic table profiler: one row per column with null count,
+  * numeric min/max, and a KMV distinct-count estimate — the
+  * "what is in this table" pass a pipeline runs on every new drop
+  * before trusting it (the Deequ/summary() role, made deterministic
+  * and oracle-checkable).
+  *
+  * Scale shape: ONE aggregation pass over the table computes every
+  * column's statistics simultaneously — 4 aggregate expressions per
+  * column in a single map-side-combinable agg, never a per-column
+  * scan. Distinct counts come from the bounded KMV sketch
+  * (plans/KmvSketchLong, ≤ k longs of state per column), so profiling
+  * a 100 TB table shuffles kilobytes per column instead of the
+  * columns' distinct sets. The single aggregated row then unpivots
+  * in-plan (array-of-struct explode) — nothing is collected.
+  *
+  * Determinism contract (per dtype, mirrored by the q60 oracle):
+  *  - doubles/floats hash on their 1e6-quantized integer form (the
+  *    embedding discipline — float→string formatting is NOT stable
+  *    across engines, a quantized BIGINT's string form is);
+  *  - timestamps/dates hash on their DATE string (BASELINE.md's
+  *    emit-DATE rule);
+  *  - everything else hashes on its plain string cast.
+  */
+object Profile {
+
+  val DefaultK = 256
+
+  private def hashInput(c: Column, t: DataType): Column = t match {
+    case DoubleType | FloatType =>
+      round(c.cast("double") * 1e6).cast("long").cast("string")
+    case TimestampType | TimestampNTZType | DateType => c.cast("date").cast("string")
+    case _ => c.cast("string")
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  def profile(df: DataFrame, k: Int = DefaultK): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs: Seq[Column] = count(lit(1)).as("__n_rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val hv = conv(substring(md5(hashInput(c, f.dataType)), 1, 15), 16, 10)
+        .cast("long")
+      val sketch = ColumnBridge.column(
+        KmvSketchLong(ColumnBridge.expression(hv), k).toAggregateExpression())
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        sketch.as(s"${f.name}__kmv"),
+        (if (isNumeric(f.dataType)) min(c).cast("double")
+         else lit(null).cast("double")).as(s"${f.name}__min"),
+        (if (isNumeric(f.dataType)) max(c).cast("double")
+         else lit(null).cast("double")).as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n_rows").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__kmv").as("kmv"),
+        col(s"${f.name}__min").as("min_num"),
+        col(s"${f.name}__max").as("max_num"))
+    }
+    one.select(explode(array(structs: _*)).as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.dtype").as("dtype"),
+        col("s.n_rows").as("n_rows"), col("s.n_nulls").as("n_nulls"),
+        size(col("s.kmv")).cast("long").as("kmv_n"),
+        when(size(col("s.kmv")) < k, size(col("s.kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("s.kmv"), -1).cast("double"))
+          .as("est_distinct"),
+        col("s.min_num").as("min_num"), col("s.max_num").as("max_num"))
+      .orderBy(col("column_name"))
+  }
+}
