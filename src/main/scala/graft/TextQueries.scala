@@ -909,11 +909,14 @@ object TextQueries {
   private val q58 = Q(
     (spark, dir) => {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val hv = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+      // hash pre-projected (codegen) — TypedImperativeAggregate evals
+      // its child interpreted per row, so keep that child a bare column
       val sketch = ColumnBridge.column(
-        plans.KmvSketchLong(ColumnBridge.expression(hv), KmvK).toAggregateExpression())
+        plans.KmvSketchLong(ColumnBridge.expression(col("hv")), KmvK).toAggregateExpression())
       docs(spark, dir)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .select(col("source"),
+          conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_tokens"), sketch.as("kmv"))
         .select(col("source"), col("n_tokens"),

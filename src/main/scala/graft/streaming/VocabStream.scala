@@ -37,15 +37,17 @@ object VocabStream {
 
   val DefaultK = 256
 
-  /** md5-derived 60-bit token hash — the exact q58 keying, so the
-    * streamed sketch is comparable against the q58 batch query. */
-  private def tokenHash = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
-
-  /** Batch-local per-source sketch: (source, kmv ARRAY<BIGINT> sorted ASC). */
+  /** Batch-local per-source sketch: (source, kmv ARRAY<BIGINT> sorted
+    * ASC). The md5-derived 60-bit token hash is the exact q58 keying
+    * (so streamed sketches are comparable against the batch query) and
+    * is pre-projected in a codegen'd select — the aggregate's
+    * interpreted update path then reads a bare long. */
   def batchSketch(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     val sketch = ColumnBridge.column(
-      KmvSketchLong(ColumnBridge.expression(tokenHash), k).toAggregateExpression())
+      KmvSketchLong(ColumnBridge.expression(col("hv")), k).toAggregateExpression())
     docs.select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+      .select(col("source"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
       .groupBy(col("source"))
       .agg(sketch.as("kmv"))
   }
