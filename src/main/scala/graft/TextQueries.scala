@@ -906,19 +906,27 @@ object TextQueries {
   // n_tokens rides along to show sketch vs corpus size (6 orders of
   // magnitude apart at 100 TB).
   private val KmvK = 256
+
+  /** Per-source KMV vocabulary sketch + token count — the q58/q61
+    * shared core (single-sketch discipline: the overlap matrix reads
+    * the SAME sketch the vocabulary estimate reports). Hash
+    * pre-projected (codegen) — TypedImperativeAggregate evals its
+    * child interpreted per row, so keep that child a bare column. */
+  private def sourceVocabSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sketch = ColumnBridge.column(
+      plans.KmvSketchLong(ColumnBridge.expression(col("hv")), KmvK).toAggregateExpression())
+    docs(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("source"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sketch.as("kmv"))
+  }
+
   private val q58 = Q(
     (spark, dir) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      // hash pre-projected (codegen) — TypedImperativeAggregate evals
-      // its child interpreted per row, so keep that child a bare column
-      val sketch = ColumnBridge.column(
-        plans.KmvSketchLong(ColumnBridge.expression(col("hv")), KmvK).toAggregateExpression())
-      docs(spark, dir)
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
-        .select(col("source"),
-          conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tokens"), sketch.as("kmv"))
+      sourceVocabSketch(spark, dir)
         .select(col("source"), col("n_tokens"),
           size(col("kmv")).cast("long").as("kmv_n"),
           element_at(col("kmv"), -1).as("kmv_kth"),
@@ -947,6 +955,74 @@ object TextQueries {
       FROM cnt c JOIN kv USING (source)
       ORDER BY source ASC NULLS FIRST"""))
 
+  // --- E4k: cross-source vocabulary overlap — from the sketches alone ----
+  // The KMV set-operation estimator (Beyer et al., SIGMOD '07): for two
+  // sources, the bottom-k of the UNION is computable from the two
+  // bottom-k sketches (merge + trim), Jaccard ≈ |M ∩ A ∩ B| / |M|, and
+  // overlap ≈ Jaccard × union-estimate. The exact version of this
+  // matrix (q51 for duplicate content) costs a corpus-wide shuffle PER
+  // CELL at 100 TB; this one reads 256 longs per source — the pair
+  // join is source-catalog², never corpus-sized, and the corpus is
+  // scanned exactly once to build the sketches. Single-sketch
+  // discipline: q61 consumes the SAME sourceVocabSketch q58 reports,
+  // so the matrix can never drift from the per-source estimates.
+  private val q61 = Q(
+    (spark, dir) => {
+      // materialize the (tiny — one row per source) sketch ONCE before
+      // the self-join: both pair sides would otherwise re-run the
+      // corpus-wide sketch aggregate (the GraphOps materialize-once rule)
+      val sk = sourceVocabSketch(spark, dir).select(col("source"), col("kmv"))
+        .localCheckpoint()
+      val a = sk.select(col("source").as("source_a"), col("kmv").as("ka"))
+      val b = sk.select(col("source").as("source_b"), col("kmv").as("kb"))
+      val m = slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK)
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          m.as("m"),
+          size(array_intersect(array_intersect(m, col("ka")), col("kb")))
+            .cast("long").as("inter_n"))
+        .select(col("source_a"), col("source_b"), col("inter_n"),
+          (col("inter_n").cast("double") / size(col("m"))).as("est_jaccard"),
+          when(size(col("m")) < KmvK, size(col("m")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+              element_at(col("m"), -1).cast("double"))
+            .as("est_union"))
+        .select(col("source_a"), col("source_b"), col("inter_n"),
+          col("est_jaccard"), col("est_union"),
+          (col("est_jaccard") * col("est_union")).as("est_overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      h AS (SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      r AS (SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+            FROM h),
+      b AS (SELECT source, list(hv ORDER BY hv ASC) AS kmv
+            FROM r WHERE rn <= $KmvK GROUP BY 1),
+      p AS (SELECT x.source AS source_a, y.source AS source_b,
+                   x.kmv AS ka, y.kmv AS kb,
+                   list_sort(list_distinct(list_concat(x.kmv, y.kmv)))[1:$KmvK] AS m
+            FROM b x JOIN b y ON x.source < y.source),
+      s AS (SELECT source_a, source_b, m,
+                   CAST(len(list_intersect(list_intersect(m, ka), kb)) AS BIGINT)
+                     AS inter_n
+            FROM p)
+      SELECT source_a, source_b, inter_n,
+             CAST(inter_n AS DOUBLE) / len(m) AS est_jaccard,
+             CASE WHEN len(m) < $KmvK THEN CAST(len(m) AS DOUBLE)
+                  ELSE ${KmvK - 1}.0 * 1152921504606846976.0
+                       / CAST(m[-1] AS DOUBLE) END AS est_union,
+             (CAST(inter_n AS DOUBLE) / len(m)) *
+             (CASE WHEN len(m) < $KmvK THEN CAST(len(m) AS DOUBLE)
+                   ELSE ${KmvK - 1}.0 * 1152921504606846976.0
+                        / CAST(m[-1] AS DOUBLE) END) AS est_overlap
+      FROM s
+      ORDER BY source_a ASC NULLS FIRST, source_b ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -971,5 +1047,6 @@ object TextQueries {
     "q50_passage_dedup" -> q50,
     "q51_cross_source_overlap" -> q51,
     "q56_sequence_packing" -> q56,
-    "q58_kmv_distinct" -> q58)
+    "q58_kmv_distinct" -> q58,
+    "q61_vocab_overlap" -> q61)
 }
