@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLong)
     ext.injectFunction(GraftExtensions.kmvSketchLong)
+    ext.injectFunction(GraftExtensions.cellArgmaxCosineLong)
   }
 }
 
@@ -42,9 +43,18 @@ object GraftExtensions {
       KmvSketchLong(children.head, k)
     })
 
+  private val cellArgmaxCosineLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cell_argmax_cosine_long"),
+    new ExpressionInfo(classOf[CellArgMaxCosineLong].getName, "cell_argmax_cosine_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 5,
+        "cell_argmax_cosine_long takes (q, qn2, cells, cqs, cn2s)")
+      CellArgMaxCosineLong(children(0), children(1), children(2), children(3), children(4))
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(arrayDotLong, kmvSketchLong))
+    for ((id, info, builder) <- Seq(arrayDotLong, kmvSketchLong, cellArgmaxCosineLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

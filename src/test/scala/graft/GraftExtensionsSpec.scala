@@ -13,6 +13,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == 4 + 10 + 18)
   }
 
+  test("cell_argmax_cosine_long is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT cell_argmax_cosine_long(
+           array(1L, 0L), 1L,
+           array(0L, 1L),
+           array(array(1L, 0L), array(0L, 1L)),
+           array(1L, 1L)) AS cell""").first().getLong(0)
+    assert(got == 0L, "query (1,0) must route to the (1,0) centroid's cell")
+  }
+
   test("registration is idempotent") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
