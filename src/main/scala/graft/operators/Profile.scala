@@ -46,7 +46,13 @@ object Profile {
     case _ => false
   }
 
-  def profile(df: DataFrame, k: Int = DefaultK): DataFrame = {
+  /** The MERGEABLE profile: one row per column with the raw sketch
+    * (`kmv ARRAY<BIGINT>`) instead of the derived estimate. Every
+    * statistic here merges associatively — counts add, min/max
+    * combine, KMV unions-and-trims — which is what makes the profile
+    * streamable ([[graft.streaming.ProfileStream]]) and partition-
+    * independent. [[profile]] is this plus the estimate derivation. */
+  def sketchProfile(df: DataFrame, k: Int = DefaultK): DataFrame = {
     val fields = df.schema.fields.toSeq
     // Spread a narrow scan before the CPU-heavy per-column hashing
     // (11 md5/conv chains per row) — one small input file would
@@ -92,12 +98,23 @@ object Profile {
     one.select(explode(array(structs: _*)).as("s"))
       .select(col("s.column_name").as("column_name"), col("s.dtype").as("dtype"),
         col("s.n_rows").as("n_rows"), col("s.n_nulls").as("n_nulls"),
-        size(col("s.kmv")).cast("long").as("kmv_n"),
-        when(size(col("s.kmv")) < k, size(col("s.kmv")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-            element_at(col("s.kmv"), -1).cast("double"))
-          .as("est_distinct"),
+        col("s.kmv").as("kmv"),
         col("s.min_num").as("min_num"), col("s.max_num").as("max_num"))
-      .orderBy(col("column_name"))
   }
+
+  /** Derive the reader-facing estimate columns from a (possibly merged)
+    * sketch profile — the q58 bottom-k formula. */
+  def withEstimate(sketched: DataFrame, k: Int = DefaultK): DataFrame =
+    sketched.select(col("column_name"), col("dtype"),
+      col("n_rows"), col("n_nulls"),
+      size(col("kmv")).cast("long").as("kmv_n"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          element_at(col("kmv"), -1).cast("double"))
+        .as("est_distinct"),
+      col("min_num"), col("max_num"))
+      .orderBy(col("column_name"))
+
+  def profile(df: DataFrame, k: Int = DefaultK): DataFrame =
+    withEstimate(sketchProfile(df, k), k)
 }

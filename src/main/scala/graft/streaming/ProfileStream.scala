@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Streaming table profiling — [[Profile]]'s per-column statistics
+  * maintained incrementally over an arriving feed. Works because every
+  * statistic in the sketch profile MERGES associatively: row/null
+  * counts add, min/max combine with least/greatest, and the KMV sketch
+  * unions-and-trims (the [[VocabStream]] homomorphism). The streamed
+  * state therefore equals the one-shot batch profile of everything
+  * delivered, for any micro-batching (ProfileStreamSpec).
+  *
+  * Exactly-once for the COUNTS (which, unlike the KMV union, are not
+  * replay-absorbing — re-adding a batch double-counts) comes from the
+  * standard foreachBatch idempotence recipe: the state table stores
+  * the last applied `batchId`, and a replayed micro-batch (the
+  * at-least-once crash contract, which re-delivers the SAME batch
+  * content under the same id) is skipped as a no-op. Structured
+  * Streaming guarantees batch-content determinism per id for
+  * replayable sources, which is exactly the precondition this needs.
+  *
+  * Scale posture: state is one row per COLUMN (k longs + 4 scalars) —
+  * constant in the corpus; per batch the work is Profile's one
+  * aggregation pass over the batch.
+  */
+object ProfileStream {
+
+  /** Fold a batch's sketch profile into the persisted state. */
+  def mergeProfiles(state: DataFrame, batch: DataFrame, k: Int): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    def nz(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    state.select(col("column_name"), col("dtype").as("dt_a"),
+      col("n_rows").as("r_a"), col("n_nulls").as("u_a"),
+      col("kmv").as("k_a"), col("min_num").as("mn_a"), col("max_num").as("mx_a"))
+      .join(batch.select(col("column_name"), col("dtype").as("dt_b"),
+        col("n_rows").as("r_b"), col("n_nulls").as("u_b"),
+        col("kmv").as("k_b"), col("min_num").as("mn_b"), col("max_num").as("mx_b")),
+        Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        coalesce(col("dt_a"), col("dt_b")).as("dtype"),
+        (nz(col("r_a")) + nz(col("r_b"))).as("n_rows"),
+        (nz(col("u_a")) + nz(col("u_b"))).as("n_nulls"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("k_a"), empty), coalesce(col("k_b"), empty)))), 1, k)
+          .as("kmv"),
+        least(col("mn_a"), col("mn_b")).as("min_num"),
+        greatest(col("mx_a"), col("mx_b")).as("max_num"))
+  }
+
+  /** Apply one micro-batch to `statePath`. A batchId at or below the
+    * recorded high-water mark is a crash replay — skipped entirely, so
+    * the additive counts stay exact. Exposed for direct testing. */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   statePath: String, k: Int = Profile.DefaultK): Unit = {
+    val exists = graft.pipeline.Pipeline.pathExists(spark, statePath)
+    if (exists) {
+      val last = spark.read.parquet(statePath)
+        .agg(max(col("batch_id"))).first().getLong(0)
+      if (batchId <= last) return
+    }
+    val b = Profile.sketchProfile(batch, k).withColumn("batch_id", lit(batchId))
+    val merged =
+      if (exists) {
+        val st = spark.read.parquet(statePath)
+        mergeProfiles(st.drop("batch_id"), b.drop("batch_id"), k)
+          .withColumn("batch_id", lit(batchId))
+      } else b
+    graft.pipeline.Pipeline.swapWrite(spark, merged, statePath)
+  }
+
+  /** Reader-facing view of the state: the estimate-derived profile. */
+  def currentProfile(spark: SparkSession, statePath: String,
+                     k: Int = Profile.DefaultK): DataFrame =
+    Profile.withEstimate(spark.read.parquet(statePath).drop("batch_id"), k)
+
+  /** Wire a row stream into the profile state table. */
+  def start(rows: DataFrame, statePath: String, checkpointDir: String,
+            k: Int = Profile.DefaultK): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(b.sparkSession, b.toDF(), id, statePath, k)
+      }
+      .start()
+}

@@ -37,6 +37,19 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: KMV sketch == bottom-k of the distinct set under any partitioning") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = 16
+    pass(Prop.forAll(
+      Gen.listOfN(300, Gen.choose(0L, 200L)), Gen.choose(1, 8)) { (vs, parts) =>
+      val sketch = ColumnBridge.column(graft.plans.KmvSketchLong(
+        ColumnBridge.expression(col("v")), k).toAggregateExpression())
+      val got = vs.toDF("v").repartition(parts).agg(sketch.as("s"))
+        .first().getSeq[Long](0)
+      got == vs.distinct.sorted.take(k)
+    })
+  }
+
   test("property: dedupKeepFirst is idempotent and partition-order invariant") {
     val rowGen = for {
       k <- Gen.choose(0, 8) // few keys -> guaranteed collisions
