@@ -140,10 +140,63 @@ object EventQueries {
       FROM cl ASOF LEFT JOIN pu ON cl.user_id = pu.user_id AND cl.click_ts >= pu.tus
       ORDER BY cl.event_id ASC NULLS FIRST"""))
 
+  // --- E6c: interval (attribution) join — clicks to the purchases the
+  // same user makes in the following 30 minutes. The batch twin of the
+  // STREAM-STREAM time-bounded join (streaming/EventStreams
+  // .attributionJoin shares the exact predicate, so stream and batch
+  // cannot drift). Scale shape: equi-join on user_id with a range
+  // predicate — hash-partitioned by user, each partition merge-scans
+  // its time-sorted runs; nothing corpus-global. The time bound is
+  // what makes the STREAMING form possible at all (it lets the engine
+  // expire join state past the watermark + interval).
+  private val q62 = Q(
+    (spark, dir) => {
+      val ev = events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tus").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tus").as("p_ts"), col("value"))
+      val pairs = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("p_ts"), col("value"))
+      val agg = pairs.groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Exact.exactSum(col("value")).as("attributed_value"))
+      clicks.join(agg, Seq("click_id"), "left")
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("attributed_value"), lit(0.0)).as("attributed_value"))
+        .orderBy(col("click_id"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      cl AS (SELECT event_id AS click_id, user_id, tus AS click_ts
+             FROM ev WHERE event_type = 'click'),
+      pu AS (SELECT user_id, tus AS p_ts, value
+             FROM ev WHERE event_type = 'purchase'),
+      pr AS (
+        SELECT cl.click_id, pu.p_ts, pu.value
+        FROM cl JOIN pu ON cl.user_id = pu.user_id
+         AND pu.p_ts > cl.click_ts
+         AND pu.p_ts <= cl.click_ts + INTERVAL 30 MINUTE),
+      ag AS (
+        SELECT click_id, count(*) AS n_purchases,
+               ${Exact.sumSql("value")} AS attributed_value
+        FROM pr GROUP BY 1)
+      SELECT cl.click_id, cl.user_id, cl.click_ts,
+             COALESCE(ag.n_purchases, 0) AS n_purchases,
+             COALESCE(ag.attributed_value, 0.0) AS attributed_value
+      FROM cl LEFT JOIN ag ON ag.click_id = cl.click_id
+      ORDER BY cl.click_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
     "q30_sessionization" -> q30,
     "q33_salted_agg" -> q33,
-    "q35_asof_join" -> q35)
+    "q35_asof_join" -> q35,
+    "q62_interval_join" -> q62)
 }

@@ -48,6 +48,32 @@ object EventStreams {
       .withWatermark("tus", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** STREAM-STREAM interval (attribution) join — q62's streaming form:
+    * each click paired with the purchases the same user makes in the
+    * following `horizon`. Both sides carry watermarks and the join
+    * condition carries the time bound, which is what lets Spark expire
+    * buffered rows (a click older than watermark + horizon can never
+    * match a future purchase, so its state is dropped) — without the
+    * bound, stream-stream join state grows forever. Output rows are
+    * the raw (click_id, p_ts, value) pairs; the q62 aggregation is a
+    * downstream concern (and needs its own watermark if streamed).
+    *
+    * The predicate is IDENTICAL to q62's batch join, so stream and
+    * batch cannot drift (EventStreamsSpec proves pair-set equality).
+    *
+    * @param clicks    streaming (click_id, user_id, click_ts) rows
+    * @param purchases streaming (p_user, p_ts, value) rows
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("p_ts"), col("value"))
+
   /** Custom arbitrary-state streaming op (SURVEY §2.10 extension;
     * `KeyValueGroupedDataset.flatMapGroupsWithState`): running per-user
     * cumulative spend — state the built-in windows cannot express

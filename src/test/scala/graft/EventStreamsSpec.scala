@@ -112,6 +112,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch predicate exactly") {
+    implicit val ctx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.attributionJoin(
+      clicksIn.toDF().toDF("click_id", "user_id", "click_ts"),
+      purchIn.toDF().toDF("p_user", "p_ts", "value"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    val clicks = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 2L, ts("2024-01-01 10:00:00")),
+      (3L, 1L, ts("2024-01-01 11:30:00")))
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 5.0),  // within 30m of click 1
+      (1L, ts("2024-01-01 10:40:00"), 7.0),  // 40m after click 1: outside
+      (2L, ts("2024-01-01 10:25:00"), 9.0),  // within 30m of click 2
+      (1L, ts("2024-01-01 11:45:00"), 3.0))  // within 30m of click 3
+    try {
+      // deliver across separate micro-batches, purchases before clicks
+      // for the tail pair — buffered stream state must still match them
+      purchIn.addData(purchases.take(2))
+      q.processAllAvailable()
+      clicksIn.addData(clicks.take(2))
+      q.processAllAvailable()
+      purchIn.addData(purchases.drop(2))
+      q.processAllAvailable()
+      clicksIn.addData(clicks.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .select(col("click_id"), col("p_ts"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      // batch twin: same predicate over the full inputs
+      val batch = clicks.toDF("click_id", "user_id", "click_ts")
+        .join(purchases.toDF("p_user", "p_ts", "value"),
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("p_ts"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, ts("2024-01-01 10:10:00"), 5.0),
+        (2L, ts("2024-01-01 10:25:00"), 9.0),
+        (3L, ts("2024-01-01 11:45:00"), 3.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
