@@ -55,6 +55,7 @@ object ProfileStream {
     * the additive counts stay exact. Exposed for direct testing. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    statePath: String, k: Int = Profile.DefaultK): Unit = {
+    if (batch.isEmpty) return // an empty batch would seed NULL sums into state
     val exists = graft.pipeline.Pipeline.pathExists(spark, statePath)
     if (exists) {
       val last = spark.read.parquet(statePath)
