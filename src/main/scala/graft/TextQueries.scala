@@ -909,20 +909,10 @@ object TextQueries {
 
   /** Per-source KMV vocabulary sketch + token count — the q58/q61
     * shared core (single-sketch discipline: the overlap matrix reads
-    * the SAME sketch the vocabulary estimate reports). Hash
-    * pre-projected (codegen) — TypedImperativeAggregate evals its
-    * child interpreted per row, so keep that child a bare column. */
-  private def sourceVocabSketch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val sketch = ColumnBridge.column(
-      plans.KmvSketchLong(ColumnBridge.expression(col("hv")), KmvK).toAggregateExpression())
-    docs(spark, dir)
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
-      .select(col("source"),
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"), sketch.as("kmv"))
-  }
+    * the SAME sketch the vocabulary estimate reports), built on the
+    * one [[graft.operators.Kmv]] algebra every sketch consumer shares. */
+  private def sourceVocabSketch(spark: SparkSession, dir: String): DataFrame =
+    operators.Kmv.sourceVocabSketch(docs(spark, dir), KmvK)
 
   private val q58 = Q(
     (spark, dir) => {
@@ -930,10 +920,7 @@ object TextQueries {
         .select(col("source"), col("n_tokens"),
           size(col("kmv")).cast("long").as("kmv_n"),
           element_at(col("kmv"), -1).as("kmv_kth"),
-          when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-              element_at(col("kmv"), -1).cast("double"))
-            .as("est_distinct"))
+          operators.Kmv.estimate(col("kmv"), KmvK).as("est_distinct"))
         .orderBy(col("source"))
     },
     Some(s"""
@@ -975,7 +962,7 @@ object TextQueries {
         .localCheckpoint()
       val a = sk.select(col("source").as("source_a"), col("kmv").as("ka"))
       val b = sk.select(col("source").as("source_b"), col("kmv").as("kb"))
-      val m = slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK)
+      val m = operators.Kmv.mergeArrays(col("ka"), col("kb"), KmvK)
       a.join(b, col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           m.as("m"),
@@ -983,10 +970,7 @@ object TextQueries {
             .cast("long").as("inter_n"))
         .select(col("source_a"), col("source_b"), col("inter_n"),
           (col("inter_n").cast("double") / size(col("m"))).as("est_jaccard"),
-          when(size(col("m")) < KmvK, size(col("m")).cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-              element_at(col("m"), -1).cast("double"))
-            .as("est_union"))
+          operators.Kmv.estimate(col("m"), KmvK).as("est_union"))
         .select(col("source_a"), col("source_b"), col("inter_n"),
           col("est_jaccard"), col("est_union"),
           (col("est_jaccard") * col("est_union")).as("est_overlap"))

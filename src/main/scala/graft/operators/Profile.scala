@@ -2,10 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
-
-import graft.plans.KmvSketchLong
 
 /** Schema-dynamic table profiler: one row per column with null count,
   * numeric min/max, and a KMV distinct-count estimate — the
@@ -54,6 +51,21 @@ object Profile {
     * independent. [[profile]] is this plus the estimate derivation. */
   def sketchProfile(df: DataFrame, k: Int = DefaultK): DataFrame = {
     val fields = df.schema.fields.toSeq
+    // Internal alias names must not collide with the input schema (the
+    // operator advertises works-on-any-table) — uniquify against it.
+    val taken = scala.collection.mutable.Set[String](fields.map(_.name): _*)
+    def fresh(base: String): String = {
+      var n = base
+      while (taken(n)) n += "_"
+      taken += n
+      n
+    }
+    val rowsCol = fresh("__n_rows")
+    val hv = fields.map(f => f.name -> fresh(s"${f.name}__hv")).toMap
+    val nu = fields.map(f => f.name -> fresh(s"${f.name}__nulls")).toMap
+    val kv = fields.map(f => f.name -> fresh(s"${f.name}__kmv")).toMap
+    val mn = fields.map(f => f.name -> fresh(s"${f.name}__min")).toMap
+    val mx = fields.map(f => f.name -> fresh(s"${f.name}__max")).toMap
     // Spread a narrow scan before the CPU-heavy per-column hashing
     // (11 md5/conv chains per row) — one small input file would
     // otherwise serialize the whole pass on one core. GATED off when
@@ -68,32 +80,28 @@ object Profile {
     // whole query (measured: q60 8.3 s -> 2.4 s at sf0.1). With the
     // projection below the aggregate, update() reads a plain long.
     val pre = spread.select(fields.map(f => col(f.name)) ++ fields.map { f =>
-      conv(substring(md5(hashInput(col(f.name), f.dataType)), 1, 15), 16, 10)
-        .cast("long").as(s"${f.name}__hv")
+      Kmv.hash60(hashInput(col(f.name), f.dataType)).as(hv(f.name))
     }: _*)
-    val aggs: Seq[Column] = count(lit(1)).as("__n_rows") +: fields.flatMap { f =>
+    val aggs: Seq[Column] = count(lit(1)).as(rowsCol) +: fields.flatMap { f =>
       val c = col(f.name)
-      val sketch = ColumnBridge.column(
-        KmvSketchLong(ColumnBridge.expression(col(s"${f.name}__hv")), k)
-          .toAggregateExpression())
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        sketch.as(s"${f.name}__kmv"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(nu(f.name)),
+        Kmv.sketch(col(hv(f.name)), k).as(kv(f.name)),
         (if (isNumeric(f.dataType)) min(c).cast("double")
-         else lit(null).cast("double")).as(s"${f.name}__min"),
+         else lit(null).cast("double")).as(mn(f.name)),
         (if (isNumeric(f.dataType)) max(c).cast("double")
-         else lit(null).cast("double")).as(s"${f.name}__max"))
+         else lit(null).cast("double")).as(mx(f.name)))
     }
     val one = pre.agg(aggs.head, aggs.tail: _*)
     val structs = fields.map { f =>
       struct(
         lit(f.name).as("column_name"),
         lit(f.dataType.simpleString).as("dtype"),
-        col("__n_rows").as("n_rows"),
-        col(s"${f.name}__nulls").as("n_nulls"),
-        col(s"${f.name}__kmv").as("kmv"),
-        col(s"${f.name}__min").as("min_num"),
-        col(s"${f.name}__max").as("max_num"))
+        col(rowsCol).as("n_rows"),
+        col(nu(f.name)).as("n_nulls"),
+        col(kv(f.name)).as("kmv"),
+        col(mn(f.name)).as("min_num"),
+        col(mx(f.name)).as("max_num"))
     }
     one.select(explode(array(structs: _*)).as("s"))
       .select(col("s.column_name").as("column_name"), col("s.dtype").as("dtype"),
@@ -108,10 +116,7 @@ object Profile {
     sketched.select(col("column_name"), col("dtype"),
       col("n_rows"), col("n_nulls"),
       size(col("kmv")).cast("long").as("kmv_n"),
-      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-          element_at(col("kmv"), -1).cast("double"))
-        .as("est_distinct"),
+      Kmv.estimate(col("kmv"), k).as("est_distinct"),
       col("min_num"), col("max_num"))
       .orderBy(col("column_name"))
 

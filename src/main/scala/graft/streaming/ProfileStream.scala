@@ -30,7 +30,6 @@ object ProfileStream {
 
   /** Fold a batch's sketch profile into the persisted state. */
   def mergeProfiles(state: DataFrame, batch: DataFrame, k: Int): DataFrame = {
-    val empty = array().cast("array<bigint>")
     def nz(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
     state.select(col("column_name"), col("dtype").as("dt_a"),
       col("n_rows").as("r_a"), col("n_nulls").as("u_a"),
@@ -43,9 +42,7 @@ object ProfileStream {
         coalesce(col("dt_a"), col("dt_b")).as("dtype"),
         (nz(col("r_a")) + nz(col("r_b"))).as("n_rows"),
         (nz(col("u_a")) + nz(col("u_b"))).as("n_nulls"),
-        slice(array_sort(array_distinct(concat(
-          coalesce(col("k_a"), empty), coalesce(col("k_b"), empty)))), 1, k)
-          .as("kmv"),
+        graft.operators.Kmv.mergeArrays(col("k_a"), col("k_b"), k).as("kmv"),
         least(col("mn_a"), col("mn_b")).as("min_num"),
         greatest(col("mx_a"), col("mx_b")).as("max_num"))
   }
@@ -58,24 +55,30 @@ object ProfileStream {
     if (batch.isEmpty) return // an empty batch would seed NULL sums into state
     val exists = graft.pipeline.Pipeline.pathExists(spark, statePath)
     if (exists) {
-      val last = spark.read.parquet(statePath)
-        .agg(max(col("batch_id"))).first().getLong(0)
-      if (batchId <= last) return
+      val head = spark.read.parquet(statePath)
+        .agg(max(col("batch_id")), max(col("k"))).first()
+      if (batchId <= head.getLong(0)) return
+      require(head.getInt(1) == k,
+        s"ProfileStream state at $statePath was built with k=${head.getInt(1)}, not k=$k")
     }
-    val b = Profile.sketchProfile(batch, k).withColumn("batch_id", lit(batchId))
+    val b = Profile.sketchProfile(batch, k)
     val merged =
-      if (exists) {
-        val st = spark.read.parquet(statePath)
-        mergeProfiles(st.drop("batch_id"), b.drop("batch_id"), k)
-          .withColumn("batch_id", lit(batchId))
-      } else b
-    graft.pipeline.Pipeline.swapWrite(spark, merged, statePath)
+      if (exists)
+        mergeProfiles(spark.read.parquet(statePath).drop("batch_id", "k"), b, k)
+      else b
+    graft.pipeline.Pipeline.swapWrite(spark,
+      merged.withColumn("batch_id", lit(batchId)).withColumn("k", lit(k)), statePath)
   }
 
-  /** Reader-facing view of the state: the estimate-derived profile. */
-  def currentProfile(spark: SparkSession, statePath: String,
-                     k: Int = Profile.DefaultK): DataFrame =
-    Profile.withEstimate(spark.read.parquet(statePath).drop("batch_id"), k)
+  /** Reader-facing view of the state: the estimate-derived profile,
+    * using the k RECORDED in the state — a reader with a mismatched
+    * default k would otherwise silently report a saturated sketch as
+    * an exact distinct count. */
+  def currentProfile(spark: SparkSession, statePath: String): DataFrame = {
+    val st = spark.read.parquet(statePath)
+    Profile.withEstimate(st.drop("batch_id", "k"),
+      st.select(col("k")).first().getInt(0))
+  }
 
   /** Wire a row stream into the profile state table. */
   def start(rows: DataFrame, statePath: String, checkpointDir: String,

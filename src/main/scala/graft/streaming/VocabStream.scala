@@ -2,9 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
-
-import graft.plans.KmvSketchLong
 
 /** Streaming vocabulary tracking — the KMV distinct sketch (q58,
   * plans/KmvSketchLong) maintained incrementally as documents ARRIVE.
@@ -38,55 +35,56 @@ object VocabStream {
   val DefaultK = 256
 
   /** Batch-local per-source sketch: (source, kmv ARRAY<BIGINT> sorted
-    * ASC). The md5-derived 60-bit token hash is the exact q58 keying
-    * (so streamed sketches are comparable against the batch query) and
-    * is pre-projected in a codegen'd select — the aggregate's
-    * interpreted update path then reads a bare long. */
-  def batchSketch(docs: DataFrame, k: Int = DefaultK): DataFrame = {
-    val sketch = ColumnBridge.column(
-      KmvSketchLong(ColumnBridge.expression(col("hv")), k).toAggregateExpression())
-    docs.select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
-      .select(col("source"),
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("hv"))
-      .groupBy(col("source"))
-      .agg(sketch.as("kmv"))
-  }
+    * ASC). Built on the SAME [[graft.operators.Kmv]] algebra as the
+    * q58/q61 batch queries, so streamed sketches are comparable
+    * against the batch query by construction. */
+  def batchSketch(docs: DataFrame, k: Int = DefaultK): DataFrame =
+    graft.operators.Kmv.sourceVocabSketch(docs, k)
+      .select(col("source"), col("kmv"))
 
   /** Fold a batch-local sketch into the persisted state: per source,
-    * union of the two bottom-k sets re-trimmed to bottom-k. Pure
-    * built-ins (array_distinct/array_sort/slice) — codegen-friendly,
-    * and exactly the KmvSketchLong merge semantics. */
-  def mergeSketches(state: DataFrame, batch: DataFrame, k: Int): DataFrame = {
-    val empty = array().cast("array<bigint>")
+    * union of the two bottom-k sets re-trimmed to bottom-k
+    * ([[graft.operators.Kmv.mergeArrays]] — exactly the KmvSketchLong
+    * merge semantics, as pure codegen-friendly built-ins). */
+  def mergeSketches(state: DataFrame, batch: DataFrame, k: Int): DataFrame =
     state.select(col("source"), col("kmv").as("a"))
       .join(batch.select(col("source"), col("kmv").as("b")), Seq("source"), "full_outer")
       .select(col("source"),
-        slice(array_sort(array_distinct(concat(
-          coalesce(col("a"), empty), coalesce(col("b"), empty)))), 1, k).as("kmv"))
-  }
+        graft.operators.Kmv.mergeArrays(col("a"), col("b"), k).as("kmv"))
 
-  /** Derive the distinct estimate from a sketch column — the q58
-    * formula: exact size below k, (k-1)/normalized(kth) at k. */
+  /** Derive the distinct estimate from a sketch column — the shared
+    * bottom-k formula. `k` MUST be the k the sketch was built with
+    * (persisted state carries it; see [[currentEstimates]]). */
   def withEstimate(state: DataFrame, k: Int = DefaultK): DataFrame =
     state.select(col("source"),
       size(col("kmv")).cast("long").as("kmv_n"),
       element_at(col("kmv"), -1).as("kmv_kth"),
-      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-          element_at(col("kmv"), -1).cast("double"))
-        .as("est_distinct"))
+      graft.operators.Kmv.estimate(col("kmv"), k).as("est_distinct"))
+
+  /** Estimates from a persisted state table, using the k RECORDED in
+    * the state — a reader with a mismatched default k would otherwise
+    * silently report a saturated sketch as an exact count. */
+  def currentEstimates(spark: SparkSession, statePath: String): DataFrame = {
+    val st = spark.read.parquet(statePath)
+    withEstimate(st.drop("k"), st.select(col("k")).first().getInt(0))
+  }
 
   /** Process one micro-batch of (doc_id, text, source) rows, folding its
-    * sketch into `statePath`. Exposed for direct testing; [[start]]
-    * wires it to foreachBatch. */
+    * sketch into `statePath`. The state records k and a mismatched
+    * caller fails loudly rather than merging incompatible sketches.
+    * Exposed for direct testing; [[start]] wires it to foreachBatch. */
   def processBatch(spark: SparkSession, batch: DataFrame, statePath: String,
                    k: Int = DefaultK): Unit = {
     val b = batchSketch(batch, k)
     val merged =
-      if (graft.pipeline.Pipeline.pathExists(spark, statePath))
-        mergeSketches(spark.read.parquet(statePath), b, k)
-      else b
-    graft.pipeline.Pipeline.swapWrite(spark, merged, statePath)
+      if (graft.pipeline.Pipeline.pathExists(spark, statePath)) {
+        val st = spark.read.parquet(statePath)
+        val storedK = st.select(col("k")).first().getInt(0)
+        require(storedK == k,
+          s"VocabStream state at $statePath was built with k=$storedK, not k=$k")
+        mergeSketches(st.drop("k"), b, k)
+      } else b
+    graft.pipeline.Pipeline.swapWrite(spark, merged.withColumn("k", lit(k)), statePath)
   }
 
   /** Wire a (doc_id, text, source) stream into the sketch state table. */

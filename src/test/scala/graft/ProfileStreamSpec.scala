@@ -49,17 +49,28 @@ class ProfileStreamSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val streamed = snap(spark.read.parquet(s"$root/state").drop("batch_id"))
+    val streamed = snap(spark.read.parquet(s"$root/state").drop("batch_id", "k"))
     val oneShot = snap(Profile.sketchProfile(df(rows), K))
     assert(streamed == oneShot)
-    // and the reader-facing estimates come out identical
-    val est = ProfileStream.currentProfile(spark, s"$root/state", K)
+    // and the reader-facing estimates come out identical — currentProfile
+    // derives with the k RECORDED in the state, not a caller default
+    val est = ProfileStream.currentProfile(spark, s"$root/state")
       .collect().map(r => r.getAs[String]("column_name") ->
         r.getAs[Double]("est_distinct")).toMap
     val bEst = Profile.profile(df(rows), K)
       .collect().map(r => r.getAs[String]("column_name") ->
         r.getAs[Double]("est_distinct")).toMap
     assert(est == bEst)
+  }
+
+  test("state records k; a mismatched caller fails instead of merging junk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-profk").toString
+    val state = s"$root/state"
+    ProfileStream.processBatch(spark, df(rows.take(10)), 0L, state, K)
+    val e = intercept[IllegalArgumentException] {
+      ProfileStream.processBatch(spark, df(rows.slice(10, 20)), 1L, state, k = 64)
+    }
+    assert(e.getMessage.contains("k=32"))
   }
 
   test("replayed batchId is skipped — additive counts stay exact") {

@@ -60,6 +60,20 @@ class VocabStreamSpec extends SparkSpec {
     assert(sketchMap(spark.read.parquet(state)) == first)
   }
 
+  test("state records k; a mismatched caller fails instead of merging junk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vocab-k").toString
+    val state = s"$root/state"
+    VocabStream.processBatch(spark, df(corpus.take(10)), state, K)
+    val e = intercept[IllegalArgumentException] {
+      VocabStream.processBatch(spark, df(corpus.slice(10, 20)), state, k = 64)
+    }
+    assert(e.getMessage.contains(s"k=$K"))
+    // and the recorded-k reader derives with the right k
+    val est = VocabStream.currentEstimates(spark, state)
+    assert(est.columns.toSeq ==
+      Seq("source", "kmv_n", "kmv_kth", "est_distinct"))
+  }
+
   test("merge of split sketches equals the sketch of the union") {
     val (lo, hi) = corpus.splitAt(25)
     val merged = sketchMap(VocabStream.mergeSketches(
