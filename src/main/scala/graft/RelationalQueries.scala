@@ -457,6 +457,78 @@ object RelationalQueries {
       FROM c GROUP BY 1, 2
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
+  // --- §2.5 breadth: ranking-window suite (ntile/percent_rank/cume_dist) -
+  // Decile profile of extended price per return flag: ntile(10) over a
+  // TOTAL order (price, orderkey, linenumber — no ties, so every rank
+  // function is deterministic), aggregated to one row per (flag,
+  // decile). Scale shape: the window partitions by l_returnflag (3
+  // groups at any scale — a real profile would partition finer); the
+  // aggregate after it is map-side combinable. percent_rank/cume_dist
+  // are single exact divisions on (rank-1)/(n-1) and rank/n — IEEE-
+  // identical across engines given the total order.
+  private val q63 = Q(
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").asc_nulls_first,
+          col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy(col("l_returnflag"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          max(col("pr")).as("max_percent_rank"),
+          max(col("cd")).as("max_cume_dist"))
+        .orderBy(col("l_returnflag"), col("decile"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice ASC NULLS FIRST,
+                              l_orderkey ASC NULLS FIRST,
+                              l_linenumber ASC NULLS FIRST))
+      SELECT l_returnflag, decile, count(*) AS n,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             max(pr) AS max_percent_rank,
+             max(cd) AS max_cume_dist
+      FROM r GROUP BY 1, 2
+      ORDER BY l_returnflag ASC NULLS FIRST, decile ASC NULLS FIRST"""))
+
+  // --- §2.4 breadth: CUBE — all grouping-set combinations ----------------
+  // q37 covers ROLLUP (the hierarchy prefixes); CUBE adds the cross
+  // combinations ((), (status), (priority), (status, priority)) in one
+  // pass — Spark expands to a grouping-set union with partial
+  // aggregation per set, the same map-side-combinable shape as a plain
+  // groupBy. Exact money via the q55 cents discipline.
+  private val q64 = Q(
+    (spark, dir) => {
+      val cents = round(col("o_totalprice").cast("double") * 100)
+        .cast("long").cast("decimal(38,0)")
+      Tables.orders(spark, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents).cast("double") / 100.0).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             CAST(CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+                  AS HUGEINT) AS DOUBLE) / 100.0 AS total_price
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   // --- table profiling: one-pass, sketch-backed column statistics --------
   // operators/Profile over lineitem: every column's null count, numeric
   // min/max, and KMV distinct estimate from ONE aggregation pass (4
@@ -540,5 +612,7 @@ object RelationalQueries {
     "q36_percentiles" -> q36,
     "q37_rollup" -> q37,
     "q55_decimal_money" -> q55,
-    "q60_table_profile" -> q60)
+    "q60_table_profile" -> q60,
+    "q63_window_suite" -> q63,
+    "q64_cube" -> q64)
 }
