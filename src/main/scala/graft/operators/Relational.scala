@@ -156,6 +156,27 @@ object Relational {
     * which is what the hash spreads on. Results never depend on the
     * salt assignment either way (exact integer partials).
     */
+  /** Skew-safe equi-join: the fact side takes a deterministic salt in
+    * [0, buckets) and the (small) right side is replicated once per
+    * salt value, so a hot join key spreads across `buckets` reducers
+    * instead of flooding one. Results are identical to the plain join
+    * (spec-asserted); the salt derives from xxhash64 of the whole fact
+    * row — deterministic under any partitioning, no RNG.
+    *
+    * Use when the right side is too big to broadcast outright but its
+    * `buckets`-fold replication still fits the shuffle comfortably
+    * (dim tables, per-key aggregate summaries); for genuinely big-big
+    * skewed joins prefer AQE's runtime skew-join splitting, which this
+    * complements, not replaces. */
+  def saltedJoin(fact: DataFrame, right: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets.toLong)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: String,
                      buckets: Int = 16, scale: Int = 2): DataFrame = {
     val factor = math.pow(10, scale)

@@ -44,6 +44,28 @@ class RelationalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("saltedJoin equals the plain join on skewed keys, any partitioning") {
+    // 900 of 1000 fact rows share one hot key — the shape that floods a
+    // single reducer in a plain shuffle join
+    val fact = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "fv")
+    val dim = Seq(("hot", 1L), ("k0", 2L), ("k3", 3L)).toDF("k", "dv")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("k")).select(col("k"), col("fv"), col("dv")))
+    val salted = canon(Relational.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .select(col("k"), col("fv"), col("dv")))
+    assert(salted == plain)
+    // left joins keep unmatched fact rows exactly once
+    val leftPlain = fact.join(dim, Seq("k"), "left").count()
+    val leftSalted = Relational.saltedJoin(fact, dim, Seq("k"), 8, "left").count()
+    assert(leftSalted == leftPlain)
+    // deterministic under a different fact partitioning
+    val again = canon(Relational.saltedJoin(fact.repartition(13), dim, Seq("k"), 8)
+      .select(col("k"), col("fv"), col("dv")))
+    assert(again == plain)
+  }
+
   test("asofJoinLatest picks the latest right row at or before each left ts") {
     val left = Seq((1L, 1, "2024-01-01 10:00:00"), (2L, 1, "2024-01-01 12:00:00"),
       (3L, 2, "2024-01-01 09:00:00"))
