@@ -105,6 +105,44 @@ object IbgeSource {
     fromPayload(spark, fetcher.fetch(Url))
 }
 
+/** JSONL document-corpus source — the de-facto LLM training-data
+  * interchange format (one JSON document per line). Reads with an
+  * EXPLICIT schema (never inference — a schema-inference pass over
+  * 100 TB is a second full scan) in PERMISSIVE mode: a corrupt line
+  * lands in `_corrupt` instead of failing the read, and
+  * [[readWithAudit]] splits the frame into (good docs, corrupt-line
+  * count) so ingestion can gate on the corruption rate rather than
+  * discover it downstream. Scale shape: line-splittable text — every
+  * executor reads its own byte range; gzip inputs work but are
+  * non-splittable (one task per file), so shard compressed corpora.
+  */
+object JsonlDocs {
+  import org.apache.spark.sql.types.StructType
+
+  val Schema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** (valid documents, corrupt-line count). A corrupt JSON line parses
+    * to all-null data columns + the raw line in `_corrupt`. */
+  def readWithAudit(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val raw = read(spark, path).cache()
+    try {
+      val corrupt = raw.filter(col("_corrupt").isNotNull).count()
+      val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+      // materialize good rows before unpersist so callers hold a plan
+      // over the (cheap, re-readable) source, not the cache
+      (good, corrupt)
+    } finally raw.unpersist()
+  }
+}
+
 /** Dialect-fallback CSV scan (reference extract.py:71-88, S3): existence
   * check with an actionable error, try `;` then fall back to `,` — the
   * fallback triggers when the `;` parse collapses the header into a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{BcbSource, CsvDialect, IbgeSource}
+import graft.sources.{BcbSource, CsvDialect, IbgeSource, JsonlDocs}
 
 class SourcesSpec extends SparkSpec {
 
@@ -32,6 +32,17 @@ class SourcesSpec extends SparkSpec {
     assert(sp.getAs[String]("uf_nome") == "São Paulo")
     assert(sp.getAs[String]("regiao_nome") == "Sudeste")
     assert(sp.getAs[Long]("uf_id") == 35L)
+  }
+
+  test("JsonlDocs reads a document corpus; corrupt lines are counted, not fatal") {
+    val (good, corrupt) = JsonlDocs.readWithAudit(spark, fixture("docs.jsonl"))
+    assert(corrupt == 1L, "exactly the broken line is corrupt")
+    val rows = good.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.head.getAs[String]("text") == "spark engines process data fast")
+    assert(good.columns.toSeq == Seq("doc_id", "text", "lang", "source"),
+      "_corrupt is an ingestion concern, not part of the document schema")
   }
 
   test("CsvDialect reads semicolon files and falls back to comma") {
