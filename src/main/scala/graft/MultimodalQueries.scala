@@ -44,6 +44,47 @@ object MultimodalQueries {
              CAST(sum(k1) AS DOUBLE) / 268435456.0 / count(*) AS avg_f1
       FROM f GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
 
+  // --- frame sampling over the binary payload ----------------------------
+  // The video/audio chunking shape: split each payload into fixed 64-byte
+  // frames, keep every 2nd (Multimodal.frames — codegen'd built-ins,
+  // partition-local, no shuffle until the per-source rollup), and account
+  // frames + a content hash of the first frame per source. The corpus
+  // text is ASCII, so the oracle mirrors byte frames with character
+  // substr over the same positions; the frame hash crosses engines as
+  // md5 over identical bytes. Scale shape: one map pass over payloads,
+  // then a tiny per-source aggregate — the frame EXPLOSION never
+  // shuffles (only per-doc counts and one hash do).
+  private val q65 = Q(
+    (spark, dir) => {
+      val d = Multimodal.withPayload(Tables.documents(spark, dir), "text")
+      val fr = Multimodal.frames(col("payload"), 64, stride = 2)
+      d.select(col("source"),
+          size(fr).cast("long").as("n_frames"),
+          md5(element_at(fr, 1)).as("f1"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("total_frames"),
+          countDistinct(col("f1")).as("distinct_first_frames"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH idx AS (
+        SELECT source, doc_id, text,
+               unnest(range(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1))) AS i
+        FROM documents),
+      fr AS (
+        SELECT source, doc_id, count(*) AS n_frames
+        FROM idx
+        WHERE i % 2 = 0 AND length(substr(text, CAST(i * 64 + 1 AS INT), 64)) > 0
+        GROUP BY 1, 2),
+      f1 AS (SELECT source, doc_id, md5(substr(text, 1, 64)) AS f1 FROM documents)
+      SELECT fr.source, count(*) AS n_docs,
+             CAST(sum(fr.n_frames) AS BIGINT) AS total_frames,
+             count(DISTINCT f1.f1) AS distinct_first_frames
+      FROM fr JOIN f1 ON fr.doc_id = f1.doc_id
+      GROUP BY 1 ORDER BY fr.source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
-    "q31_multimodal_features" -> q31)
+    "q31_multimodal_features" -> q31,
+    "q65_frame_sample" -> q65)
 }
