@@ -61,6 +61,10 @@ object MultimodalQueries {
       d.select(col("source"),
           size(fr).cast("long").as("n_frames"),
           md5(element_at(fr, 1)).as("f1"))
+        // a zero-frame (empty-payload) doc has nothing to account; the
+        // oracle's fr CTE drops it the same way, keeping both sides
+        // aligned even on corpora with empty documents
+        .filter(col("n_frames") > 0)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_frames")).as("total_frames"),

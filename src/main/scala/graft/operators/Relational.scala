@@ -156,32 +156,23 @@ object Relational {
     * which is what the hash spreads on. Results never depend on the
     * salt assignment either way (exact integer partials).
     */
-  /** Skew-safe equi-join: the fact side takes a deterministic salt in
-    * [0, buckets) and the (small) right side is replicated once per
-    * salt value, so a hot join key spreads across `buckets` reducers
-    * instead of flooding one. Results are identical to the plain join
-    * (spec-asserted); the salt derives from xxhash64 of the whole fact
-    * row — deterministic under any partitioning, no RNG.
-    *
-    * Use when the right side is too big to broadcast outright but its
-    * `buckets`-fold replication still fits the shuffle comfortably
-    * (dim tables, per-key aggregate summaries); for genuinely big-big
-    * skewed joins prefer AQE's runtime skew-join splitting, which this
-    * complements, not replaces. */
-  def saltedJoin(fact: DataFrame, right: DataFrame, keys: Seq[String],
-                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets.toLong)))
-    val replicated = right.withColumn("__salt",
-      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
-    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  /** Deterministic whole-row salt in [0, buckets) — the ONE salting
+    * discipline shared by [[saltedJoin]] and [[saltedSumCount]]:
+    * xxhash64 of every column, so the salt is a pure function of the
+    * row (no RNG, identical under any partitioning). Fails fast on a
+    * pre-existing `__salt` column, which `withColumn` would otherwise
+    * silently clobber and the operators would then drop. */
+  private def saltCol(df: DataFrame, buckets: Int) = {
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong))
   }
 
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: String,
                      buckets: Int = 16, scale: Int = 2): DataFrame = {
     val factor = math.pow(10, scale)
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+      .withColumn("__salt", saltCol(df, buckets))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
       // phase-1 partials use the split-long exact sum (hash-agg fast
       // path; see Exact.exactIntSum) — phase 2 sums one decimal per
@@ -192,5 +183,36 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n"),
         (sum(col("__s")).cast("double") / lit(factor)).as("sum_value"))
+  }
+
+  /** Skew-safe equi-join: the fact side takes the deterministic
+    * [[saltCol]] salt and the (small) right side is replicated once per
+    * salt value, so a hot join key spreads across `buckets` reducers
+    * instead of flooding one. Results are identical to the plain join
+    * (spec-asserted) for the FACT-PRESERVING join types only — inner,
+    * left/left_outer, left_semi, left_anti. Right/full outer joins are
+    * rejected: each unmatched right replica would surface as its own
+    * spurious output row (replication is invisible to fact-side
+    * semantics but not to right-side preservation).
+    *
+    * Use when the right side is too big to broadcast outright but its
+    * `buckets`-fold replication still fits the shuffle comfortably
+    * (dim tables, per-key aggregate summaries); for genuinely big-big
+    * skewed joins prefer AQE's runtime skew-join splitting, which this
+    * complements, not replaces. */
+  def saltedJoin(fact: DataFrame, right: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val factPreserving =
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti")
+    require(factPreserving(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports fact-preserving join types only, got '$joinType' — " +
+        "a right/full outer join would emit one spurious row per unmatched replica")
+    require(!right.columns.contains("__salt"),
+      "right side already has a __salt column — rename it before salting")
+    val salted = fact.withColumn("__salt", saltCol(fact, buckets))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

@@ -129,17 +129,29 @@ object JsonlDocs {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
-  /** (valid documents, corrupt-line count). A corrupt JSON line parses
-    * to all-null data columns + the raw line in `_corrupt`. */
+  /** (valid documents, bad-line count).
+    *
+    * Neither side references `_corrupt`: Spark rejects any query whose
+    * PRUNED scan touches only the corrupt-record column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and under
+    * `count()` every such filter prunes to exactly that — so the audit
+    * counts non-blank text lines and subtracts the valid documents
+    * instead. "Bad" therefore means: malformed JSON, or a parsed line
+    * missing `doc_id`/`text` — a document without an id or body is not
+    * ingestable either way (the schema contract). The returned frame
+    * is a plain schema'd read with that validity filter: every
+    * downstream action, including column-pruned `count()`, stays legal
+    * and no cache is pinned. Use [[read]] (cached, per the Spark rule)
+    * to inspect the raw corrupt lines themselves. */
   def readWithAudit(spark: SparkSession, path: String): (DataFrame, Long) = {
-    val raw = read(spark, path).cache()
-    try {
-      val corrupt = raw.filter(col("_corrupt").isNotNull).count()
-      val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
-      // materialize good rows before unpersist so callers hold a plan
-      // over the (cheap, re-readable) source, not the cache
-      (good, corrupt)
-    } finally raw.unpersist()
+    val totalLines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0).count()
+    val good = spark.read
+      .schema(Schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    (good, totalLines - good.count())
   }
 }
 

@@ -64,6 +64,15 @@ class RelationalSpec extends SparkSpec {
     val again = canon(Relational.saltedJoin(fact.repartition(13), dim, Seq("k"), 8)
       .select(col("k"), col("fv"), col("dv")))
     assert(again == plain)
+    // right/full outer would emit one spurious row per unmatched
+    // replica — rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(fact, dim, Seq("k"), 8, "right")
+    }
+    // a pre-existing __salt column would be silently clobbered — rejected
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(fact.withColumn("__salt", lit(1L)), dim, Seq("k"), 8)
+    }
   }
 
   test("asofJoinLatest picks the latest right row at or before each left ts") {

@@ -37,6 +37,9 @@ class SourcesSpec extends SparkSpec {
   test("JsonlDocs reads a document corpus; corrupt lines are counted, not fatal") {
     val (good, corrupt) = JsonlDocs.readWithAudit(spark, fixture("docs.jsonl"))
     assert(corrupt == 1L, "exactly the broken line is corrupt")
+    // count() prunes the scan — must not trip Spark's corrupt-column-only
+    // restriction (the returned frame never references _corrupt)
+    assert(good.count() == 4L)
     val rows = good.orderBy("doc_id").collect()
     assert(rows.length == 4)
     assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L))
