@@ -461,22 +461,28 @@ object RelationalQueries {
   // Decile profile of extended price per return flag: ntile(10) over a
   // TOTAL order (price, orderkey, linenumber — no ties, so every rank
   // function is deterministic), aggregated to one row per (flag,
-  // decile). Scale shape: the window partitions by l_returnflag (3
-  // groups at any scale — a real profile would partition finer); the
-  // aggregate after it is map-side combinable. percent_rank/cume_dist
-  // are single exact divisions on (rank-1)/(n-1) and rank/n — IEEE-
-  // identical across engines given the total order.
+  // decile). Scale shape (the round-5 fix): a window partitioned by
+  // l_returnflag has 3 partitions at ANY scale — each one reducer
+  // sorting 1/3 of the corpus. operators/Ranking computes the same
+  // exact rank with one range exchange + a broadcast offset table
+  // (two-pass rank), so NO WindowExec touches the corpus; ntile/
+  // percent_rank/cume_dist are closed-form arithmetic on (rank, n) —
+  // IEEE-identical to the window forms given the total order.
   private val q63 = Q(
     (spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").asc_nulls_first,
-          col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
-      Tables.lineitem(spark, dir)
+      import graft.operators.Ranking
+      val ranked = Ranking.rankInGroup(
+        Tables.lineitem(spark, dir)
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_returnflag",
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+      val rk = col("rk")
+      val n = col("grp_n")
+      ranked
         .select(col("l_returnflag"), col("l_extendedprice"),
-          ntile(10).over(w).cast("long").as("decile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          Ranking.ntileFromRank(rk, n, 10).as("decile"),
+          Ranking.percentRankFromRank(rk, n).as("pr"),
+          Ranking.cumeDistFromRank(rk, n).as("cd"))
         .groupBy(col("l_returnflag"), col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("l_extendedprice")).as("min_price"),
