@@ -544,28 +544,41 @@ object RelationalQueries {
   // hash on their 1e6-quantized integer form, timestamps on their DATE
   // string) and the q58 bottom-k estimator.
   private val ProfileK = operators.Profile.DefaultK
+
+  // Mirror of Profile.hashInput's double normalization, including the
+  // non-finite/out-of-long-range sentinel CASE (never hit on this
+  // testdata, mirrored for contract honesty).
+  private def dblNorm(name: String): String =
+    s"""CASE WHEN isnan($name) THEN chr(3) || 'nan'
+          WHEN $name = CAST('infinity' AS DOUBLE) THEN chr(3) || 'inf'
+          WHEN $name = CAST('-infinity' AS DOUBLE) THEN chr(3) || '-inf'
+          WHEN abs(round(CAST($name AS DOUBLE) * 1000000.0)) >= 9.223372036854775e18
+            THEN chr(3) || coalesce(CAST(TRY_CAST($name AS DECIMAL(38,6)) AS VARCHAR), 'huge')
+          ELSE CAST(CAST(round(CAST($name AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR) END"""
+
   private final case class PCol(name: String, dtype: String, norm: String, numeric: Boolean)
   private val lineitemCols = Seq(
     PCol("l_orderkey", "bigint", "CAST(l_orderkey AS VARCHAR)", numeric = true),
     PCol("l_partkey", "bigint", "CAST(l_partkey AS VARCHAR)", numeric = true),
     PCol("l_suppkey", "bigint", "CAST(l_suppkey AS VARCHAR)", numeric = true),
     PCol("l_linenumber", "int", "CAST(l_linenumber AS VARCHAR)", numeric = true),
-    PCol("l_quantity", "double",
-      "CAST(CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
-      numeric = true),
-    PCol("l_extendedprice", "double",
-      "CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
-      numeric = true),
-    PCol("l_discount", "double",
-      "CAST(CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
-      numeric = true),
-    PCol("l_tax", "double",
-      "CAST(CAST(round(CAST(l_tax AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)",
-      numeric = true),
+    PCol("l_quantity", "double", dblNorm("l_quantity"), numeric = true),
+    PCol("l_extendedprice", "double", dblNorm("l_extendedprice"), numeric = true),
+    PCol("l_discount", "double", dblNorm("l_discount"), numeric = true),
+    PCol("l_tax", "double", dblNorm("l_tax"), numeric = true),
     PCol("l_returnflag", "string", "l_returnflag", numeric = false),
     PCol("l_linestatus", "string", "l_linestatus", numeric = false),
     PCol("l_shipdate", "timestamp_ntz",
       "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)", numeric = false))
+
+  // The whole-row hash behind Profile's SHARED quantile row sample:
+  // every column's normalized string (nulls pinned to chr(2)) joined
+  // with chr(1), md5 -> 60 bits — byte-identical to Profile.rowHash.
+  private def rowHashSql: String = {
+    val parts = lineitemCols.map(c => s"coalesce(${c.norm}, chr(2))")
+      .mkString(",\n                ")
+    s"CAST(('0x' || substr(md5(concat_ws(chr(1),\n                $parts)), 1, 15)) AS BIGINT)"
+  }
 
   private def profileOracleSql: String = {
     val ctes = lineitemCols.zipWithIndex.map { case (c, i) =>
@@ -576,12 +589,33 @@ object RelationalQueries {
                    CAST(LEAST(count(*), $ProfileK) AS BIGINT) AS kmv_n
             FROM (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn FROM h_$i))"""
     }.mkString(",\n")
+    // Quantile sample replay (QSketch contract): the k smallest
+    // DISTINCT (row-hash, value) pairs per numeric column; quantile =
+    // sampled value at rank max(1, ceil(p*m)) of the m values sorted
+    // ascending.
+    val sctes = lineitemCols.zipWithIndex.collect { case (c, i) if c.numeric =>
+      s"""s_$i AS (SELECT DISTINCT $rowHashSql AS hv,
+                   CAST(${c.name} AS DOUBLE) AS v
+            FROM lineitem WHERE ${c.name} IS NOT NULL),
+          p_$i AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rnk,
+                   count(*) OVER () AS m
+            FROM (SELECT v FROM (SELECT hv, v,
+                    row_number() OVER (ORDER BY hv ASC, v ASC) AS rn FROM s_$i)
+                  WHERE rn <= $ProfileK))"""
+    }.mkString(",\n")
     val blocks = lineitemCols.zipWithIndex.map { case (c, i) =>
       val minMax =
         if (c.numeric)
           s"""(SELECT CAST(min(${c.name}) AS DOUBLE) FROM lineitem) AS min_num,
               (SELECT CAST(max(${c.name}) AS DOUBLE) FROM lineitem) AS max_num"""
         else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+      val quantiles =
+        if (c.numeric)
+          s"""(SELECT max(CASE WHEN rnk = GREATEST(1, CAST(ceil(0.5 * m) AS BIGINT))
+                     THEN v END) FROM p_$i) AS p50_num,
+              (SELECT max(CASE WHEN rnk = GREATEST(1, CAST(ceil(0.9 * m) AS BIGINT))
+                     THEN v END) FROM p_$i) AS p90_num"""
+        else "CAST(NULL AS DOUBLE) AS p50_num, CAST(NULL AS DOUBLE) AS p90_num"
       s"""SELECT '${c.name}' AS column_name, '${c.dtype}' AS dtype,
             (SELECT count(*) FROM lineitem) AS n_rows,
             (SELECT CAST(sum(CASE WHEN ${c.name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -590,14 +624,62 @@ object RelationalQueries {
             (SELECT CASE WHEN n < $ProfileK THEN CAST(kmv_n AS DOUBLE)
                     ELSE ${ProfileK - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
              FROM k_$i) AS est_distinct,
-            $minMax"""
+            $minMax,
+            $quantiles"""
     }.mkString("\nUNION ALL\n")
-    s"WITH\n$ctes\n$blocks\nORDER BY column_name ASC NULLS FIRST"
+    s"WITH\n$ctes,\n$sctes\n$blocks\nORDER BY column_name ASC NULLS FIRST"
   }
 
   private val q60 = Q(
     (spark, dir) => operators.Profile.profile(Tables.lineitem(spark, dir), ProfileK),
     Some(profileOracleSql))
+
+  // --- mergeable quantile sketch per group (scale-safe percentiles) ------
+  // The sketch-tier answer to q36's whole-group buffering: per-lang
+  // p50/p90 of n_chars from a bounded bottom-k row sample
+  // (plans/QuantilePairSketch) — <= k 16-byte pairs of state per group,
+  // map-side combinable, where exact percentile() buffers EVERY group
+  // value (the executor-OOM shape at 100x). q36 stays as the exact
+  // small-scale baseline; this is the form a 100 TB profile runs. The
+  // oracle replays the deterministic sample: the k smallest DISTINCT
+  // (hash60(doc_id), n_chars) pairs per lang, quantile = sampled value
+  // at rank max(1, ceil(p*m)) — exact whenever the group holds <= k
+  // rows, +-O(1/sqrt(k)) rank error above.
+  private val q66 = Q(
+    (spark, dir) => {
+      val pre = Tables.documents(spark, dir).select(col("lang"),
+        operators.Kmv.hash60(col("doc_id").cast("string")).as("hv"),
+        col("n_chars").cast("double").as("v"))
+      pre.groupBy(col("lang"))
+        .agg(operators.QSketch.pairSketch(col("hv"), col("v"), ProfileK).as("qsk"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          operators.QSketch.quantile(col("qsk"), 0.5).as("p50_est"),
+          operators.QSketch.quantile(col("qsk"), 0.9).as("p90_est"),
+          col("n_docs"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+    Some(s"""
+      WITH s AS (SELECT DISTINCT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+               CAST(n_chars AS DOUBLE) AS v
+             FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+           b AS (SELECT lang, v FROM (SELECT lang, v,
+                   row_number() OVER (PARTITION BY lang ORDER BY hv ASC, v ASC) AS rn
+                 FROM s) WHERE rn <= $ProfileK),
+           r AS (SELECT lang, v,
+                 row_number() OVER (PARTITION BY lang ORDER BY v ASC) AS rnk,
+                 count(*) OVER (PARTITION BY lang) AS m FROM b),
+           q AS (SELECT lang,
+                 max(CASE WHEN rnk = GREATEST(1, CAST(ceil(0.5 * m) AS BIGINT))
+                     THEN v END) AS p50_est,
+                 max(CASE WHEN rnk = GREATEST(1, CAST(ceil(0.9 * m) AS BIGINT))
+                     THEN v END) AS p90_est
+             FROM r GROUP BY lang),
+           c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+      SELECT c.lang, q.p50_est, q.p90_est, c.n_docs
+      FROM c LEFT JOIN q ON c.lang IS NOT DISTINCT FROM q.lang
+      ORDER BY c.lang ASC NULLS FIRST"""))
 
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
@@ -620,5 +702,6 @@ object RelationalQueries {
     "q55_decimal_money" -> q55,
     "q60_table_profile" -> q60,
     "q63_window_suite" -> q63,
-    "q64_cube" -> q64)
+    "q64_cube" -> q64,
+    "q66_quantile_sketch" -> q66)
 }

@@ -31,12 +31,35 @@ object Profile {
 
   val DefaultK = 256
 
+  // Non-ANSI double→long casts saturate: every |v·1e6| past Long range
+  // collapses to Long.MaxValue, NaN becomes 0 (colliding with 0.0) —
+  // distinct extreme/non-finite values would silently merge in the
+  // sketch. Route those through explicit sentinels (-prefixed so
+  // they can never collide with a plain quantized integer's string)
+  // before the quantized fast path; the q60 oracle mirrors the CASE.
   private def hashInput(c: Column, t: DataType): Column = t match {
     case DoubleType | FloatType =>
-      round(c.cast("double") * 1e6).cast("long").cast("string")
+      val d = c.cast("double")
+      val q = round(d * 1e6)
+      when(isnan(d), lit("nan"))
+        .when(d === lit(Double.PositiveInfinity), lit("inf"))
+        .when(d === lit(Double.NegativeInfinity), lit("-inf"))
+        .when(abs(q) >= lit(9.223372036854775e18), concat(lit(""),
+          coalesce(d.cast("decimal(38,6)").cast("string"), lit("huge"))))
+        .otherwise(q.cast("long").cast("string"))
     case TimestampType | TimestampNTZType | DateType => c.cast("date").cast("string")
     case _ => c.cast("string")
   }
+
+  /** Deterministic whole-row key for the quantile sample: md5-derived
+    * 60-bit hash of every column's normalized string, NUL-separated,
+    * nulls pinned to an explicit sentinel (concat_ws would silently
+    * skip them and DuckDB must replay byte-identically). Full-duplicate
+    * rows share a key and collapse in the sample's set semantics — the
+    * saltedJoin caveat, documented in the oracle contract. */
+  private def rowHash(fields: Seq[StructField]): Column =
+    Kmv.hash60(concat_ws("",
+      fields.map(f => coalesce(hashInput(col(f.name), f.dataType), lit(""))): _*))
 
   private def isNumeric(t: DataType): Boolean = t match {
     case _: NumericType => true
@@ -61,9 +84,11 @@ object Profile {
       n
     }
     val rowsCol = fresh("__n_rows")
+    val rowHv = fresh("__row_hv")
     val hv = fields.map(f => f.name -> fresh(s"${f.name}__hv")).toMap
     val nu = fields.map(f => f.name -> fresh(s"${f.name}__nulls")).toMap
     val kv = fields.map(f => f.name -> fresh(s"${f.name}__kmv")).toMap
+    val qs = fields.map(f => f.name -> fresh(s"${f.name}__qsk")).toMap
     val mn = fields.map(f => f.name -> fresh(s"${f.name}__min")).toMap
     val mx = fields.map(f => f.name -> fresh(s"${f.name}__max")).toMap
     // Spread a narrow scan before the CPU-heavy per-column hashing
@@ -81,12 +106,22 @@ object Profile {
     // projection below the aggregate, update() reads a plain long.
     val pre = spread.select(fields.map(f => col(f.name)) ++ fields.map { f =>
       Kmv.hash60(hashInput(col(f.name), f.dataType)).as(hv(f.name))
+    } ++ Seq(rowHash(fields).as(rowHv)) ++ fields.collect {
+      // quantile sample values pre-cast outside the aggregate too
+      case f if isNumeric(f.dataType) =>
+        col(f.name).cast("double").as(qs(f.name) + "_v")
     }: _*)
+    val emptyPairs = lit(null).cast("array<struct<hv:bigint,v:double>>")
     val aggs: Seq[Column] = count(lit(1)).as(rowsCol) +: fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(nu(f.name)),
         Kmv.sketch(col(hv(f.name)), k).as(kv(f.name)),
+        // ONE shared bottom-k row sample keyed on the whole-row hash,
+        // read per numeric column (nulls drop out per column)
+        (if (isNumeric(f.dataType))
+           QSketch.pairSketch(col(rowHv), col(qs(f.name) + "_v"), k)
+         else emptyPairs).as(qs(f.name)),
         (if (isNumeric(f.dataType)) min(c).cast("double")
          else lit(null).cast("double")).as(mn(f.name)),
         (if (isNumeric(f.dataType)) max(c).cast("double")
@@ -100,13 +135,14 @@ object Profile {
         col(rowsCol).as("n_rows"),
         col(nu(f.name)).as("n_nulls"),
         col(kv(f.name)).as("kmv"),
+        col(qs(f.name)).as("qsk"),
         col(mn(f.name)).as("min_num"),
         col(mx(f.name)).as("max_num"))
     }
     one.select(explode(array(structs: _*)).as("s"))
       .select(col("s.column_name").as("column_name"), col("s.dtype").as("dtype"),
         col("s.n_rows").as("n_rows"), col("s.n_nulls").as("n_nulls"),
-        col("s.kmv").as("kmv"),
+        col("s.kmv").as("kmv"), col("s.qsk").as("qsk"),
         col("s.min_num").as("min_num"), col("s.max_num").as("max_num"))
   }
 
@@ -117,7 +153,9 @@ object Profile {
       col("n_rows"), col("n_nulls"),
       size(col("kmv")).cast("long").as("kmv_n"),
       Kmv.estimate(col("kmv"), k).as("est_distinct"),
-      col("min_num"), col("max_num"))
+      col("min_num"), col("max_num"),
+      QSketch.quantile(col("qsk"), 0.5).as("p50_num"),
+      QSketch.quantile(col("qsk"), 0.9).as("p90_num"))
       .orderBy(col("column_name"))
 
   def profile(df: DataFrame, k: Int = DefaultK): DataFrame =

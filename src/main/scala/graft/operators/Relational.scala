@@ -199,7 +199,15 @@ object Relational {
     * `buckets`-fold replication still fits the shuffle comfortably
     * (dim tables, per-key aggregate summaries); for genuinely big-big
     * skewed joins prefer AQE's runtime skew-join splitting, which this
-    * complements, not replaces. */
+    * complements, not replaces.
+    *
+    * Limitation (shared with [[saltedSumCount]]): the salt is a pure
+    * function of the whole row, so byte-identical DUPLICATE fact rows
+    * sharing the hot key all land in one bucket — the skew mitigation
+    * degrades exactly when the hot key's rows are full duplicates
+    * (common in raw event logs). For duplicate-heavy facts, dedup or
+    * attach a distinguishing column first, or rely on AQE skew
+    * splitting, which splits by partition size, not row content. */
   def saltedJoin(fact: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     val factPreserving =

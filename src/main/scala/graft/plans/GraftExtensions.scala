@@ -18,11 +18,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLong)
     ext.injectFunction(GraftExtensions.kmvSketchLong)
+    ext.injectFunction(GraftExtensions.quantilePairSketch)
     ext.injectFunction(GraftExtensions.cellArgmaxCosineLong)
   }
 }
 
 object GraftExtensions {
+  /** Extract a required integer literal argument with the intended
+    * error for every non-conforming shape (non-literal, non-numeric
+    * foldable like a string — previously an opaque ClassCastException). */
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got ${Option(other).getOrElse("NULL")}")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
   private val arrayDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("array_dot_long"),
     new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
@@ -36,11 +50,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KmvSketchLong].getName, "kmv_sketch_long"),
     (children: Seq[Expression]) => {
       require(children.length == 2, "kmv_sketch_long takes (hash BIGINT, k INT)")
-      val k = children(1) match {
-        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
-        case e => throw new IllegalArgumentException(s"k must be a literal, got $e")
-      }
-      KmvSketchLong(children.head, k)
+      KmvSketchLong(children.head, literalInt(children(1), "kmv_sketch_long k"))
+    })
+
+  private val quantilePairSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_pair_sketch"),
+    new ExpressionInfo(classOf[QuantilePairSketch].getName, "quantile_pair_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "quantile_pair_sketch takes (hash BIGINT, value DOUBLE, k INT)")
+      QuantilePairSketch(children(0), children(1),
+        literalInt(children(2), "quantile_pair_sketch k"))
     })
 
   private val cellArgmaxCosineLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -54,7 +74,8 @@ object GraftExtensions {
 
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(arrayDotLong, kmvSketchLong, cellArgmaxCosineLong))
+    for ((id, info, builder) <-
+           Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -31,18 +31,37 @@ object ProfileStream {
   /** Fold a batch's sketch profile into the persisted state. */
   def mergeProfiles(state: DataFrame, batch: DataFrame, k: Int): DataFrame = {
     def nz(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    // Fail fast on dtype drift between batches (schema evolution):
+    // sketches built under different hash normalizations (quantized-
+    // double vs plain-string) must never merge silently — the distinct
+    // estimate would corrupt under the coalesced dtype.
+    val dtype = when(
+      col("dt_a").isNotNull && col("dt_b").isNotNull && col("dt_a") =!= col("dt_b"),
+      raise_error(concat(lit("ProfileStream dtype drift for column "),
+        col("column_name"), lit(": state has "), col("dt_a"),
+        lit(", batch has "), col("dt_b"))))
+      .otherwise(coalesce(col("dt_a"), col("dt_b")))
     state.select(col("column_name"), col("dtype").as("dt_a"),
       col("n_rows").as("r_a"), col("n_nulls").as("u_a"),
-      col("kmv").as("k_a"), col("min_num").as("mn_a"), col("max_num").as("mx_a"))
+      col("kmv").as("k_a"), col("qsk").as("q_a"),
+      col("min_num").as("mn_a"), col("max_num").as("mx_a"))
       .join(batch.select(col("column_name"), col("dtype").as("dt_b"),
         col("n_rows").as("r_b"), col("n_nulls").as("u_b"),
-        col("kmv").as("k_b"), col("min_num").as("mn_b"), col("max_num").as("mx_b")),
+        col("kmv").as("k_b"), col("qsk").as("q_b"),
+        col("min_num").as("mn_b"), col("max_num").as("mx_b")),
         Seq("column_name"), "full_outer")
       .select(col("column_name"),
-        coalesce(col("dt_a"), col("dt_b")).as("dtype"),
+        dtype.as("dtype"),
         (nz(col("r_a")) + nz(col("r_b"))).as("n_rows"),
         (nz(col("u_a")) + nz(col("u_b"))).as("n_nulls"),
         graft.operators.Kmv.mergeArrays(col("k_a"), col("k_b"), k).as("kmv"),
+        // the pair sample only merges for numeric columns; non-numeric
+        // stay null on both sides (mergePairs of two nulls is empty —
+        // keep null instead so the schema contract is stable)
+        when(col("q_a").isNull && col("q_b").isNull, lit(null)
+            .cast("array<struct<hv:bigint,v:double>>"))
+          .otherwise(graft.operators.QSketch.mergePairs(col("q_a"), col("q_b"), k))
+          .as("qsk"),
         least(col("mn_a"), col("mn_b")).as("min_num"),
         greatest(col("mx_a"), col("mx_b")).as("max_num"))
   }

@@ -24,10 +24,12 @@ class ProfileStreamSpec extends SparkSpec {
     rs.toDF("id", "x", "cat")
 
   private def snap(d: DataFrame): Set[(String, Long, Long, Seq[Long],
-      Option[Double], Option[Double])] =
+      Seq[(Long, Double)], Option[Double], Option[Double])] =
     d.collect().map { r =>
+      val qsk = Option(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("qsk")))
+        .map(_.map(p => (p.getLong(0), p.getDouble(1))).toSeq).getOrElse(Seq.empty)
       (r.getAs[String]("column_name"), r.getAs[Long]("n_rows"),
-        r.getAs[Long]("n_nulls"), r.getSeq[Long](r.fieldIndex("kmv")),
+        r.getAs[Long]("n_nulls"), r.getSeq[Long](r.fieldIndex("kmv")), qsk,
         Option(r.getAs[java.lang.Double]("min_num")).map(_.doubleValue()),
         Option(r.getAs[java.lang.Double]("max_num")).map(_.doubleValue()))
     }.toSet
@@ -71,6 +73,22 @@ class ProfileStreamSpec extends SparkSpec {
       ProfileStream.processBatch(spark, df(rows.slice(10, 20)), 1L, state, k = 64)
     }
     assert(e.getMessage.contains("k=32"))
+  }
+
+  test("dtype drift between batches fails fast instead of merging junk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-profdrift").toString
+    val state = s"$root/state"
+    ProfileStream.processBatch(spark, df(rows.take(10)), 0L, state, K)
+    // x arrives as STRING in batch 1: its sketch would be built under
+    // the plain-string normalization, not the quantized-double one —
+    // merging them silently would corrupt the distinct estimate
+    val drifted = df(rows.slice(10, 20)).withColumn("x", col("x").cast("string"))
+    val e = intercept[Exception] {
+      ProfileStream.processBatch(spark, drifted, 1L, state, K)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("dtype drift"), s"want the drift error, got: $msgs")
   }
 
   test("replayed batchId is skipped — additive counts stay exact") {
