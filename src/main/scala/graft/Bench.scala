@@ -81,8 +81,19 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout's tail, which has truncated twice
+    // (BENCH_r04/r05 arrived with `parsed: null` and the leading
+    // queries cut). Persist the same line to a committed file so the
+    // round's numbers are always reconstructible from the repo alone.
+    // Skipped for filtered runs — a partial line must never overwrite
+    // the full suite's artifact.
+    if (only.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

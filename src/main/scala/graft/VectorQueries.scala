@@ -1087,11 +1087,17 @@ object VectorQueries {
   // Scale shape: the pair count is Σ|cell|²/2 — the k knob controls it.
   // The shared k=⌈√n⌉ index gives ~√n-sized cells (O(n^1.5) dots at the
   // extreme); a production SemDeDup run sizes k so cells stay ~1-10k
-  // vectors (the paper's regime), making the scan O(n·cell). Everything
-  // else is equi-joins on cell/vec_id and the pointer-jumped CC — no
-  // all-pairs anywhere. The oracle replays the identical trained cells
-  // (ivfSqlCte) + transitive closure, so even the cluster labels are
-  // hash-checked.
+  // vectors (the paper's regime), making the scan O(n·cell). The
+  // quadratic corner is ENFORCED away by operators/CellCap.capCells —
+  // recursive deterministic bisection of any cell above a bound, so
+  // pair work per cell is ≤ maxCell²/2 by construction (CellCapSpec
+  // proves it on a skewed fixture). This query keeps the RAW shared
+  // cells so the oracle replays even the cluster labels exactly; a
+  // production run inserts capCells between ivfTrained and the pair
+  // join. Everything else is equi-joins on cell/vec_id and the
+  // pointer-jumped CC — no all-pairs anywhere. The oracle replays the
+  // identical trained cells (ivfSqlCte) + transitive closure, so even
+  // the cluster labels are hash-checked.
   private val q59 = Q(
     (spark, dir) => {
       val (e, _, cells, _) = ivfTrained(spark, dir)
