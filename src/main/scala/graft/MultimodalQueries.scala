@@ -88,7 +88,57 @@ object MultimodalQueries {
       FROM fr JOIN f1 ON fr.doc_id = f1.doc_id
       GROUP BY 1 ORDER BY fr.source ASC NULLS FIRST"""))
 
+  // --- real image header decode (JPEG SOFn / PNG IHDR) -------------------
+  // Each document fabricates a SPEC-VALID container payload (even
+  // doc_id → PNG, odd → JPEG; every 7th → a truncated non-image) with
+  // dimensions derived arithmetically from (doc_id, n_chars). The
+  // engine side then parses the dimensions BACK out of the raw bytes
+  // with the native image_dims_long expression — the oracle predicts
+  // them with pure arithmetic and never touches a byte, so the hash
+  // match proves encode→parse round-trips the container formats
+  // exactly. Scale shape: one codegen'd map pass over payloads
+  // (build + parse fused in one WholeStageCodegen), then a tiny
+  // (source, format) rollup.
+  private val q68 = Q(
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          (col("doc_id") % 640 + 1).as("w0"), (col("n_chars") % 480 + 1).as("h0"))
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0, unhex(lit("89504E47"))) // truncated: not an image
+            .when(col("doc_id") % 2 === 0, Multimodal.pngPayload(col("w0"), col("h0")))
+            .otherwise(Multimodal.jpegPayload(col("w0"), col("h0"))))
+      val parsed = d.withColumn("dims", Multimodal.imageDims(col("payload")))
+        .select(col("source"),
+          when(col("dims").isNull, lit("unknown"))
+            .when(hex(substring(col("payload"), 1, 2)) === "FFD8", lit("jpeg"))
+            .otherwise(lit("png")).as("format"),
+          Multimodal.dimsWidth(col("dims")).as("w"),
+          Multimodal.dimsHeight(col("dims")).as("h"))
+      parsed.groupBy(col("source"), col("format"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("w")).as("sum_width"), sum(col("h")).as("sum_height"),
+          max(col("w")).as("max_width"), max(col("h")).as("max_height"))
+        .orderBy(col("source"), col("format"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+                    WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 640 + 1 END AS w,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 480 + 1 END AS h
+        FROM documents)
+      SELECT source, format, count(*) AS n_images,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height,
+             CAST(max(w) AS BIGINT) AS max_width,
+             CAST(max(h) AS BIGINT) AS max_height
+      FROM f GROUP BY 1, 2
+      ORDER BY source ASC NULLS FIRST, format ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q31_multimodal_features" -> q31,
-    "q65_frame_sample" -> q65)
+    "q65_frame_sample" -> q65,
+    "q68_image_dims" -> q68)
 }

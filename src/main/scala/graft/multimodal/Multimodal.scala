@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extraction / resize / frame-sampling run
   * partition-parallel over the payload bytes.
   *
-  * DECODE IS STUBBED: real image/audio decoders need native libraries
-  * that are absent in this build environment, so every `fake*` function
-  * derives DETERMINISTIC pseudo-outputs from the raw bytes. Everything
-  * around the stub — the schema convention, the binary column handling,
-  * the `mapPartitions` batch shape, the partition-parallel execution —
-  * is the real production plumbing and is tested. Swapping in a real
-  * decoder changes only the function body.
+  * HEADER DECODE IS REAL: [[imageDims]] parses JPEG SOFn / PNG IHDR
+  * width-height straight from the container bytes (public specs,
+  * pure-JVM, codegen'd — graft.plans.ImageHeader), and [[decodeAll]]
+  * uses it for any payload that IS a recognizable image. Only the
+  * pixel-level decode remains faked (`fake*` functions derive
+  * DETERMINISTIC pseudo-outputs from the raw bytes): full decoders
+  * need native libraries absent in this build environment. The
+  * surrounding plumbing — schema convention, binary column handling,
+  * the `mapPartitions` batch shape, partition-parallel execution — is
+  * the real production shape and is tested.
   */
 object Multimodal {
 
@@ -62,22 +65,68 @@ object Multimodal {
       (f, i) => (i % stride === 0) && octet_length(f) > 0)
   }
 
-  /** Decode stub with the REAL batch shape: partition-parallel
-    * `mapPartitions` over typed media rows, one native-decoder session
-    * per partition (that is where a real implementation would initialize
-    * its decoder once and stream the iterator through it). */
+  /** `(width << 32) | height` parsed from a JPEG/PNG payload's header,
+    * NULL for anything unrecognizable — the REAL decode step, as a
+    * native codegen'd expression ([[graft.plans.ImageDimsLong]]). */
+  def imageDims(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ImageDimsLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+
+  /** Width / height halves of an [[imageDims]] value (codegen'd). */
+  def dimsWidth(dims: Column): Column = shiftright(dims, 32)
+  def dimsHeight(dims: Column): Column = dims.bitwiseAND(lit(0xffffffffL))
+
+  // --- synthetic image payloads (spec-valid headers, known dims) --------
+  // Built from codegen'd builtins so tests/queries can fabricate
+  // REAL container bytes at any scale without a media library; the
+  // payloads are honest-to-spec headers a real decoder accepts (the
+  // spec round-trips them through javax.imageio).
+
+  private def be32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+  private def be16(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+
+  /** Minimal spec-valid PNG prefix: signature + IHDR(width, height,
+    * 8-bit RGBA). Enough container for any header parser; not a full
+    * renderable file (no IDAT), which header parsing never reads. */
+  def pngPayload(width: Column, height: Column): Column =
+    concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be32(width), be32(height), unhex(lit("0806000000")))
+
+  /** Minimal spec-valid JPEG prefix: SOI + JFIF APP0 + SOF0 frame
+    * header carrying (height, width) + EOI. Dimensions are u16 —
+    * callers keep width/height <= 65535 (JPEG's own ceiling). */
+  def jpegPayload(width: Column, height: Column): Column =
+    concat(unhex(lit("FFD8FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC0001108")), be16(height), be16(width),
+      unhex(lit("03012200021101031101FFD9")))
+
+  /** Decode with the REAL batch shape: partition-parallel
+    * `mapPartitions` over typed media rows, one decoder session per
+    * partition. Header decode (dimensions) is REAL — ImageHeader's
+    * JPEG/PNG parse — for any payload that is a recognizable image;
+    * non-image payloads fall back to deterministic pseudo-dims so the
+    * pipeline shape stays total. Pixel decode (channels) would need a
+    * native library; a real implementation initializes it once per
+    * partition right where the comment sits. */
   def decodeAll(media: Dataset[Media]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: val decoder = NativeDecoder.open() — once per partition
       rows.map { m =>
         val bytes = m.payload
-        // deterministic fake "decode": dimensions derived from content
-        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val dims = graft.plans.ImageHeader.parseDims(bytes)
+        val (w, h) =
+          if (dims >= 0L) ((dims >>> 32).toInt, (dims & 0xffffffffL).toInt)
+          else {
+            // non-image payload: deterministic pseudo-dims from content
+            val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+            ((sum % 640).toInt + 1, (bytes.length % 480) + 1)
+          }
         Decoded(
           mediaId = m.mediaId,
-          width = (sum % 640).toInt + 1,
-          height = (bytes.length % 480) + 1,
+          width = w,
+          height = h,
           channels = 3,
           checksum = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString)

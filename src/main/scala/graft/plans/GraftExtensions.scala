@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvSketchLong)
     ext.injectFunction(GraftExtensions.quantilePairSketch)
     ext.injectFunction(GraftExtensions.cellArgmaxCosineLong)
+    ext.injectFunction(GraftExtensions.imageDimsLong)
   }
 }
 
@@ -72,10 +73,19 @@ object GraftExtensions {
       CellArgMaxCosineLong(children(0), children(1), children(2), children(3), children(4))
     })
 
+  private val imageDimsLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_dims_long"),
+    new ExpressionInfo(classOf[ImageDimsLong].getName, "image_dims_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "image_dims_long takes exactly 1 argument")
+      ImageDimsLong(children.head)
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
-           Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong))
+           Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
+             imageDimsLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
