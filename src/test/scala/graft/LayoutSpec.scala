@@ -28,6 +28,35 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() == 100)
   }
 
+  test("dynamic partition pruning: a filtered dim join skips fact partitions at runtime") {
+    // load.py:12-15's layout promise, runtime half: when the selective
+    // predicate sits on the DIM (not the fact's partition column),
+    // static pruning can't help — the fact scan must take a
+    // `dynamicpruning` subquery filter fed by the dim's broadcast, so
+    // at 100 TB a region-filtered join reads ~5/25 of the fact's
+    // partition directories instead of all of them.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val fact = (1L to 5000L).map(i => (i % 25, i, i * 2.0))
+      .toDF("nation_key", "k", "v")
+    fact.write.partitionBy("nation_key").parquet(s"$dir/fact")
+    val dim = Tables.nation(spark, "/root/testdata/sf0.001")
+      .select(col("n_nationkey").cast("long").as("nation_key"),
+        col("n_regionkey"), col("n_name"))
+
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(broadcast(dim.filter(col("n_regionkey") === 2)), Seq("nation_key"))
+    val scans = joined.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val factScan = scans.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(factScan.contains("dynamicpruning"),
+      s"fact scan carries no dynamicpruning filter:\n${scans.mkString("\n")}")
+
+    // and the pruned plan still computes exactly the plain join
+    val want = fact.join(dim.filter(col("n_regionkey") === 2), Seq("nation_key")).count()
+    assert(joined.count() == want)
+  }
+
   test("same-key bucketed tables join with no shuffle exchange") {
     val dir = Files.createTempDirectory("graft-buckets").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
