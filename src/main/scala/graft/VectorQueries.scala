@@ -1146,6 +1146,68 @@ object VectorQueries {
       GROUP BY r.s, cl.cell
       ORDER BY vec_id ASC NULLS FIRST"""))
 
+  // --- E3h: cell-size cap, oracle-checked -------------------------------
+  // One capCells bisection round over the SAME trained cells q40/q54/q59
+  // serve. maxCell = 21 sits below the pigeonhole bound ⌈n/k⌉ at both
+  // verify scales (sf0.01: ⌈500/23⌉ = 22; sf0.1: ⌈2000/45⌉ = 45), so at
+  // least one cell MUST split and the relabeling path is always
+  // exercised (the oracle unconditionally emits cell*2+bit labels, the
+  // post-round form). The oracle replays the whole round in
+  // SQL off ivfSqlCte: oversized cells (count > maxCell), seed A =
+  // min vid, seed B = min (cosineToA, vid), bit = cos(v,B) > cos(v,A),
+  // label = cell*2 + bit — so the judge-visible hash check covers the
+  // exact relabeling the 100 TB SemDeDup path depends on (CellCapSpec
+  // proves the recursive/boundary contracts; this proves the
+  // distributed math cross-engine). Cosine division order mirrors
+  // VectorOps.cosine (dot / sqrt(member) / sqrt(seed)) so the doubles
+  // are bit-identical across engines.
+  private val q69 = Q(
+    (spark, dir) => {
+      val (e, _, cells, _) = ivfTrained(spark, dir)
+      graft.operators.CellCap.capCells(
+        e.select(col("vec_id").as("vid"), col("q")), "vid", "q",
+        cells, maxCell = 21, maxRounds = 1)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH $ivfSqlCte,
+      over_c AS (SELECT cell FROM cells GROUP BY cell HAVING count(*) > 21),
+      sa AS (SELECT c.cell, min(c.vid) AS avid
+             FROM cells c JOIN over_c USING (cell) GROUP BY c.cell),
+      da AS (
+        SELECT c.cell, c.vid, sa.avid, sum(em.v * ea.v) AS dot
+        FROM cells c JOIN sa ON sa.cell = c.cell
+             JOIN e em ON em.vec_id = c.vid
+             JOIN e ea ON ea.vec_id = sa.avid AND ea.i = em.i
+        GROUP BY 1, 2, 3),
+      cosa AS (
+        SELECT da.cell, da.vid,
+               CAST(da.dot AS DOUBLE) / sqrt(CAST(nm.n2 AS DOUBLE))
+                 / sqrt(CAST(na.n2 AS DOUBLE)) AS cos_a
+        FROM da JOIN n nm ON nm.vec_id = da.vid
+                JOIN n na ON na.vec_id = da.avid),
+      sb AS (SELECT cell, vid AS bvid FROM (
+               SELECT cell, vid, row_number() OVER (PARTITION BY cell
+                 ORDER BY cos_a ASC NULLS FIRST, vid ASC NULLS FIRST) AS rn
+               FROM cosa) WHERE rn = 1),
+      db AS (
+        SELECT c.cell, c.vid, sb.bvid, sum(em.v * eb.v) AS dot
+        FROM cells c JOIN sb ON sb.cell = c.cell
+             JOIN e em ON em.vec_id = c.vid
+             JOIN e eb ON eb.vec_id = sb.bvid AND eb.i = em.i
+        GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT db.cell, db.vid,
+               CASE WHEN CAST(db.dot AS DOUBLE) / sqrt(CAST(nm.n2 AS DOUBLE))
+                      / sqrt(CAST(nb.n2 AS DOUBLE)) > cosa.cos_a
+                    THEN 1 ELSE 0 END AS bit
+        FROM db JOIN n nm ON nm.vec_id = db.vid
+                JOIN n nb ON nb.vec_id = db.bvid
+                JOIN cosa ON cosa.cell = db.cell AND cosa.vid = db.vid)
+      SELECT c.vid, CAST(c.cell * 2 + COALESCE(b.bit, 0) AS BIGINT) AS cell
+      FROM cells c LEFT JOIN bits b ON b.vid = c.vid
+      ORDER BY c.vid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1157,5 +1219,6 @@ object VectorQueries {
     "q53_ann_recall" -> q53,
     "q54_ivf_recall" -> q54,
     "q57_ann_ivf2" -> q57,
-    "q59_semantic_dedup" -> q59)
+    "q59_semantic_dedup" -> q59,
+    "q69_capped_cells" -> q69)
 }
