@@ -137,8 +137,51 @@ object MultimodalQueries {
       FROM f GROUP BY 1, 2
       ORDER BY source ASC NULLS FIRST, format ASC NULLS FIRST"""))
 
+  // --- real WAV header decode (audio metadata) ---------------------------
+  // q68's audio sibling: spec-valid RIFF/WAVE fmt headers fabricated
+  // per document (sample rate and channel count derived arithmetically;
+  // every 9th doc a truncated non-audio payload), parsed back natively
+  // with audio_meta_long, rolled up per (source, channels). The oracle
+  // predicts every field arithmetically — the hash match proves the
+  // little-endian encode/parse round-trip.
+  private val q70 = Q(
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          (lit(8000) + (col("doc_id") % 89) * 1000).as("rate0"),
+          (lit(1) + col("doc_id") % 2).as("ch0"))
+        .withColumn("payload",
+          when(col("doc_id") % 9 === 0, lit("RIFFxxxx").cast("binary"))
+            .otherwise(Multimodal.wavPayload(col("rate0"), col("ch0"))))
+      val m = Multimodal.audioMeta(col("payload"))
+      d.select(col("source"),
+          coalesce(Multimodal.metaChannels(m), lit(-1L)).as("channels"),
+          Multimodal.metaSampleRate(m).as("rate"),
+          Multimodal.metaBits(m).as("bits"))
+        .groupBy(col("source"), col("channels"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("rate")).as("sum_rate"), max(col("rate")).as("max_rate"),
+          sum(col("bits")).as("sum_bits"))
+        .orderBy(col("source"), col("channels"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT source,
+               CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 1 + doc_id % 2 END AS channels,
+               CASE WHEN doc_id % 9 = 0 THEN NULL
+                    ELSE 8000 + (doc_id % 89) * 1000 END AS rate,
+               CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 16 END AS bits
+        FROM documents)
+      SELECT source, CAST(channels AS BIGINT) AS channels, count(*) AS n_clips,
+             CAST(sum(rate) AS BIGINT) AS sum_rate,
+             CAST(max(rate) AS BIGINT) AS max_rate,
+             CAST(sum(bits) AS BIGINT) AS sum_bits
+      FROM f GROUP BY 1, 2
+      ORDER BY source ASC NULLS FIRST, channels ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q31_multimodal_features" -> q31,
     "q65_frame_sample" -> q65,
-    "q68_image_dims" -> q68)
+    "q68_image_dims" -> q68,
+    "q70_audio_meta" -> q70)
 }

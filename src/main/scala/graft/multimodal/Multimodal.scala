@@ -101,6 +101,38 @@ object Multimodal {
       unhex(lit("FFC0001108")), be16(height), be16(width),
       unhex(lit("03012200021101031101FFD9")))
 
+  /** `(sampleRate << 24) | (channels << 16) | bitsPerSample` parsed
+    * from a WAV (RIFF) payload's fmt chunk, NULL for anything
+    * unrecognizable — audio's [[imageDims]]
+    * ([[graft.plans.AudioMetaLong]], codegen'd). */
+  def audioMeta(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AudioMetaLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+
+  /** Sample-rate / channels / bits halves of an [[audioMeta]] value. */
+  def metaSampleRate(m: Column): Column = shiftright(m, 24)
+  def metaChannels(m: Column): Column = shiftright(m, 16).bitwiseAND(lit(0xffL))
+  def metaBits(m: Column): Column = m.bitwiseAND(lit(0xffffL))
+
+  private def le16(v: Column): Column =
+    concat(unhex(lpad(hex(v.bitwiseAND(lit(0xffL))), 2, "0")),
+      unhex(lpad(hex(shiftright(v, 8).bitwiseAND(lit(0xffL))), 2, "0")))
+  private def le32(v: Column): Column = concat(le16(v), le16(shiftright(v, 16)))
+
+  /** Minimal spec-valid WAV prefix: RIFF/WAVE + a 16-byte PCM `fmt `
+    * chunk with the given sample rate and channel count (16-bit). A
+    * real decoder accepts the header (the spec round-trips it against
+    * javax.sound.sampled's writer); no data chunk, which header
+    * parsing never reads. */
+  def wavPayload(sampleRate: Column, channels: Column): Column = {
+    val byteRate = sampleRate * channels * 2
+    concat(lit("RIFF").cast("binary"), le32(lit(36)), lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate),
+      le32(byteRate), le16(channels * 2), le16(lit(16)))
+  }
+
   /** Decode with the REAL batch shape: partition-parallel
     * `mapPartitions` over typed media rows, one decoder session per
     * partition. Header decode (dimensions) is REAL — ImageHeader's

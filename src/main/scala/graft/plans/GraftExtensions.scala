@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.quantilePairSketch)
     ext.injectFunction(GraftExtensions.cellArgmaxCosineLong)
     ext.injectFunction(GraftExtensions.imageDimsLong)
+    ext.injectFunction(GraftExtensions.audioMetaLong)
   }
 }
 
@@ -81,11 +82,19 @@ object GraftExtensions {
       ImageDimsLong(children.head)
     })
 
+  private val audioMetaLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("audio_meta_long"),
+    new ExpressionInfo(classOf[AudioMetaLong].getName, "audio_meta_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "audio_meta_long takes exactly 1 argument")
+      AudioMetaLong(children.head)
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
-             imageDimsLong))
+             imageDimsLong, audioMetaLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
