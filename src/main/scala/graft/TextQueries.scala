@@ -1007,6 +1007,71 @@ object TextQueries {
       FROM s
       ORDER BY source_a ASC NULLS FIRST, source_b ASC NULLS FIRST"""))
 
+  // --- E4: PII scrubbing (functions/Redact) ------------------------------
+  // Deterministic PII is injected per document (every 5th gets an
+  // email, every 7th a phone, both derived from doc_id), then
+  // functions/Redact scrubs it back out with RE2-safe patterns that the
+  // oracle replays VERBATIM in DuckDB — counts AND the redacted text
+  // length hash-match, so the replacement itself (not just detection)
+  // is proven identical cross-engine. Scale shape: one codegen'd map
+  // pass (regexp_count/regexp_replace built-ins), then a catalog-sized
+  // rollup; nothing shuffles but the per-source partials.
+  private val q71 = Q(
+    (spark, dir) => {
+      val injected = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call +55 11 9"),
+                lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0"),
+                lit("-"),
+                lpad((col("doc_id") * 91 % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text2"))
+      injected
+        .select(col("source"),
+          graft.functions.Redact.emailCount(col("text2")).as("emails"),
+          graft.functions.Redact.phoneCount(col("text2")).as("phones"),
+          length(graft.functions.Redact.scrub(col("text2"))).cast("long")
+            .as("redacted_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("emails") + col("phones") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum(col("emails")).as("emails_redacted"),
+          sum(col("phones")).as("phones_redacted"),
+          sum(col("redacted_len")).as("total_redacted_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call +55 11 9' || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+                            || '-' || lpad(CAST(doc_id * 91 % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text2
+        FROM documents),
+      m AS (
+        SELECT source,
+               len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+               len(regexp_extract_all(text2, '\+[0-9]{2} [0-9]{2} [0-9]{5}-[0-9]{4}')) AS phones,
+               length(regexp_replace(regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\+[0-9]{2} [0-9]{2} [0-9]{5}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_len
+        FROM t)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(sum(emails) AS BIGINT) AS emails_redacted,
+             CAST(sum(phones) AS BIGINT) AS phones_redacted,
+             CAST(sum(redacted_len) AS BIGINT) AS total_redacted_chars
+      FROM m GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1032,5 +1097,6 @@ object TextQueries {
     "q51_cross_source_overlap" -> q51,
     "q56_sequence_packing" -> q56,
     "q58_kmv_distinct" -> q58,
-    "q61_vocab_overlap" -> q61)
+    "q61_vocab_overlap" -> q61,
+    "q71_pii_scrub" -> q71)
 }
