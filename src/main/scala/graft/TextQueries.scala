@@ -1072,6 +1072,49 @@ object TextQueries {
              CAST(sum(redacted_len) AS BIGINT) AS total_redacted_chars
       FROM m GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
 
+  // --- E4: count-min frequency sketch vs exact counts --------------------
+  // The frequency member of the sketch tier (KMV = distinct, q66 =
+  // quantiles): the global top-20 exact token counts side by side with
+  // the CMS estimate from d×w = 4×1024 bounded counters. The oracle
+  // replays the identical md5-derived buckets and min-of-rows
+  // estimate, so the sketch math is hash-checked cross-engine; the
+  // one-sided guarantee (est_n >= freq, CmsSpec proves it for EVERY
+  // token) is visible in the output. Scale shape: the counter table is
+  // kilobytes regardless of corpus; the estimate join broadcasts the
+  // sketch — the exact side exists here only as the evaluation
+  // baseline (it is the corpus-sized groupBy the sketch replaces).
+  private val q72 = Q(
+    (spark, dir) => {
+      val toks = docs(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val cms = operators.Cms.build(toks, "term")
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc_nulls_last, col("term")).limit(20)
+      operators.Cms.estimate(cms, top, "term")
+        .select(col("term"), col("freq"), col("est_n"))
+        .orderBy(col("freq").desc_nulls_last, col("term"))
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      b AS (
+        SELECT term, j.j,
+               CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || term), 1, 15)) AS BIGINT)
+                 % 1024 AS bucket
+        FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+      cms AS (SELECT j, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+      top AS (
+        SELECT term, count(*) AS freq FROM toks
+        GROUP BY 1 ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST LIMIT 20),
+      tb AS (
+        SELECT t.term, t.freq, j.j,
+               CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || t.term), 1, 15)) AS BIGINT)
+                 % 1024 AS bucket
+        FROM top t CROSS JOIN (SELECT unnest(range(4)) AS j) j)
+      SELECT tb.term, tb.freq, CAST(min(COALESCE(cms.n, 0)) AS BIGINT) AS est_n
+      FROM tb LEFT JOIN cms ON cms.j = tb.j AND cms.bucket = tb.bucket
+      GROUP BY 1, 2
+      ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1098,5 +1141,6 @@ object TextQueries {
     "q56_sequence_packing" -> q56,
     "q58_kmv_distinct" -> q58,
     "q61_vocab_overlap" -> q61,
-    "q71_pii_scrub" -> q71)
+    "q71_pii_scrub" -> q71,
+    "q72_cms_counts" -> q72)
 }

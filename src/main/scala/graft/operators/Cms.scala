@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch — the FREQUENCY member of the sketch tier, next to
+  * KMV (distinct, [[Kmv]]) and the bottom-k quantile pairs
+  * ([[graft.plans.QuantilePairSketch]]): estimate per-item counts from
+  * d×w bounded counters instead of a corpus-sized exact groupBy.
+  *
+  * Counters are (j, bucket, n) rows with bucket_j(x) =
+  * hash60(j || '|' || x) mod w — the md5-derived [[Kmv.hash60]]
+  * discipline, so an oracle replays every bucket exactly. Estimates
+  * take the MIN over the d rows (Cormode & Muthukrishnan 2005): always
+  * >= the true count (one-sided), within ~2n/w with probability
+  * 1 - (1/2)^d under pairwise-independent hashing.
+  *
+  * Why this scales where exact counting doesn't: the counter table is
+  * d×w rows NO MATTER the corpus (d=4, w=1024 → 4096 rows, kilobytes)
+  * — partials combine map-side and the exchange moves counters, not
+  * tokens; it is additive ((A ⊎ B) sketches to the elementwise sum —
+  * the stream/merge basis, spec-proved), and the estimate join
+  * broadcasts the sketch, never the corpus.
+  */
+object Cms {
+
+  val DefaultDepth = 4
+  val DefaultWidth = 1024
+
+  /** Row-j bucket of a token — pure, engine-replayable. */
+  def bucket(token: Column, j: Int, w: Int): Column =
+    pmod(Kmv.hash60(concat(lit(s"$j|"), token)), lit(w.toLong))
+
+  private def bucketsArray(token: Column, d: Int, w: Int): Column =
+    array((0 until d).map(j => bucket(token, j, w)): _*)
+
+  /** Build the (j, bucket, n) counter table from a token frame — one
+    * map pass + one d×w-bounded aggregate. */
+  def build(tokens: DataFrame, tokenCol: String,
+            d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame =
+    tokens
+      .select(posexplode(bucketsArray(col(tokenCol), d, w)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Merge two counter tables (elementwise sum) — the additive
+    * homomorphism a streaming fold or a partition-wise build uses. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("j"), col("bucket")).agg(sum(col("n")).as("n"))
+
+  /** Point-estimate counts for `queries`' `tokenCol`: min over the d
+    * counter rows. The sketch side is d×w rows — broadcast; absent
+    * buckets count 0 (a token the sketch never saw estimates 0 only
+    * if some row never collided — still one-sided). Keeps every other
+    * column of `queries`. */
+  def estimate(cms: DataFrame, queries: DataFrame, tokenCol: String,
+               d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame = {
+    val carried = queries.columns.map(col)
+    queries
+      .select(carried :+ posexplode(bucketsArray(col(tokenCol), d, w))
+        .as(Seq("j", "bucket")): _*)
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy(carried: _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+}
