@@ -102,6 +102,41 @@ class LayoutSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE skew-join splitting activates on a 95%-hot-key shuffle join") {
+    // Relational.saltedJoin's scaladoc routes duplicate-heavy facts to
+    // AQE's runtime skew splitting (it splits by partition SIZE, not
+    // row content) — prove that path actually engages: a 95%-hot-key
+    // sort-merge join must come out of AQE with its skewed partition
+    // split (the SMJ marked skew=true). Thresholds are cluster-sized,
+    // so pin them down to test scale; the plan shape is the contract.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+
+      val fact = (1L to 200000L)
+        .map(i => (if (i % 20 != 0) 0L else i % 97, i, s"payload-$i"))
+        .toDF("key", "id", "payload")
+      val dim = (0L until 97L).map(k => (k, s"dim-$k")).toDF("key", "label")
+      val joined = fact.join(dim, Seq("key"))
+      // materialize THIS queryExecution (count() would build its own)
+      // so AQE finalizes the inspected plan
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("same-key bucketed tables join with no shuffle exchange") {
     val dir = Files.createTempDirectory("graft-buckets").toString
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
