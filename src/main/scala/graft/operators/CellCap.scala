@@ -46,6 +46,8 @@ object CellCap {
                maxCell: Int, maxRounds: Int = 8): DataFrame = {
     require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(cells.columns.contains("cell"),
+      s"cells frame needs a 'cell' column, has ${cells.columns.mkString(", ")}")
     val base = vectors.select(col(idCol).as("__vid"), col(qCol).as("__vq"))
       .withColumn("__vn2", VectorOps.qnorm2(col("__vq")))
     var cur = cells.select(col(idCol).as("__vid"), col("cell").cast("long").as("cell"))

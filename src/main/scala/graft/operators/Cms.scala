@@ -35,12 +35,17 @@ object Cms {
     array((0 until d).map(j => bucket(token, j, w)): _*)
 
   /** Build the (j, bucket, n) counter table from a token frame — one
-    * map pass + one d×w-bounded aggregate. */
+    * map pass + one d×w-bounded aggregate. Null tokens are skipped
+    * (a null hashes to a null bucket, which would silently become a
+    * phantom counter row). */
   def build(tokens: DataFrame, tokenCol: String,
-            d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame =
+            d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS geometry must be d >= 1, w >= 2, got d=$d w=$w")
     tokens
+      .filter(col(tokenCol).isNotNull)
       .select(posexplode(bucketsArray(col(tokenCol), d, w)).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
 
   /** Merge two counter tables (elementwise sum) — the additive
     * homomorphism a streaming fold or a partition-wise build uses. */
@@ -54,6 +59,11 @@ object Cms {
     * column of `queries`. */
   def estimate(cms: DataFrame, queries: DataFrame, tokenCol: String,
                d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame = {
+    // the working columns would silently collide with caller columns
+    // of the same name (the saltedJoin __salt lesson) — fail loudly
+    val reserved = Seq("j", "bucket", "est_n").filter(queries.columns.contains)
+    require(reserved.isEmpty,
+      s"queries frame already has column(s) ${reserved.mkString(", ")} — rename before estimate")
     val carried = queries.columns.map(col)
     queries
       .select(carried :+ posexplode(bucketsArray(col(tokenCol), d, w))

@@ -26,7 +26,10 @@ object AudioHeader {
     var i = 12
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
-      if (size < 0) return -1L
+      // a declared chunk size past the buffer is malformed — and must
+      // be rejected BEFORE the .toInt below, where a crafted u32 size
+      // (e.g. 0x80000000) would wrap negative and walk i backwards
+      if (size > b.length) return -1L
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > b.length) return -1L
         val channels = le16(b, i + 10)

@@ -53,6 +53,18 @@ class CmsSpec extends SparkSpec {
       again.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("guards: reserved-column collision and null tokens") {
+    val cms = Cms.build(df(tokens), "term", D, W)
+    val e = intercept[IllegalArgumentException] {
+      Cms.estimate(cms, df(tokens.take(3)).withColumn("bucket", lit(1)), "term", D, W)
+    }
+    assert(e.getMessage.contains("bucket"))
+    // null tokens never become phantom counters
+    val withNulls = Seq(Some("a"), None, Some("a"), None).toDF("term")
+    assert(Cms.build(withNulls, "term", D, W).agg(sum(col("n"))).first().getLong(0)
+      == 2L * D)
+  }
+
   test("unseen tokens estimate low, never negative") {
     val cms = Cms.build(df(tokens), "term", D, W)
     val unseen = df(Seq("never-seen-a", "never-seen-b"))
