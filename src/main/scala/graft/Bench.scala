@@ -89,10 +89,17 @@ object Bench {
     // queries cut). Persist the same line to a committed file so the
     // round's numbers are always reconstructible from the repo alone.
     // Skipped for filtered runs — a partial line must never overwrite
-    // the full suite's artifact.
+    // the full suite's artifact. Path is overridable (the default is
+    // cwd-relative, wrong under a non-repo-cwd launcher), and a write
+    // failure must never fail a bench whose queries all succeeded.
     if (only.isEmpty) {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCHOUT.json"),
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCHOUT", "BENCHOUT.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        case e: Exception =>
+          System.err.println(s"warn: could not write $outPath: $e")
+      }
     }
     spark.stop()
   }

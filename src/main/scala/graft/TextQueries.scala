@@ -1083,6 +1083,11 @@ object TextQueries {
   // kilobytes regardless of corpus; the estimate join broadcasts the
   // sketch — the exact side exists here only as the evaluation
   // baseline (it is the corpus-sized groupBy the sketch replaces).
+  // The token explode feeds both the sketch build and the exact
+  // baseline UNPERSISTED on purpose: caching exploded string rows was
+  // measured and REVERTED in round 4 (q17/q39/q43, docs/SCALING.md) —
+  // re-running a codegen'd explode is cheaper than columnar-caching
+  // its output; persist pays on wide/expensive subtrees only.
   private val q72 = Q(
     (spark, dir) => {
       val toks = docs(spark, dir)

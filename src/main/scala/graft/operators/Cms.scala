@@ -56,7 +56,9 @@ object Cms {
     * counter rows. The sketch side is d×w rows — broadcast; absent
     * buckets count 0 (a token the sketch never saw estimates 0 only
     * if some row never collided — still one-sided). Keeps every other
-    * column of `queries`. */
+    * column of `queries`. NULL query tokens are skipped — mirroring
+    * [[build]]'s null discipline; a null would otherwise estimate 0
+    * and read as "absent from the corpus". */
   def estimate(cms: DataFrame, queries: DataFrame, tokenCol: String,
                d: Int = DefaultDepth, w: Int = DefaultWidth): DataFrame = {
     // the working columns would silently collide with caller columns
@@ -66,6 +68,7 @@ object Cms {
       s"queries frame already has column(s) ${reserved.mkString(", ")} — rename before estimate")
     val carried = queries.columns.map(col)
     queries
+      .filter(col(tokenCol).isNotNull)
       .select(carried :+ posexplode(bucketsArray(col(tokenCol), d, w))
         .as(Seq("j", "bucket")): _*)
       .join(broadcast(cms), Seq("j", "bucket"), "left")

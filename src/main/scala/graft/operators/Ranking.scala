@@ -28,11 +28,11 @@ import org.apache.spark.sql.functions._
   *      guarantees long before memory does). rank = group offset +
   *      (position − offset of earlier groups in this partition) + 1.
   *
-  * Net plan: one full shuffle (the range exchange, shared by both
-  * passes via ReusedExchange when the input is pre-projected to the
-  * key columns), one broadcast of the tiny offset table, zero
-  * WindowExec over the corpus. Window partition sizes never exceed the
-  * range-partition size regardless of group-key cardinality.
+  * Net plan: one full shuffle (the range exchange, materialized once —
+  * both passes read the same checkpointed partitions), one broadcast
+  * of the tiny offset table, zero WindowExec over the corpus. Window
+  * partition sizes never exceed the range-partition size regardless of
+  * group-key cardinality.
   *
   * Correctness notes:
   *  - `orderCols` MUST be a total order within each group (include
@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   *    and the derived percent_rank/cume_dist/ntile below are exact.
   *  - Ordering is ascending NULLS FIRST on every order column (Spark's
   *    default), matching `ORDER BY c ASC NULLS FIRST` windows.
-  *  - The range boundaries come from deterministic sampling of the
-  *    input, so partition ids are stable across the two passes even if
-  *    the exchange is not physically reused.
+  *  - The range-partitioned frame is materialized EAGERLY
+  *    (localCheckpoint) before either pass reads it: RangePartitioner
+  *    samples with an rdd-id-dependent seed, so two physically
+  *    distinct exchanges over the same data may pick different
+  *    boundaries — the checkpoint makes both passes read one set of
+  *    physical partitions by construction.
   *  - `numPartitions` is always explicit (REPARTITION_BY_NUM), which
   *    AQE never coalesces — both passes see identical partitioning.
   */
@@ -52,9 +55,9 @@ object Ranking {
     * group under `orderCols` ascending-nulls-first) and `sizeName`
     * (total rows in the group) without any corpus-sized window
     * partition. Pass the input pre-projected to the columns you need:
-    * when every column is a key column the two passes share one
-    * exchange (ReusedExchange); payload columns make the counts pass
-    * re-scan (still map-only + tiny agg).
+    * the range-partitioned frame is checkpointed, so payload columns
+    * ride along in block-manager storage — at real scale rank the key
+    * columns only and join payloads back by key.
     */
   def rankInGroup(
       df: DataFrame,
@@ -73,8 +76,18 @@ object Ranking {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keyCols = (groupCol +: orderCols).map(col)
 
-    // The ONE corpus shuffle. Explicit partition count (see scaladoc).
-    val ranged = df.repartitionByRange(parts, keyCols: _*)
+    // The ONE corpus shuffle — materialized EAGERLY so the counts pass
+    // and the corpus pass read the SAME physical partitions. Without
+    // this, column pruning gives the counts branch its own (narrower)
+    // range exchange, and RangePartitioner's reservoir sample is seeded
+    // by the rdd id, so two physically distinct exchanges can pick
+    // DIFFERENT boundaries — rows near a boundary would then be counted
+    // in partition p but ranked in p±1: silently wrong ranks. The
+    // checkpoint pins one set of boundaries by construction (no
+    // reliance on ReusedExchange firing). Price: the frame is held in
+    // the block manager — pre-project to the key columns for 100 TB
+    // inputs (q63 does) and join payloads back by key afterwards.
+    val ranged = df.repartitionByRange(parts, keyCols: _*).localCheckpoint(true)
 
     // Tiny pass: rows per (range partition, group). spark_partition_id
     // must live in a Project (non-deterministic exprs are not allowed

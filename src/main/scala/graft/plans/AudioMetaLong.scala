@@ -35,7 +35,10 @@ object AudioHeader {
         val channels = le16(b, i + 10)
         val rate = le32(b, i + 12)
         val bits = le16(b, i + 22)
-        if (channels <= 0 || rate <= 0 || bits <= 0) return -1L
+        // channels gets an 8-bit slot in the packed layout — a (spec-
+        // valid u16) channel count past 255 would bleed into the rate
+        // field and report BOTH fields silently wrong; reject instead
+        if (channels <= 0 || channels > 255 || rate <= 0 || bits <= 0) return -1L
         return (rate << 24) | (channels.toLong << 16) | bits.toLong
       }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned

@@ -34,6 +34,7 @@ object CmsStream {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    statePath: String, d: Int = Cms.DefaultDepth,
                    w: Int = Cms.DefaultWidth): Unit = {
+    import spark.implicits._
     val toks = batch.select(
       explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
     val b = Cms.build(toks, "term", d, w)
@@ -47,13 +48,23 @@ object CmsStream {
         require(sd == d && sw == w,
           s"CmsStream state at $statePath was built with d=$sd,w=$sw, not d=$d,w=$w")
         if (batchId <= hi) return // replay: counters are additive, skip
-        Cms.merge(st.select(col("j"), col("bucket"), col("n")), b)
+        Cms.merge(counters(st), b)
       } else b
+    // the sentinel (j = -1) row carries the d/w/hi metadata even when a
+    // batch contributed zero tokens — a 0-row state would otherwise
+    // crash the next batch's metadata read AND lose the replay
+    // high-water, silently re-enabling double counting
     graft.pipeline.Pipeline.swapWrite(spark,
-      merged.withColumn("d", lit(d)).withColumn("w", lit(w))
+      merged.unionByName(Seq((-1, -1L, 0L)).toDF("j", "bucket", "n"))
+        .withColumn("d", lit(d)).withColumn("w", lit(w))
         .withColumn("hi", lit(batchId)),
       statePath)
   }
+
+  /** Real counter rows of a persisted state (the metadata sentinel
+    * filtered out). */
+  private def counters(st: DataFrame): DataFrame =
+    st.filter(col("j") >= 0).select(col("j"), col("bucket"), col("n"))
 
   /** Estimate counts for `queries`' `tokenCol` from the persisted
     * state, using the geometry RECORDED in the state. */
@@ -61,8 +72,7 @@ object CmsStream {
                        queries: DataFrame, tokenCol: String): DataFrame = {
     val st = spark.read.parquet(statePath)
     val r = st.select(col("d"), col("w")).first()
-    Cms.estimate(st.select(col("j"), col("bucket"), col("n")),
-      queries, tokenCol, r.getInt(0), r.getInt(1))
+    Cms.estimate(counters(st), queries, tokenCol, r.getInt(0), r.getInt(1))
   }
 
   /** Wire a (doc_id, text, ...) stream into the counter state. */

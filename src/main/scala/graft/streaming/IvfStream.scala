@@ -58,7 +58,12 @@ object IvfStream {
   def processBatch(spark: SparkSession, batch: DataFrame, centroidPath: String,
                    statePath: String): Unit = {
     val cents = spark.read.parquet(centroidPath)
+    // a vec_id duplicated WITHIN one batch must resolve the same way
+    // under any partitioning — min cell is a pure function of the
+    // duplicate set (micro-batch row order is not a meaningful
+    // "newest" signal; order-sensitive upserts need a sequence column)
     val assigned = assignBatch(batch, cents)
+      .groupBy(col("vec_id")).agg(min(col("cell")).as("cell"))
     val merged =
       if (graft.pipeline.Pipeline.pathExists(spark, statePath)) {
         // newest assignment wins per vec_id; ties (replays) are

@@ -83,7 +83,7 @@ object ProfileStream {
     val b = Profile.sketchProfile(batch, k)
     val merged =
       if (exists)
-        mergeProfiles(spark.read.parquet(statePath).drop("batch_id", "k"), b, k)
+        mergeProfiles(upgraded(spark.read.parquet(statePath)).drop("batch_id", "k"), b, k)
       else b
     graft.pipeline.Pipeline.swapWrite(spark,
       merged.withColumn("batch_id", lit(batchId)).withColumn("k", lit(k)), statePath)
@@ -94,10 +94,20 @@ object ProfileStream {
     * default k would otherwise silently report a saturated sketch as
     * an exact distinct count. */
   def currentProfile(spark: SparkSession, statePath: String): DataFrame = {
-    val st = spark.read.parquet(statePath)
+    val st = upgraded(spark.read.parquet(statePath))
     Profile.withEstimate(st.drop("batch_id", "k"),
       st.select(col("k")).first().getInt(0))
   }
+
+  /** Schema upgrade shim: state persisted before the quantile-sketch
+    * column existed gains a typed-null `qsk`, so a restart on new code
+    * merges cleanly instead of dying on an unresolved column (the
+    * quantile estimates then warm up from post-upgrade batches; counts
+    * and KMV history are preserved). */
+  private def upgraded(st: DataFrame): DataFrame =
+    if (st.columns.contains("qsk")) st
+    else st.withColumn("qsk",
+      lit(null).cast("array<struct<hv:bigint,v:double>>"))
 
   /** Wire a row stream into the profile state table. */
   def start(rows: DataFrame, statePath: String, checkpointDir: String,

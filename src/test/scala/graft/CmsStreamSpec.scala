@@ -24,7 +24,8 @@ class CmsStreamSpec extends SparkSpec {
   private def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
 
   private def counters(spark: org.apache.spark.sql.SparkSession, path: String) =
-    spark.read.parquet(path).select("j", "bucket", "n").collect()
+    spark.read.parquet(path).filter(col("j") >= 0) // drop the metadata sentinel
+      .select("j", "bucket", "n").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
 
   test("stream state equals the one-shot batch sketch for any micro-batching") {
@@ -65,6 +66,23 @@ class CmsStreamSpec extends SparkSpec {
     assert(counters(spark, state) == first, "replay must not double-count")
     CmsStream.processBatch(spark, df(corpus.slice(20, 40)), 1L, state, D, W)
     assert(counters(spark, state) != first, "a NEW batch must fold in")
+  }
+
+  test("an all-null-text first batch still records metadata (no crash, guard intact)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cms-empty").toString
+    val state = s"$root/state"
+    val nullDocs = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    CmsStream.processBatch(spark, nullDocs, 0L, state, D, W) // zero tokens
+    assert(counters(spark, state).isEmpty)
+    // the metadata sentinel survived: next batch reads d/w/hi fine...
+    CmsStream.processBatch(spark, df(corpus.take(10)), 1L, state, D, W)
+    val after = counters(spark, state)
+    assert(after.nonEmpty)
+    // ...and the high-water survived the empty batch: replaying batch 0
+    // (now with content, the at-least-once redelivery shape) is skipped
+    CmsStream.processBatch(spark, df(corpus.take(10)), 0L, state, D, W)
+    assert(counters(spark, state) == after, "replay below high-water must be a no-op")
   }
 
   test("geometry drift fails loudly") {

@@ -79,6 +79,24 @@ class IvfStreamSpec extends SparkSpec {
     assert(stats == first.groupBy(_._2).map { case (c, m) => c -> m.size.toLong })
   }
 
+  test("a vec_id duplicated WITHIN one batch resolves deterministically (min cell)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdup").toString
+    trainCentroids(s"$root/cents")
+    val g0 = vectors.find(_._1 == 3L).get._2
+    val g1 = vectors.find(_._1 == 4L).get._2 // different directional group
+    val dup = Seq((1L, g0), (1L, g1), (2L, g0))
+    val state1 = s"$root/state1"
+    IvfStream.processBatch(spark, df(dup).repartition(1), s"$root/cents", state1)
+    val state2 = s"$root/state2"
+    IvfStream.processBatch(spark, df(dup).repartition(3), s"$root/cents", state2)
+    val a = stateMap(spark, state1)
+    assert(a == stateMap(spark, state2), "intra-batch dup resolution must not depend on partitioning")
+    assert(a.size == 2, "one row per vec_id")
+    val cells = IvfStream.assignBatch(df(Seq((10L, g0), (11L, g1))),
+      spark.read.parquet(s"$root/cents")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a(1L) == math.min(cells(10L), cells(11L)), "dup resolves to the min cell")
+  }
+
   test("a re-delivered vec_id with a CHANGED embedding takes the newest assignment") {
     val root = java.nio.file.Files.createTempDirectory("graft-ivfupsert").toString
     trainCentroids(s"$root/cents")

@@ -104,4 +104,24 @@ class ProfileStreamSpec extends SparkSpec {
     assert(after.filter(col("column_name") === "id")
       .select(col("n_rows")).first().getLong(0) == 60L)
   }
+
+  test("state persisted before the qsk column existed upgrades cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-profupgrade").toString
+    val state = s"$root/state"
+    ProfileStream.processBatch(spark, df(rows.take(30)), 0L, state, K)
+    // simulate a pre-quantile deployment: rewrite the state without qsk
+    val old = spark.read.parquet(state).drop("qsk").collect()
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(old.toSeq),
+      spark.read.parquet(state).drop("qsk").schema)
+    graft.pipeline.Pipeline.swapWrite(spark, oldDf, state)
+    // a restart on NEW code must merge, not die on an unresolved column
+    ProfileStream.processBatch(spark, df(rows.slice(30, 60)), 1L, state, K)
+    val st = spark.read.parquet(state)
+    assert(st.columns.contains("qsk"))
+    assert(st.filter(col("column_name") === "id")
+      .select(col("n_rows")).first().getLong(0) == 60L, "counts history preserved")
+    // reader path works too
+    assert(ProfileStream.currentProfile(spark, state).count() == 3L)
+  }
 }

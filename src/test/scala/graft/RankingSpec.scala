@@ -43,6 +43,33 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("payload columns ride along correctly (the counts/corpus passes share partitions)") {
+    // With non-key payload columns, column pruning would give the
+    // counts pass its own (narrower) range exchange whose sampled
+    // boundaries can differ from the corpus pass's — the checkpoint
+    // in rankInGroup pins one set of physical partitions for both.
+    // 12k rows over 7 partitions exceeds the sampler's per-partition
+    // reservoir, the regime where independent samples actually diverge.
+    val rows = (1 to 12000).map { i =>
+      val g = if (i % 3 == 0) "x" else "y"
+      (g, (i * 7919) % 5000, i.toLong, s"payload-$i" * 3)
+    }
+    val df = rows.toDF("g", "v", "id", "payload")
+    val ranked = Ranking.rankInGroup(df, "g", Seq("v", "id"), numPartitions = 7)
+    val got = ranked.select("g", "v", "id", "rk", "grp_n", "payload").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("v").asc_nulls_first, col("id").asc_nulls_first)
+    val want = df.select(col("g"), col("v"), col("id"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("g"))).as("grp_n"), col("payload"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == want)
+  }
+
   // Walk a physical plan INCLUDING through AQE wrapper nodes (adaptive
   // root, query stages, reused exchanges), which hide their subplans
   // from the regular children traversal.
@@ -78,13 +105,19 @@ class RankingSpec extends SparkSpec {
     }
   }
 
-  test("rankInGroup reuses one range exchange when input is key-only") {
+  test("rankInGroup: both passes read ONE materialized range exchange") {
+    // The range shuffle runs eagerly at checkpoint time, so the query
+    // plan must show both branches scanning the SAME checkpointed RDD
+    // and NO residual range exchange — the partition-agreement
+    // guarantee (distinct exchanges could sample different boundaries).
     val df = fixture()
     val ranked = Ranking.rankInGroup(df, "g", Seq("v", "id"), numPartitions = 7)
     ranked.collect()
     val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("reused"),
-      s"expected the counts pass to reuse the range exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a residual range exchange means a pass re-partitioned independently:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected both passes to scan the checkpointed partitions:\n$plan")
   }
 
   test("ntileFromRank matches the SQL ntile on every (n, buckets) shape") {
