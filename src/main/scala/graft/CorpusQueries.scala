@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.operators.{Kmv, Sampling, TextOps}
+import graft.plans.MisraGriesTerms
+
+/** Corpus statistics + deterministic sampling operators over `documents`
+  * (north-star E4 extension tier): exact heavy hitters behind a
+  * Misra-Gries prefilter, weight-proportional priority sampling,
+  * unigram-LM surprisal scoring, and data-derived balance resampling.
+  *
+  * Shared determinism discipline (Q scaladoc): md5-derived hashes,
+  * integer-only arithmetic until one final division, total ORDER BY.
+  */
+object CorpusQueries {
+
+  // Same spread-the-scan gate as TextQueries.docs (single small parquet
+  // file -> one input partition; skip when already core-wide).
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    if (d.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) d
+    else d.repartition(col("doc_id"))
+  }
+
+  private def mgTerms(term: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesTerms(ColumnBridge.expression(term), k).toAggregateExpression())
+
+  // --- E4n: exact heavy hitters via Misra-Gries prefilter ---------------
+  // Terms with freq * HhDenom > N_tokens, computed WITHOUT shuffling the
+  // vocabulary: pass 1 is ONE bounded aggregate (k counters/task,
+  // map-side combinable; plans/MisraGriesTerms) that also counts N; pass
+  // 2 re-scans, semi-joins the <= k candidates (broadcast — bounded by
+  // construction) and exact-counts only them. MG guarantees candidates
+  // superset-of {freq > N/(k+1)} for ANY merge order, and HhDenom < k+1,
+  // so the verified output is exact and deterministic even though the
+  // candidate set itself may vary with partition layout. The oracle
+  // replays the exact definition (GROUP BY term HAVING) directly.
+  //
+  // 100 TB posture: the full GROUP BY term alternative shuffles the
+  // distinct-term set (billions of rows for web-scale vocab); this shape
+  // shuffles k counters per task in pass 1 and k exact counts in pass 2.
+  private val HhK = 64
+  private val HhDenom = 50
+  private val q73 = Q(
+    (spark, dir) => {
+      val tok = docs(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val summary = tok.agg(
+        mgTerms(col("term"), HhK).as("cands"),
+        count(lit(1)).as("n_total"))
+      val cand = summary.select(
+        explode(col("cands")).as("term"), col("n_total"))
+      tok.join(broadcast(cand), Seq("term"))
+        .groupBy(col("term"), col("n_total"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * lit(HhDenom.toLong) > col("n_total"))
+        .select(col("term"), col("freq"),
+          (col("freq").cast("double") / col("n_total")).as("share"))
+        .orderBy(col("freq").desc_nulls_last, col("term"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok)
+      SELECT term, count(*) AS freq,
+             CAST(count(*) AS DOUBLE) / max(n) AS share
+      FROM tok, tot
+      GROUP BY term
+      HAVING count(*) * $HhDenom > max(n)
+      ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST"""))
+
+  // --- E4o: weight-proportional priority sample, top-k per source -------
+  // Priority/sequential-Poisson sampling (Ohlsson '98; Duffield et al.,
+  // "Priority sampling" '07): P(pick) ∝ n_chars, deterministic in
+  // doc_id. NO window function: the per-source top-k comes from the
+  // bounded bottom-k aggregate (Kmv.sketch over negated packed
+  // priorities) — k longs per group per task, map-side combinable — so
+  // no low-cardinality WindowExec ever sorts the corpus (the q63
+  // lesson). The oracle replays the same integer priorities with a
+  // row_number window, which is fine AT ORACLE SCALE.
+  private val PrioK = 20
+  private val q74 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val packed = d.select(col("source"),
+        Sampling.priorityPacked("prio|", col("doc_id"), col("n_chars")).as("pk"))
+        .select(col("source"), (-col("pk")).as("npk"))
+      val winners = packed.groupBy(col("source"))
+        .agg(Kmv.sketch(col("npk"), PrioK).as("arr"))
+        .select(col("source"), explode(col("arr")).as("neg"))
+        .select(col("source"), (-col("neg")).as("packed"))
+      val (prio, did) = Sampling.unpackPriority(col("packed"))
+      val picks = winners.select(col("source"), prio.as("priority"), did.as("doc_id"))
+      // n_chars re-attach: the picks side is bounded (20 sources x k), so
+      // broadcast it against the corpus scan.
+      d.select(col("doc_id"), col("n_chars"))
+        .join(broadcast(picks), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("source"), col("priority").desc_nulls_last, col("doc_id"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT source, doc_id, n_chars,
+               (CAST(n_chars AS BIGINT) * ${1L << Sampling.PriorityHashBits}) //
+               (CAST(('0x' || substr(md5('prio|' || CAST(doc_id AS VARCHAR)), 1,
+                  ${Sampling.PriorityHashBits / 4})) AS BIGINT) + 1) AS priority
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY priority DESC, doc_id ASC) AS rn
+            FROM p)
+      SELECT source, doc_id, n_chars, priority
+      FROM r WHERE rn <= $PrioK
+      ORDER BY source ASC NULLS FIRST, priority DESC NULLS LAST, doc_id ASC"""))
+
+  // --- E4p: unigram-LM surprisal scoring (quality outlier detection) ----
+  // Rarity-weighted doc scoring: surprisal(term) = len(bin(N div cnt)) =
+  // floor(log2(N/cnt)) + 1 — an INTEGER proxy for -log2 p(term) computed
+  // identically on both engines (no transcendental drift: `ln` is not
+  // correctly-rounded-guaranteed across libms, `length(bin(x))` is
+  // exact). Docs ranked by mean token surprisal: high = improbable under
+  // the corpus LM (the Wenzek et al. CCNet discipline, with the LM being
+  // the corpus itself).
+  //
+  // 100 TB posture: term counts are a map-side-combined agg; the
+  // term->surprisal table is vocabulary-sized and joins the token stream
+  // on term (AQE broadcasts it when it fits, shuffle-joins otherwise —
+  // deliberately NO broadcast hint); per-doc fold is one hash agg.
+  private val q75 = Q(
+    (spark, dir) => {
+      val tok = docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val sur = counts.crossJoin(broadcast(total))
+        .select(col("term"),
+          length(bin(Sampling.ldiv(col("n_total"), col("cnt"))))
+            .cast("long").as("surprisal"))
+      tok.join(sur, Seq("term"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("surprisal")).as("sum_surprisal"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("sum_surprisal"),
+          (col("sum_surprisal").cast("double") / col("n_tokens"))
+            .as("mean_surprisal"))
+        .orderBy(col("mean_surprisal").desc_nulls_last, col("doc_id"))
+        .limit(25)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok),
+      sur AS (
+        SELECT term,
+               CAST(length(bin(n // cnt)) AS BIGINT) AS surprisal
+        FROM (SELECT term, count(*) AS cnt FROM tok GROUP BY 1), tot),
+      per AS (
+        SELECT doc_id, source, count(*) AS n_tokens,
+               CAST(sum(surprisal) AS BIGINT) AS sum_surprisal
+        FROM tok JOIN sur USING (term)
+        GROUP BY 1, 2)
+      SELECT doc_id, source, n_tokens, sum_surprisal,
+             CAST(sum_surprisal AS DOUBLE) / n_tokens AS mean_surprisal
+      FROM per
+      ORDER BY mean_surprisal DESC NULLS LAST, doc_id ASC
+      LIMIT 25"""))
+
+  // --- E4q: balance resample — downsample every lang stratum to the -----
+  // smallest stratum's size (in expectation), rates DERIVED FROM DATA
+  // (vs q49's configured permille rates). Acceptance is a pure row
+  // function (Sampling.balanceAccept, decimal compare — overflow-free at
+  // any corpus size), so the resampled corpus is bit-reproducible on any
+  // layout. kept_id_sum / kept_chars checksum the exact membership, not
+  // just its size.
+  //
+  // 100 TB posture: pass 1 is a column-pruned count per stratum (tiny);
+  // pass 2 is a map-only filtered scan with two broadcast one-row/dim
+  // joins. Nothing corpus-sized shuffles.
+  private val q77 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val minc = counts.agg(min(col("n_lang")).as("min_n"))
+      val h = Sampling.hashBits("bal|", col("doc_id"), 40)
+      d.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minc))
+        .select(col("lang"), col("n_lang"), col("doc_id"), col("n_chars"),
+          when(Sampling.balanceAccept(h, col("n_lang"), col("min_n")), 1L)
+            .otherwise(0L).as("keep"))
+        .groupBy(col("lang"), col("n_lang"))
+        .agg(sum(col("keep")).as("n_kept"),
+          sum(col("keep") * col("doc_id")).as("kept_id_sum"),
+          sum(col("keep") * col("n_chars")).as("kept_chars"))
+        .select(col("lang"), col("n_lang").as("n_docs"), col("n_kept"),
+          col("kept_id_sum"), col("kept_chars"),
+          (col("n_kept").cast("double") / col("n_lang")).as("effective_rate"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      m AS (SELECT min(n_lang) AS min_n FROM c),
+      b AS (
+        SELECT d.lang, c.n_lang, d.doc_id, d.n_chars,
+               CASE WHEN CAST(CAST(('0x' || substr(md5('bal|' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS HUGEINT)
+                        * c.n_lang
+                      < CAST(m.min_n AS HUGEINT) * 1099511627776
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN c USING (lang) CROSS JOIN m)
+      SELECT lang, n_lang AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             CAST(sum(keep * doc_id) AS BIGINT) AS kept_id_sum,
+             CAST(sum(keep * n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(keep) AS DOUBLE) / n_lang AS effective_rate
+      FROM b GROUP BY 1, 2
+      ORDER BY lang ASC NULLS FIRST"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q73_heavy_hitters" -> q73,
+    "q74_priority_sample" -> q74,
+    "q75_doc_surprisal" -> q75,
+    "q77_balance_resample" -> q77)
+}

@@ -192,11 +192,68 @@ object EventQueries {
       FROM cl LEFT JOIN ag ON ag.click_id = cl.click_id
       ORDER BY cl.click_id ASC NULLS FIRST"""))
 
+  // --- E6d: PageRank over the user/event-type interaction graph ---------
+  // Graph analytics for curation: nodes are users and event types, one
+  // undirected edge per DISTINCT (user, type) interaction (both
+  // directions, so no dangling nodes), 3 damped iterations ENTIRELY IN
+  // INTEGER SPACE (operators/GraphOps.pageRankInt — micro-ranks, floor
+  // divisions) so the oracle unrolls the identical iterations in SQL and
+  // the result is layout-independent. Top-20 nodes by final rank.
+  //
+  // 100 TB posture: per iteration one shuffle join (edges x ranks on
+  // src) + one hash agg on dst — the Pregel superstep shape with a
+  // constant iteration count; degree is pre-joined once outside the
+  // loop, lineage cut per iteration.
+  private val q76 = Q(
+    (spark, dir) => {
+      val pairs = Tables.events(spark, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = pairs.select(col("u").as("s"), col("t").as("d"))
+        .unionByName(pairs.select(col("t").as("s"), col("u").as("d")))
+      operators.GraphOps.pageRankInt(edges, "s", "d", iters = 3)
+        .orderBy(col("rank").desc_nulls_last, col("node"))
+        .limit(20)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+               't:' || event_type AS t
+        FROM events),
+      e AS (SELECT u AS s, t AS d FROM pairs
+            UNION ALL
+            SELECT t AS s, u AS d FROM pairs),
+      deg AS (SELECT s, count(*) AS od FROM e GROUP BY 1),
+      r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      c1 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r0 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r1 AS (SELECT g.s AS node,
+                    CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c1 c ON g.s = c.d),
+      c2 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r1 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r2 AS (SELECT g.s AS node,
+                    CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c2 c ON g.s = c.d),
+      c3 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r2 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r3 AS (SELECT g.s AS node,
+                    CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c3 c ON g.s = c.d)
+      SELECT node, rank FROM r3
+      ORDER BY rank DESC NULLS LAST, node ASC NULLS FIRST
+      LIMIT 20"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
     "q30_sessionization" -> q30,
     "q33_salted_agg" -> q33,
     "q35_asof_join" -> q35,
-    "q62_interval_join" -> q62)
+    "q62_interval_join" -> q62,
+    "q76_pagerank" -> q76)
 }

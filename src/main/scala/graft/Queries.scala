@@ -19,7 +19,7 @@ object Queries {
     * thematic registries. */
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ MultimodalQueries.all
+      EventQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -97,4 +97,62 @@ object GraphOps {
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("lbl").as("cluster_id"))
   }
+
+  /** PageRank with a FIXED iteration count, entirely in integer space so
+    * the result is deterministic on any cluster layout and bit-replayable
+    * by the DuckDB oracle (q76 unrolls the same iterations in SQL).
+    *
+    * Ranks are BIGINTs at `scale` (1e6 = micro-ranks). Per iteration:
+    *
+    *   contrib(e)   = rank(src) div outdeg(src)          (exact floor div)
+    *   rank'(node)  = (15*scale) div 100
+    *                + (85 * sum(contrib over in-edges)) div 100
+    *
+    * — the standard 0.85-damped update with every division a single
+    * integer floor (both engines truncate identically on non-negative
+    * operands). The floor truncation loses < 1 micro-rank per term, so
+    * ordering is the same as float PageRank except for genuine near-ties.
+    *
+    * PRECONDITION: every node must appear as a source (no dangling
+    * nodes) — callers with directed graphs add reverse edges or drop
+    * sinks first; nodes with no IN-edges still get the teleport mass via
+    * the left join. Overflow bound: 85 * Σ contrib ≤ 85 * n_nodes * scale
+    * must stay < 2^63 — n_nodes < ~10^11 at scale 1e6, checked cheaply
+    * here via the node count.
+    *
+    * Scale shape: per iteration, one shuffle join of edges with ranks on
+    * src (deg is pre-joined once, outside the loop) and one hash agg on
+    * dst — the Pregel superstep shape. Iteration count is a constant
+    * (default 3): total work is `iters` scans of the edge list, no
+    * convergence driver loop. Lineage is cut per iteration with a lazy
+    * localCheckpoint materialized by the next iteration's job.
+    */
+  def pageRankInt(edges: DataFrame, src: String, dst: String,
+                  iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .localCheckpoint() // eager: scanned `iters` times + deg + nodes
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    // deg's key set IS the node set (no-dangling precondition): carry
+    // out-degree with the rank vector so the loop joins ranks once.
+    var ranks = deg.select(col("s").as("node"), lit(scale).as("rank"), col("od"))
+    val n = ranks.count()
+    require(85L * n * scale > 0 && n < Long.MaxValue / (100L * scale),
+      s"pageRankInt overflow bound: n=$n nodes at scale=$scale")
+    val teleport = (15L * scale) / 100L
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "s"), Seq("s"))
+        .select(col("d"), Sampling.ldiv(col("rank"), col("od")).as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("inmass"))
+      ranks = deg
+        .join(contrib.withColumnRenamed("d", "s"), Seq("s"), "left")
+        .select(col("s").as("node"),
+          (lit(teleport) +
+            Sampling.ldiv(lit(85L) * coalesce(col("inmass"), lit(0L)), lit(100L)))
+            .as("rank"),
+          col("od"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cellArgmaxCosineLong)
     ext.injectFunction(GraftExtensions.imageDimsLong)
     ext.injectFunction(GraftExtensions.audioMetaLong)
+    ext.injectFunction(GraftExtensions.misraGriesTerms)
   }
 }
 
@@ -90,11 +91,19 @@ object GraftExtensions {
       AudioMetaLong(children.head)
     })
 
+  private val misraGriesTerms: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries_terms"),
+    new ExpressionInfo(classOf[MisraGriesTerms].getName, "misra_gries_terms"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "misra_gries_terms takes (term STRING, k INT)")
+      MisraGriesTerms(children.head, literalInt(children(1), "misra_gries_terms k"))
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
-             imageDimsLong, audioMetaLong))
+             imageDimsLong, audioMetaLong, misraGriesTerms))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
