@@ -220,9 +220,173 @@ object CorpusQueries {
       FROM b GROUP BY 1, 2
       ORDER BY lang ASC NULLS FIRST"""))
 
+  // --- E4r: Gopher-style repetition quality rules (Rae et al. 2021, ----
+  // token-count variant): per doc, the excess occurrences of duplicated
+  // word trigrams (dup_tri = n_tri - n_distinct_tri) and the count of
+  // the single most frequent bigram (top_bi). A doc is kept when
+  // dup_tri <= DupTriPct% of its trigrams AND top_bi <= TopBiPct% of its
+  // bigrams — both checks are integer cross-multiplications, no doubles.
+  // The thresholds are knobs: Gopher publishes 18%/20%; here they are
+  // set low (2%/5%) so the short-doc synthetic corpus actually rejects
+  // on BOTH rules (at 18%/20% every synthetic doc passes and the keep
+  // branch is dead code).
+  //
+  // 100 TB posture: a doc's n-grams are doc-LOCAL, so nothing per-gram
+  // ever shuffles. Grams hash to 60-bit longs (md5-derived; within-doc
+  // collision odds ~L^2/2^61 ~ 1e-14 for L=10^3 grams), the dup count is
+  // size - size(array_distinct), and the top-bigram count is a
+  // run-length max over the SORTED gram array (one aggregate() fold) —
+  // the whole per-doc pass is map-only; the only exchange is the final
+  // per-source summary agg (tens of rows). The oracle replays the same
+  // semantics relationally (unnest -> GROUP BY -> max) on raw gram
+  // strings, which is fine at oracle scale.
+  private val DupTriPct = 2
+  private val TopBiPct = 5
+  private val q78 = Q(
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      val n = size(ts)
+      def gramHashes(nn: Int): Column = {
+        val g = transform(
+          sequence(lit(1), n - lit(nn - 1)),
+          i => Kmv.hash60(
+            concat_ws(" ", (0 until nn).map(o => element_at(ts, i + lit(o))): _*)))
+        when(n >= nn, g).otherwise(array().cast("array<bigint>"))
+      }
+      val tri = gramHashes(3)
+      val sortedBi = array_sort(gramHashes(2))
+      // Count of the most frequent bigram = longest equal-run in the
+      // sorted hash array: fold with (prev, run, best) state.
+      val topBi = aggregate(
+        sortedBi,
+        struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev") === x, acc.getField("run") + lit(1L))
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val per = docs(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(tri).cast("long").as("n_tri"),
+        (size(tri) - size(array_distinct(tri))).cast("long").as("dup_tri"),
+        size(sortedBi).cast("long").as("n_bi"),
+        topBi.as("top_bi"))
+      per
+        .withColumn("keep",
+          when(col("dup_tri") * lit(100L) <= lit(DupTriPct.toLong) * col("n_tri") &&
+               col("top_bi") * lit(100L) <= lit(TopBiPct.toLong) * col("n_bi"), 1L)
+            .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          sum(col("keep") * col("doc_id")).as("kept_id_sum"),
+          sum(col("n_tri")).as("n_tri_sum"),
+          sum(col("dup_tri")).as("dup_tri_sum"),
+          sum(col("top_bi")).as("top_bi_sum"))
+        .select(col("source"), col("n_docs"), col("n_kept"), col("kept_id_sum"),
+          col("n_tri_sum"), col("dup_tri_sum"), col("top_bi_sum"),
+          (col("dup_tri_sum").cast("double") / col("n_tri_sum")).as("dup_frac"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents),
+      tri AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        FROM tok WHERE len(ts) >= 3),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM tok WHERE len(ts) >= 2),
+      tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+      tm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+                    CAST(sum(c) - count(*) AS BIGINT) AS dup_tri
+             FROM tc GROUP BY 1),
+      bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+                    CAST(max(c) AS BIGINT) AS top_bi
+             FROM bc GROUP BY 1),
+      per AS (
+        SELECT t.doc_id, t.source,
+               coalesce(tm.n_tri, 0) AS n_tri, coalesce(tm.dup_tri, 0) AS dup_tri,
+               coalesce(bm.n_bi, 0) AS n_bi, coalesce(bm.top_bi, 0) AS top_bi,
+               CASE WHEN coalesce(tm.dup_tri, 0) * 100 <= $DupTriPct * coalesce(tm.n_tri, 0)
+                     AND coalesce(bm.top_bi, 0) * 100 <= $TopBiPct * coalesce(bm.n_bi, 0)
+                    THEN 1 ELSE 0 END AS keep
+        FROM tok t LEFT JOIN tm ON t.doc_id = tm.doc_id
+                   LEFT JOIN bm ON t.doc_id = bm.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             CAST(sum(keep * doc_id) AS BIGINT) AS kept_id_sum,
+             CAST(sum(n_tri) AS BIGINT) AS n_tri_sum,
+             CAST(sum(dup_tri) AS BIGINT) AS dup_tri_sum,
+             CAST(sum(top_bi) AS BIGINT) AS top_bi_sum,
+             CAST(sum(dup_tri) AS DOUBLE) / sum(n_tri) AS dup_frac
+      FROM per GROUP BY 1
+      ORDER BY source ASC NULLS FIRST"""))
+
+  // --- E4s: integer TF-IDF retrieval scoring, corpus top-k --------------
+  // Rank documents against a fixed query-term set with an ALL-INTEGER
+  // tf-idf dot product: score = sum_t tf(t, doc) * idf(t), with
+  // idf(t) = len(bin(1 + n_docs div (df(t) + 1))) — the q75 integer-log2
+  // discipline (floor(log2 x) + 1 via binary-string length; +1-smoothed
+  // so df = 0 and df = n_docs are both safe). Integer scores make the
+  // ranking engine-exact — no transcendental idf drift.
+  //
+  // 100 TB posture: tf(t, doc) is size(filter(tokens, = t)) — map-only,
+  // no explode, no per-term shuffle; the df pass is ONE tiny aggregate
+  // (a row of counters) broadcast back via crossJoin. The corpus is
+  // scanned twice (df, then score) — at 100 TB cache the tf projection
+  // or piggyback df on a prior stats pass.
+  private val QTerms = Seq("spark", "table", "hash")
+  private val q80 = Q(
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      def tf(t: String): Column =
+        size(filter(ts, x => x === lit(t))).cast("long")
+      val base = docs(spark, dir).select(
+        (Seq(col("doc_id"), col("source")) ++
+          QTerms.map(t => tf(t).as(s"tf_$t"))): _*)
+      val dfRow = base.agg(
+        count(lit(1)).as("n_docs"),
+        QTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      def idf(t: String): Column =
+        length(bin(lit(1L) + Sampling.ldiv(col("n_docs"), col(s"df_$t") + lit(1L))))
+          .cast("long")
+      val score = QTerms.map(t => col(s"tf_$t") * idf(t)).reduce(_ + _).as("score")
+      base.crossJoin(broadcast(dfRow))
+        .select((Seq(col("doc_id"), col("source")) ++
+          QTerms.map(t => col(s"tf_$t")) ++ Seq(score)): _*)
+        .orderBy(col("score").desc_nulls_last, col("doc_id"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents),
+      tf AS (
+        SELECT doc_id, source,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      df AS (
+        SELECT count(*) AS n_docs,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf)
+      SELECT doc_id, source,
+             ${QTerms.map(t => s"tf_$t").mkString(", ")},
+             ${QTerms.map(t => s"tf_$t * CAST(length(bin(1 + n_docs // (df_$t + 1))) AS BIGINT)").mkString(" +\n             ")} AS score
+      FROM tf, df
+      ORDER BY score DESC NULLS LAST, doc_id ASC
+      LIMIT 25"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
     "q75_doc_surprisal" -> q75,
-    "q77_balance_resample" -> q77)
+    "q77_balance_resample" -> q77,
+    "q78_gopher_repetition" -> q78,
+    "q80_retrieval_topk" -> q80)
 }

@@ -248,6 +248,79 @@ object EventQueries {
       ORDER BY rank DESC NULLS LAST, node ASC NULLS FIRST
       LIMIT 20"""))
 
+  // --- E6e: rolling z-score anomaly detection ---------------------------
+  // Per user, each event is scored against the mean/variance of its own
+  // trailing window (the previous `ZFrame` events, ordered by event
+  // time with event_id as total-order tiebreaker): anomaly iff
+  // z^2 = (v - mean)^2 / var > ZThresh^2. ENTIRELY IN INTEGER SPACE:
+  // values quantize to micros (Exact discipline), and the n^2 factors
+  // cancel so the test is (n*v - s)^2 > ZThresh^2 * (n*ssq - s^2) — the
+  // squares computed as DECIMAL(38,0) (HUGEINT in the oracle), so the
+  // flag is layout- and engine-exact with no double variance drift.
+  // Long-sum envelope: ssq sums ZFrame values of vq^2, exact while
+  // frame * max(vq)^2 < 2^63 — |value| <= ~9.6e5 at micros here;
+  // widen to decimal sums past that.
+  //
+  // 100 TB posture: the window partitions on user_id — a HIGH-cardinality
+  // key (the q63 lesson inverted: millions of users = millions of
+  // independent sort groups, no low-cardinality WindowExec funnel), and
+  // the frame is O(1) rows. One shuffle on user_id, one per-user sort,
+  // then a per-user summary agg that reuses the same partitioning
+  // (no second exchange).
+  private val ZFrame = 10
+  private val ZMinN = 5
+  private val ZThresh = 3
+  private val q79 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-ZFrame, -1)
+      val e = events(spark, dir).select(col("user_id"), col("tus"),
+        col("event_id"), Exact.quantize(col("value"), 6).as("vq"))
+      val scored = e
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("vq")).over(w))
+        .withColumn("ssq", sum(col("vq") * col("vq")).over(w))
+      val d = col("n") * col("vq") - col("s")
+      val a = d.cast("decimal(38,0)") * d.cast("decimal(38,0)")
+      val cv = col("n").cast("decimal(38,0)") * col("ssq").cast("decimal(38,0)") -
+        col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")
+      scored
+        .withColumn("anom",
+          when(col("n") >= ZMinN && cv > lit(0) &&
+            a > lit(ZThresh * ZThresh) * cv, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("anom")).as("n_anom"),
+          sum(col("anom") * col("event_id")).as("anom_id_sum"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      q AS (SELECT user_id, event_id, tus,
+              CAST(round(value * 1000000.0) AS BIGINT) AS vq FROM ev),
+      w AS (SELECT user_id, event_id, vq,
+              count(*) OVER win AS n,
+              sum(vq) OVER win AS s,
+              sum(vq * vq) OVER win AS ssq
+            FROM q
+            WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN $ZFrame PRECEDING AND 1 PRECEDING)),
+      a AS (SELECT user_id, event_id,
+              CASE WHEN n >= $ZMinN
+                    AND CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s > 0
+                    AND CAST(n * vq - s AS HUGEINT) * CAST(n * vq - s AS HUGEINT) >
+                        ${ZThresh * ZThresh} *
+                        (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
+                   THEN 1 ELSE 0 END AS anom
+            FROM w)
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(anom) AS BIGINT) AS n_anom,
+             CAST(sum(anom * event_id) AS BIGINT) AS anom_id_sum
+      FROM a GROUP BY 1
+      ORDER BY user_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -255,5 +328,6 @@ object EventQueries {
     "q33_salted_agg" -> q33,
     "q35_asof_join" -> q35,
     "q62_interval_join" -> q62,
-    "q76_pagerank" -> q76)
+    "q76_pagerank" -> q76,
+    "q79_rolling_zscore" -> q79)
 }
