@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Exact, Locale}
-import graft.operators.Relational
+import graft.operators.{Layout, Relational}
 
 /** Reference operator inventory (SURVEY.md §2) re-expressed over the
   * driver testdata, one oracle-checked query per operator family.
@@ -711,6 +711,56 @@ object RelationalQueries {
             FROM nation) n USING (skew_key)
       ORDER BY l.l_orderkey ASC NULLS FIRST, l.l_linenumber ASC NULLS FIRST"""))
 
+  /** DuckDB twin of plans/ZOrderLong: the 32-bit Morton interleave of
+    * two 16-bit coordinates as a 32-term shift-and-mask arithmetic sum
+    * (bit i of x at position 2i, bit i of y at 2i+1). */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(((($x) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)})")
+      .mkString(" + ")
+
+  // --- Z-order clustering profile (multi-dim data skipping) -------------
+  // Morton-code lineitem on (l_partkey, l_suppkey) with the native
+  // zorder_long expression (plans/ZOrderLong) and profile the resulting
+  // layout buckets (code >> ZShift): row count + min/max of BOTH
+  // dimensions per bucket — exactly the parquet footer stats a
+  // z-clustered write (Layout.zorderedWrite) gives each file, i.e. the
+  // ranges min/max pruning would skip on. The oracle replays the
+  // interleave as unrolled integer arithmetic ([[zorderSql]]).
+  //
+  // 100 TB posture: the code is one codegen'd map expression; the
+  // bucket profile is one hash agg on a integer key. The real
+  // data-skipping win is at WRITE time (zorderedWrite:
+  // repartitionByRange + in-partition sort, both corpus-scalable);
+  // LayoutSpec measures the per-file range shrink vs an unsorted write.
+  private val ZShift = 14
+  private val q81 = Q(
+    (spark, dir) => {
+      val z = Layout.zorder(
+        col("l_partkey").bitwiseAND(lit(65535L)),
+        col("l_suppkey").bitwiseAND(lit(65535L)))
+      Tables.lineitem(spark, dir)
+        .select(shiftright(z, ZShift).as("z_bucket"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("z_bucket"))
+    },
+    Some(s"""
+      WITH z AS (
+        SELECT (${zorderSql("l_partkey & 65535", "l_suppkey & 65535")})
+                 >> $ZShift AS z_bucket,
+               l_partkey, l_suppkey
+        FROM lineitem)
+      SELECT z_bucket, count(*) AS n,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM z GROUP BY 1
+      ORDER BY z_bucket ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -734,5 +784,6 @@ object RelationalQueries {
     "q63_window_suite" -> q63,
     "q64_cube" -> q64,
     "q66_quantile_sketch" -> q66,
-    "q67_salted_join" -> q67)
+    "q67_salted_join" -> q67,
+    "q81_zorder_profile" -> q81)
 }

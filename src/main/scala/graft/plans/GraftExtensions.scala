@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.imageDimsLong)
     ext.injectFunction(GraftExtensions.audioMetaLong)
     ext.injectFunction(GraftExtensions.misraGriesTerms)
+    ext.injectFunction(GraftExtensions.zorderLong)
   }
 }
 
@@ -91,6 +92,14 @@ object GraftExtensions {
       AudioMetaLong(children.head)
     })
 
+  private val zorderLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_long"),
+    new ExpressionInfo(classOf[ZOrderLong].getName, "zorder_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "zorder_long takes exactly 2 arguments")
+      ZOrderLong(children.head, children(1))
+    })
+
   private val misraGriesTerms: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("misra_gries_terms"),
     new ExpressionInfo(classOf[MisraGriesTerms].getName, "misra_gries_terms"),
@@ -103,7 +112,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
-             imageDimsLong, audioMetaLong, misraGriesTerms))
+             imageDimsLong, audioMetaLong, misraGriesTerms, zorderLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
