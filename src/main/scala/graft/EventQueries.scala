@@ -267,9 +267,11 @@ object EventQueries {
   // the frame is O(1) rows. One shuffle on user_id, one per-user sort,
   // then a per-user summary agg that reuses the same partitioning
   // (no second exchange).
-  private val ZFrame = 10
-  private val ZMinN = 5
-  private val ZThresh = 3
+  // Shared with the streaming twin (streaming/AnomalyStream) so batch
+  // and stream cannot drift on the window geometry or threshold.
+  private val ZFrame = streaming.AnomalyStream.Frame
+  private val ZMinN = streaming.AnomalyStream.MinN
+  private val ZThresh = streaming.AnomalyStream.Thresh
   private val q79 = Q(
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
