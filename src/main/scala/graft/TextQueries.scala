@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextOps}
+import graft.operators.{Bloom, Kmv, Relational, TextOps}
 
 /** LLM-data-pipeline text operators over the `documents` corpus
   * (BASELINE north-star E1/E2/E4 + fingerprinting/quality/lang-id):
@@ -1120,6 +1120,86 @@ object TextQueries {
       GROUP BY 1, 2
       ORDER BY freq DESC NULLS LAST, term ASC NULLS FIRST"""))
 
+  // --- E4t: Bloom-sketch decontamination vs corpus history --------------
+  // Exact-dedup an INCOMING batch (doc_id % 3 == 0 plays the new
+  // deliveries) against the HISTORY (the even doc_ids — the two splits
+  // OVERLAP on doc_id % 6 == 0, so both the no-false-negative branch
+  // and the FP branch are exercised and measured) without
+  // joining the history: history is folded once into a 32-word
+  // relational Bloom sketch (operators/Bloom — order-free bit_or words,
+  // md5-derived bits, so the sketch is bit-identical on any layout or
+  // engine) and the batch probes it via a words-sized broadcast.
+  // Per source: probe count, bloom maybe-count, exact-match truth count
+  // (the hash60 history join — HERE ONLY to measure the FP rate; at
+  // 100 TB you keep the sketch and skip this join, that's the point),
+  // and the measured false positives n_fp = n_maybe - n_true (>= 0:
+  // Bloom has no false negatives).
+  //
+  // 100 TB posture: build is one map-side-combinable bit_or agg whose
+  // exchange is <= words rows per task; probe is a map pass + 2
+  // broadcast joins of a 32-row table. Nothing corpus-sized shuffles.
+  private val BloomWords = 32
+  private val q82 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val inc = d.filter(col("doc_id") % 3 === 0)
+      val bloom = Bloom.build(hist.select(col("text")), "text", BloomWords)
+      val probed = Bloom.probe(
+        inc.select(col("doc_id"), col("source"), col("text")),
+        bloom, "text", BloomWords, "maybe_dup")
+      val histH = hist.select(Kmv.hash60(col("text")).as("h60")).distinct()
+        .withColumn("__hit", lit(1L))
+      probed
+        .withColumn("h60", Kmv.hash60(col("text")))
+        .join(histH, Seq("h60"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("maybe_dup"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_true"))
+        .select(col("source"), col("n_in"), col("n_maybe"), col("n_true"),
+          (col("n_maybe") - col("n_true")).as("n_fp"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val m = BloomWords * Bloom.BitsPerWord
+      def h60(prefix: String) =
+        s"CAST(('0x' || substr(md5('$prefix' || text), 1, 15)) AS BIGINT)"
+      def mask(bp: String) = s"(CAST(1 AS BIGINT) << CAST(($bp) % 60 AS INT))"
+      s"""
+      WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      inc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+      hp AS (
+        SELECT ${h60("bloom0|")} % $m AS bp FROM hist
+        UNION ALL
+        SELECT ${h60("bloom1|")} % $m AS bp FROM hist),
+      bloom AS (SELECT bp // 60 AS word, bit_or(${mask("bp")}) AS bits
+                FROM hp GROUP BY 1),
+      ht AS (SELECT DISTINCT ${h60("")} AS h FROM hist),
+      pr AS (
+        SELECT doc_id, source,
+               ${h60("bloom0|")} % $m AS bp0,
+               ${h60("bloom1|")} % $m AS bp1,
+               ${h60("")} AS h
+        FROM inc),
+      fl AS (
+        SELECT pr.doc_id, pr.source,
+               CASE WHEN b0.bits IS NOT NULL AND b1.bits IS NOT NULL
+                     AND (b0.bits & ${mask("pr.bp0")}) = ${mask("pr.bp0")}
+                     AND (b1.bits & ${mask("pr.bp1")}) = ${mask("pr.bp1")}
+                    THEN 1 ELSE 0 END AS maybe,
+               CASE WHEN ht.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM pr LEFT JOIN bloom b0 ON b0.word = pr.bp0 // 60
+                LEFT JOIN bloom b1 ON b1.word = pr.bp1 // 60
+                LEFT JOIN ht ON ht.h = pr.h)
+      SELECT source, count(*) AS n_in,
+             CAST(sum(maybe) AS BIGINT) AS n_maybe,
+             CAST(sum(hit) AS BIGINT) AS n_true,
+             CAST(sum(maybe) - sum(hit) AS BIGINT) AS n_fp
+      FROM fl GROUP BY 1
+      ORDER BY source ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1147,5 +1227,6 @@ object TextQueries {
     "q58_kmv_distinct" -> q58,
     "q61_vocab_overlap" -> q61,
     "q71_pii_scrub" -> q71,
-    "q72_cms_counts" -> q72)
+    "q72_cms_counts" -> q72,
+    "q82_bloom_decontam" -> q82)
 }
