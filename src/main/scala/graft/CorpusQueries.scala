@@ -245,28 +245,11 @@ object CorpusQueries {
   private val q78 = Q(
     (spark, dir) => {
       val ts = TextOps.tokens(col("text"))
-      val n = size(ts)
-      def gramHashes(nn: Int): Column = {
-        val g = transform(
-          sequence(lit(1), n - lit(nn - 1)),
-          i => Kmv.hash60(
-            concat_ws(" ", (0 until nn).map(o => element_at(ts, i + lit(o))): _*)))
-        when(n >= nn, g).otherwise(array().cast("array<bigint>"))
-      }
-      val tri = gramHashes(3)
-      val sortedBi = array_sort(gramHashes(2))
+      val tri = TextOps.gramHashes(ts, 3)
+      val sortedBi = array_sort(TextOps.gramHashes(ts, 2))
       // Count of the most frequent bigram = longest equal-run in the
-      // sorted hash array: fold with (prev, run, best) state.
-      val topBi = aggregate(
-        sortedBi,
-        struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(acc.getField("prev") === x, acc.getField("run") + lit(1L))
-            .otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+      // sorted hash array (TextOps.topRunLength fold).
+      val topBi = TextOps.topRunLength(sortedBi)
       val per = docs(spark, dir).select(
         col("doc_id"), col("source"),
         size(tri).cast("long").as("n_tri"),

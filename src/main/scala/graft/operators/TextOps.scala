@@ -36,6 +36,36 @@ object TextOps {
     * single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-gram hashes WITH multiplicity (no array_distinct — q78's
+    * repetition metrics need every occurrence), as 60-bit md5-derived
+    * longs so downstream sorts/counts move longs, not strings.
+    * Documents shorter than n tokens produce an empty array (guarded:
+    * an unguarded `sequence(1, len-n+1)` would DESCEND for short docs
+    * and fabricate grams). */
+  def gramHashes(toks: Column, n: Int): Column = {
+    val g = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => Kmv.hash60(
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+    when(size(toks) >= n, g).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Count of the most frequent element of a SORTED array = its longest
+    * equal-run, via one aggregate() fold with (prev, run, best) state —
+    * map-only, the no-shuffle path to "top n-gram count per doc".
+    * Empty arrays give 0. */
+  def topRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Distinct word n-gram shingles, mirrored exactly by the DuckDB
     * fragment (`t[i] || ' ' || t[i+1] ...`, 1-based `range`). Documents
     * shorter than n tokens produce an empty shingle set. */

@@ -104,4 +104,36 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(sigs(1) == sigs(5))
   }
+
+  test("gramHashes: multiplicity kept, short and empty docs give empty arrays") {
+    val rows = Seq("a b a b a", "a b", "a", "").toDF("text")
+      .select(TextOps.gramHashes(TextOps.tokens(col("text")), 3).as("g"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(rows(0).size == 3, "5 tokens -> 3 trigrams, duplicates kept")
+    assert(rows(0)(0) == rows(0)(2), "'a b a' recurs -> equal hashes")
+    assert(rows(0)(0) != rows(0)(1))
+    assert(rows(1).isEmpty && rows(2).isEmpty,
+      "docs shorter than n must NOT fabricate grams from a descending sequence")
+    assert(rows(3).isEmpty)
+  }
+
+  test("topRunLength: run maxima, singleton, and empty array") {
+    val got = Seq(
+      Seq(1L, 1L, 1L, 2L, 3L, 3L),
+      Seq(7L),
+      Seq.empty[Long],
+      Seq(5L, 5L))
+      .toDF("a")
+      .select(TextOps.topRunLength(col("a")).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 1L, 0L, 2L))
+  }
+
+  test("topRunLength on sorted gramHashes counts the dominant bigram") {
+    val got = Seq("x y x y x y z").toDF("text")
+      .select(TextOps.topRunLength(
+        array_sort(TextOps.gramHashes(TextOps.tokens(col("text")), 2))).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L), "'x y' appears 3 times in the bigram stream")
+  }
 }
