@@ -231,32 +231,60 @@ object CorpusQueries {
   // on BOTH rules (at 18%/20% every synthetic doc passes and the keep
   // branch is dead code).
   //
-  // 100 TB posture: a doc's n-grams are doc-LOCAL, so nothing per-gram
-  // ever shuffles. Grams hash to 60-bit longs (md5-derived; within-doc
-  // collision odds ~L^2/2^61 ~ 1e-14 for L=10^3 grams), the dup count is
-  // size - size(array_distinct), and the top-bigram count is a
-  // run-length max over the SORTED gram array (one aggregate() fold) —
-  // the whole per-doc pass is map-only; the only exchange is the final
-  // per-source summary agg (tens of rows). The oracle replays the same
-  // semantics relationally (unnest -> GROUP BY -> max) on raw gram
-  // strings, which is fine at oracle scale.
+  // Hashing: ONE md5 per token (Kmv.hash60), then grams combine
+  // ARITHMETICALLY — g2 = 3·h_i + 5·h_{i+1} (< 2^63, overflow-free on
+  // both engines), g3 = 3·(g2 mod 2^60) + 5·h_{i+2} — so the per-gram
+  // cost is two multiply-adds, not an md5. A measured decision: the
+  // round-6 first cut computed per-doc metrics map-only with
+  // interpreted higher-order-function folds (TextOps.gramHashes/
+  // topRunLength, kept with their specs as the no-shuffle alternative)
+  // and ran 12.9 s at sf0.1 — 8x the relational shape, because HOFs
+  // evaluate outside codegen and every column reference re-evaluated
+  // the md5 transform. This form explodes hashed-gram LONGS and
+  // hash-aggregates them (the q45/q46 discipline): 0.9 s at sf0.1.
+  //
+  // 100 TB posture: gram rows shuffle keyed by (doc_id, gram-hash) —
+  // doc_id is corpus-cardinality, so the exchange hash-spreads
+  // perfectly; map-side combine collapses within-partition duplicates
+  // first. Structural collisions: g2(a,b) = g2(b,a) only when a = b
+  // (equal grams anyway); random collisions ~L^2/2^60 per doc.
   private val DupTriPct = 2
   private val TopBiPct = 5
+  private val GramMod = 1L << 60
   private val q78 = Q(
     (spark, dir) => {
-      val ts = TextOps.tokens(col("text"))
-      val tri = TextOps.gramHashes(ts, 3)
-      val sortedBi = array_sort(TextOps.gramHashes(ts, 2))
-      // Count of the most frequent bigram = longest equal-run in the
-      // sorted hash array (TextOps.topRunLength fold).
-      val topBi = TextOps.topRunLength(sortedBi)
-      val per = docs(spark, dir).select(
-        col("doc_id"), col("source"),
-        size(tri).cast("long").as("n_tri"),
-        (size(tri) - size(array_distinct(tri))).cast("long").as("dup_tri"),
-        size(sortedBi).cast("long").as("n_bi"),
-        topBi.as("top_bi"))
-      per
+      val tokH = transform(TextOps.tokens(col("text")), t => Kmv.hash60(t))
+      val base = docs(spark, dir)
+        .select(col("doc_id"), col("source"), tokH.as("th"))
+      def guarded(n: Int, g: Column): Column =
+        when(size(col("th")) >= n, g).otherwise(array().cast("array<bigint>"))
+      val g2 = guarded(2, transform(
+        sequence(lit(1), size(col("th")) - lit(1)),
+        i => lit(3L) * element_at(col("th"), i) +
+          lit(5L) * element_at(col("th"), i + lit(1))))
+      val g3 = guarded(3, transform(
+        sequence(lit(1), size(col("th")) - lit(2)),
+        i => lit(3L) * pmod(
+          lit(3L) * element_at(col("th"), i) +
+            lit(5L) * element_at(col("th"), i + lit(1)), lit(GramMod)) +
+          lit(5L) * element_at(col("th"), i + lit(2))))
+      val triPer = base.select(col("doc_id"), explode(g3).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tri"),
+          (sum(col("c")) - count(lit(1))).as("dup_tri"))
+      val biPer = base.select(col("doc_id"), explode(g2).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+      base.select(col("doc_id"), col("source"))
+        .join(triPer, Seq("doc_id"), "left")
+        .join(biPer, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("dup_tri"), lit(0L)).as("dup_tri"),
+          coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+          coalesce(col("top_bi"), lit(0L)).as("top_bi"))
         .withColumn("keep",
           when(col("dup_tri") * lit(100L) <= lit(DupTriPct.toLong) * col("n_tri") &&
                col("top_bi") * lit(100L) <= lit(TopBiPct.toLong) * col("n_bi"), 1L)
@@ -365,11 +393,70 @@ object CorpusQueries {
       ORDER BY score DESC NULLS LAST, doc_id ASC
       LIMIT 25"""))
 
+  // --- E4u: temperature-balanced mixture (τ = 2) ------------------------
+  // q77 flattens every stratum to the smallest; q49 applies CONFIGURED
+  // rates. This is the third mixing policy a multilingual pipeline
+  // needs: resample langs proportional to a TEMPERED share — weight
+  // w = floor(sqrt(n_lang)) (τ = 2), expected kept = K·w/Σw — which
+  // upsamples tail languages relative to raw frequency without
+  // flattening heads entirely (the public XLM-R/mT5 discipline).
+  // floor(sqrt(n)) is engine-exact: IEEE sqrt is correctly rounded and
+  // both engines floor the same double. Acceptance is one decimal
+  // (HUGEINT) compare — Sampling.temperatureAccept — so membership is
+  // bit-reproducible on any layout; kept_id_sum/kept_chars checksum it.
+  //
+  // 100 TB posture: same as q77 — a tiny per-stratum count pass, then
+  // one map-only filtered scan with two broadcast joins.
+  private val TempK = 200
+  private val q83 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        .withColumn("w", floor(sqrt(col("n_lang"))).cast("long"))
+      val sums = counts.agg(sum(col("w")).as("sum_w"))
+      val h = Sampling.hashBits("temp|", col("doc_id"), 40)
+      d.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(sums))
+        .select(col("lang"), col("n_lang"), col("w"), col("doc_id"),
+          col("n_chars"),
+          when(Sampling.temperatureAccept(h, col("n_lang"), col("w"),
+            col("sum_w"), lit(TempK.toLong)), 1L).otherwise(0L).as("keep"))
+        .groupBy(col("lang"), col("n_lang"), col("w"))
+        .agg(sum(col("keep")).as("n_kept"),
+          sum(col("keep") * col("doc_id")).as("kept_id_sum"),
+          sum(col("keep") * col("n_chars")).as("kept_chars"))
+        .select(col("lang"), col("n_lang").as("n_docs"), col("w"),
+          col("n_kept"), col("kept_id_sum"), col("kept_chars"),
+          (col("n_kept").cast("double") / col("n_lang")).as("effective_rate"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n_lang,
+                        CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+                 FROM documents GROUP BY 1),
+      s AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM c),
+      b AS (
+        SELECT d.lang, c.n_lang, c.w, d.doc_id, d.n_chars,
+               CASE WHEN CAST(CAST(('0x' || substr(md5('temp|' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS HUGEINT)
+                        * c.n_lang * s.sum_w
+                      < CAST($TempK AS HUGEINT) * c.w * 1099511627776
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN c USING (lang) CROSS JOIN s)
+      SELECT lang, n_lang AS n_docs, w,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             CAST(sum(keep * doc_id) AS BIGINT) AS kept_id_sum,
+             CAST(sum(keep * n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(keep) AS DOUBLE) / n_lang AS effective_rate
+      FROM b GROUP BY 1, 2, 3
+      ORDER BY lang ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
     "q75_doc_surprisal" -> q75,
     "q77_balance_resample" -> q77,
     "q78_gopher_repetition" -> q78,
-    "q80_retrieval_topk" -> q80)
+    "q80_retrieval_topk" -> q80,
+    "q83_temperature_mix" -> q83)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.plans.ZOrderLong
@@ -43,6 +43,30 @@ object Layout {
     ColumnBridge.column(ZOrderLong(
       ColumnBridge.expression(x.cast("long")),
       ColumnBridge.expression(y.cast("long"))))
+
+  /** Greedy small-file compaction plan: assign files (ordered by path
+    * for determinism) to target-sized bins by cumulative size —
+    * `bin = (cumBytes - bytes) / targetBytes`, i.e. a file starts the
+    * bin its first byte falls in. One compaction job then rewrites each
+    * bin as one file. Returns (file, bytes, bin).
+    *
+    * The cumulative sum is a window over ONE unpartitioned frame — fine
+    * HERE because the input is a file LISTING (one metadata row per
+    * file: 100 TB at 128 MB/file is <1M rows, a single-task sort by
+    * design, same as any driver-side split planning); never feed it
+    * data-plane rows. */
+  def compactionPlan(files: DataFrame, fileCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(col(fileCol), col(bytesCol).cast("long").as("bytes"))
+      .withColumn("bin",
+        Sampling.ldiv(
+          org.apache.spark.sql.functions.sum(col("bytes")).over(w) - col("bytes"),
+          lit(targetBytes)))
+  }
 
   /** Z-order-clustered parquet write: range-partition then sort by the
     * Morton code of the two cluster keys, so each output file covers a

@@ -108,4 +108,21 @@ object Sampling {
     val d = "decimal(38,0)"
     h40.cast(d) * nStratum.cast(d) < targetCount.cast(d) * lit(1L << 40).cast(d)
   }
+
+  /** Temperature-balanced acceptance: accept a row of a stratum of size
+    * `nStratum` with probability k·w / (nStratum·sumW), where w is the
+    * stratum's tempered weight (e.g. floor(sqrt(n)) for τ = 2) and sumW
+    * the sum of all strata weights — expected kept per stratum is
+    * k·w/sumW, i.e. proportional to the TEMPERED share (the
+    * multilingual-pretraining resampling discipline; τ = 2 upsamples
+    * tails relative to raw frequency). Accept iff
+    * `h40·nStratum·sumW < k·w·2^40`, in DECIMAL(38,0) (DuckDB HUGEINT)
+    * so no product can wrap at any corpus size. Map-only once the
+    * per-stratum counts are known. */
+  def temperatureAccept(h40: Column, nStratum: Column, w: Column,
+                        sumW: Column, k: Column): Column = {
+    val d = "decimal(38,0)"
+    h40.cast(d) * nStratum.cast(d) * sumW.cast(d) <
+      k.cast(d) * w.cast(d) * lit(1L << 40).cast(d)
+  }
 }

@@ -168,4 +168,27 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compactionPlan bin-packs a file listing toward the target size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val listing = Seq(
+      ("f01", 60L), ("f02", 60L), ("f03", 60L),   // starts 0,60,120 -> bin 0
+      ("f04", 200L),                               // oversized: spills past bin 1
+      ("f05", 10L), ("f06", 10L), ("f07", 10L))    // tail bin
+      .toDF("file", "bytes")
+    val plan = Layout.compactionPlan(listing, "file", "bytes", targetBytes = 128L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // cumulative starts: f01@0,f02@60,f03@120,f04@180,f05@380,f06@390,f07@400
+    assert(plan == Map(
+      "f01" -> 0L, "f02" -> 0L, "f03" -> 0L,
+      "f04" -> 1L, "f05" -> 2L, "f06" -> 3L, "f07" -> 3L))
+    // invariants: bins are contiguous in file order and non-decreasing
+    val bins = Layout.compactionPlan(listing, "file", "bytes", 128L)
+      .orderBy(col("file")).collect().map(_.getLong(2)).toSeq
+    assert(bins == bins.sorted)
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(listing, "file", "bytes", 0L)
+    }
+  }
 }
