@@ -451,6 +451,75 @@ object CorpusQueries {
       FROM b GROUP BY 1, 2, 3
       ORDER BY lang ASC NULLS FIRST"""))
 
+  // --- E4v: corpus-mix drift monitoring (integer PSI proxy) -------------
+  // Ingestion monitoring: has the SOURCE mix of the current delivery
+  // window drifted from the baseline corpus? (The question a 100 TB
+  // pipeline asks before a bad crawl batch poisons the mixture.) The
+  // classic metric is PSI = Σ (p-q)·ln(p/q) — transcendental, so not
+  // engine-exact. This emits the determinism-safe pieces instead:
+  // per-source micro-shares (p,q scaled 1e6, floor division), their
+  // delta, the q75-style integer log2 ratio proxy
+  // lr = len(bin(max(p,q) div max(min(p,q),1))) = floor(log2 ratio)+1,
+  // and the integer drift term |p-q|·lr — a score monotone in the PSI
+  // bucket term, bit-identical on both engines. Raw counts ship too,
+  // so true PSI is one offline expression away.
+  //
+  // 100 TB posture: two column-pruned count aggregates (source is
+  // low-cardinality → tiny) + one broadcast one-row join; the corpus
+  // scans once per slice, nothing else moves.
+  private val q84 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val base = d.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_base"))
+      val cur = d.filter(col("doc_id") % 2 === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_cur"))
+      val tot = base.agg(sum(col("n_base")).as("t_base"))
+        .crossJoin(cur.agg(sum(col("n_cur")).as("t_cur")))
+      val joined = base.join(cur, Seq("source"), "full")
+        .select(col("source"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .crossJoin(broadcast(tot))
+      val p = Sampling.ldiv(col("n_base") * lit(1000000L), col("t_base"))
+      val q = Sampling.ldiv(col("n_cur") * lit(1000000L), col("t_cur"))
+      val lr = length(bin(Sampling.ldiv(greatest(p, q),
+        greatest(least(p, q), lit(1L))))).cast("long")
+      joined
+        .select(col("source"), col("n_base"), col("n_cur"),
+          p.as("p_micro"), q.as("q_micro"),
+          (q - p).as("delta_micro"), lr.as("lr_proxy"),
+          (abs(q - p) * lr).as("drift_term"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (SELECT source, count(*) AS n_base FROM documents
+                    WHERE doc_id % 2 = 0 GROUP BY 1),
+      cur AS (SELECT source, count(*) AS n_cur FROM documents
+              WHERE doc_id % 2 = 1 GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(n_base) AS BIGINT) FROM base) AS t_base,
+                     (SELECT CAST(sum(n_cur) AS BIGINT) FROM cur) AS t_cur),
+      j AS (
+        SELECT COALESCE(b.source, c.source) AS source,
+               COALESCE(b.n_base, 0) AS n_base,
+               COALESCE(c.n_cur, 0) AS n_cur, t.t_base, t.t_cur
+        FROM base b FULL OUTER JOIN cur c ON b.source = c.source
+        CROSS JOIN tot t),
+      m AS (
+        SELECT source, n_base, n_cur,
+               (n_base * 1000000) // t_base AS p_micro,
+               (n_cur * 1000000) // t_cur AS q_micro
+        FROM j)
+      SELECT source, n_base, n_cur, p_micro, q_micro,
+             q_micro - p_micro AS delta_micro,
+             CAST(length(bin(greatest(p_micro, q_micro) //
+                    greatest(least(p_micro, q_micro), 1))) AS BIGINT) AS lr_proxy,
+             abs(q_micro - p_micro) *
+               CAST(length(bin(greatest(p_micro, q_micro) //
+                      greatest(least(p_micro, q_micro), 1))) AS BIGINT) AS drift_term
+      FROM m
+      ORDER BY source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -458,5 +527,6 @@ object CorpusQueries {
     "q77_balance_resample" -> q77,
     "q78_gopher_repetition" -> q78,
     "q80_retrieval_topk" -> q80,
-    "q83_temperature_mix" -> q83)
+    "q83_temperature_mix" -> q83,
+    "q84_mix_drift" -> q84)
 }

@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *    lines u16 at segment offset 3 and samples-per-line u16 at 5.
   *    Fill bytes (repeated FF) and standalone markers (TEM, RSTn) are
   *    skipped per spec.
+  *  - GIF (GIF87a/89a): logical-screen little-endian u16s at 6/8.
+  *  - BMP (BITMAPINFOHEADER): signed little-endian i32s at 18/22
+  *    (negative height = top-down; magnitude taken).
   *
   * Shared by the interpreted and codegen'd paths of [[ImageDimsLong]]
   * (a Scala object's static forwarder is callable from generated Java)
@@ -29,6 +32,25 @@ object ImageHeader {
     * just "not an image" (-1). */
   def parseDims(b: Array[Byte]): Long = {
     if (b == null || b.length < 4) return -1L
+    // --- GIF (GIF87a/GIF89a §17/§18: logical screen width/height,
+    // little-endian u16 at offsets 6/8) ---
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
+      if (b.length < 10 || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return -1L
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w <= 0L || h <= 0L) return -1L
+      return (w << 32) | h
+    }
+    // --- BMP (BITMAPINFOHEADER: signed little-endian i32 width at
+    // offset 18, height at 22; height may be negative for top-down
+    // rows — dimensions are the magnitudes) ---
+    if (b(0) == 'B' && b(1) == 'M') {
+      if (b.length < 26) return -1L
+      val w = le32(b, 18)
+      val h = math.abs(le32(b, 22))
+      if (w <= 0L || h <= 0L || w > 0xffffffffL || h > 0xffffffffL) return -1L
+      return (w << 32) | h
+    }
     // --- PNG ---
     if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
       if (b.length < 24 ||
@@ -76,11 +98,19 @@ object ImageHeader {
   private def be32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def le16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  /** Sign-extended little-endian i32 (BMP dimensions are signed). */
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)).toInt.toLong
 }
 
 /** `image_dims_long(payload BINARY): BIGINT` — (width << 32) | height
-  * from a JPEG/PNG header, NULL when the payload is not a parseable
-  * image. A native expression (not a UDF) so the parse stays inside
+  * from a JPEG/PNG/GIF/BMP header, NULL when the payload is not a
+  * parseable image. A native expression (not a UDF) so the parse stays inside
   * whole-stage codegen next to the rest of the projection; the byte
   * walk itself is a static call into [[ImageHeader]], shared verbatim
   * with the interpreted path. Extract with

@@ -20,15 +20,18 @@ class ImageDimsSpec extends SparkSpec {
 
   private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h,
-      if (fmt == "jpg") BufferedImage.TYPE_INT_RGB else BufferedImage.TYPE_INT_ARGB)
+      if (fmt == "jpg" || fmt == "bmp") BufferedImage.TYPE_INT_RGB
+      else BufferedImage.TYPE_INT_ARGB)
     val out = new ByteArrayOutputStream()
     assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
     out.toByteArray
   }
 
-  test("parses dimensions from real javax.imageio PNG and JPEG output") {
+  test("parses dimensions from real javax.imageio PNG/JPEG/GIF/BMP output") {
     for ((fmt, w, h) <- Seq(("png", 17, 9), ("png", 1, 1), ("png", 1920, 1080),
-                            ("jpg", 17, 9), ("jpg", 1, 1), ("jpg", 1920, 1080))) {
+                            ("jpg", 17, 9), ("jpg", 1, 1), ("jpg", 1920, 1080),
+                            ("gif", 17, 9), ("gif", 1, 1), ("gif", 1920, 1080),
+                            ("bmp", 17, 9), ("bmp", 1, 1), ("bmp", 1920, 1080))) {
       val dims = ImageHeader.parseDims(encode(fmt, w, h))
       assert(dims >= 0L, s"$fmt ${w}x$h did not parse")
       assert(((dims >>> 32).toInt, (dims & 0xffffffffL).toInt) == (w, h),
