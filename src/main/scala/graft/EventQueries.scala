@@ -331,5 +331,40 @@ object EventQueries {
     "q35_asof_join" -> q35,
     "q62_interval_join" -> q62,
     "q76_pagerank" -> q76,
-    "q79_rolling_zscore" -> q79)
+    "q79_rolling_zscore" -> q79,
+    "q85_asof_native" -> q85)
+
+  // --- As-of join, NATIVE custom-plan path --------------------------------
+  // q35's exact scenario through plans/AsofJoin (logical node ->
+  // planner Strategy -> sorted-merge exec) instead of the composed
+  // union+window: same DuckDB ASOF oracle, so the driver hash-checks
+  // the custom physical operator end-to-end. AsofNativeSpec separately
+  // proves native == composed row-for-row on randomized inputs.
+  //
+  // 100 TB posture: one hash exchange + sort per side (SortMergeJoin
+  // cost), then an O(1)-state per-partition merge — no union schema,
+  // no running-last window buffer; bucketed inputs plan with NO
+  // exchange (the distribution is declared, EnsureRequirements
+  // decides).
+  private lazy val q85 = Q(
+    (spark, dir) => {
+      val ev = events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("value"))
+      graft.operators.Relational.asofJoinNative(
+        clicks, purchases, keys = Seq("user_id"),
+        leftTs = "click_ts", rightTs = "tus", valuePrefix = "last_purchase_")
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      cl AS (SELECT event_id, user_id, tus AS click_ts FROM ev WHERE event_type = 'click'),
+      pu AS (SELECT user_id, tus, value FROM ev WHERE event_type = 'purchase')
+      SELECT cl.event_id, cl.user_id, cl.click_ts, pu.value AS last_purchase_value
+      FROM cl ASOF LEFT JOIN pu ON cl.user_id = pu.user_id AND cl.click_ts >= pu.tus
+      ORDER BY cl.event_id ASC NULLS FIRST"""))
 }

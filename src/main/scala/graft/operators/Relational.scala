@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
+import graft.plans.{AsofJoin, AsofJoinStrategy}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Core relational operators — the Spark-first re-expression of the
   * reference's operator inventory (SURVEY.md §2). Each is a pure
@@ -105,6 +107,53 @@ object Relational {
     * Left rows with no prior right row get null values (left-join
     * semantics).
     */
+  /** Native as-of join — the custom-plan path (plans/AsofJoin:
+    * logical node + Strategy + sorted-merge exec). Same semantics and
+    * output shape as [[asofJoinLatest]] (left outer, latest right row
+    * with time <= left time, right values prefixed), proven
+    * row-identical in AsofNativeSpec; q85's oracle checks it
+    * end-to-end. Registers the planner Strategy on the session
+    * idempotently, so it works in sessions without the
+    * SparkSessionExtensions install.
+    *
+    * 100 TB posture: one hash exchange + sort per side (what a
+    * SortMergeJoin costs), then an O(1)-state per-partition merge —
+    * no union schema, no running-last window buffer; bucketed inputs
+    * that already satisfy the distribution plan with NO exchange.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     valuePrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    val renamedKeys = keys.map(k => s"__rk_$k")
+    val outVals = rightVals.map(c => s"$valuePrefix$c")
+    val clash = left.columns.toSet
+      .intersect((renamedKeys :+ "__rts").toSet ++ outVals)
+    require(clash.isEmpty, s"left side may not use columns $clash")
+    // Same null contract as asofJoinLatest: a null right key/time
+    // matches nothing — drop up front, or ascending-sort placement
+    // would leak null-time rows ahead of real ones.
+    val rPrep = right.na.drop(keys :+ rightTs).select(
+      keys.map(k => col(k).as(s"__rk_$k")) ++
+        Seq(col(rightTs).as("__rts")) ++
+        rightVals.map(c => col(c).as(s"$valuePrefix$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrep.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsofJoin(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), renamedKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, "__rts"))
+    ColumnBridge.ofRows(spark, node)
+      .drop((renamedKeys :+ "__rts"): _*)
+  }
+
   def asofJoinLatest(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
                      valuePrefix: String = "asof_"): DataFrame = {

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.audioMetaLong)
     ext.injectFunction(GraftExtensions.misraGriesTerms)
     ext.injectFunction(GraftExtensions.zorderLong)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
