@@ -78,6 +78,33 @@ class AsofNativeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bucketed inputs plan with NO exchange (declared distribution pays off)") {
+    val wh = java.nio.file.Files.createTempDirectory("asof-bucketed").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Layout.writeBucketed(
+        leftDf, "asof_l", "k", buckets = 4, s"$wh/l")
+      graft.operators.Layout.writeBucketed(
+        rightDf, "asof_r", "k", buckets = 4, s"$wh/r")
+      val joinedPlan = Relational.asofJoinNative(
+        spark.table("asof_l"), spark.table("asof_r"), Seq("k"), "t", "rt")
+        .queryExecution.executedPlan.toString
+      assert(joinedPlan.contains("AsofJoin"))
+      assert(!joinedPlan.contains("Exchange"),
+        s"same-bucketed sides must satisfy the distribution with no shuffle:\n$joinedPlan")
+      // and the result still matches the composed reference
+      val native = collectSet(Relational.asofJoinNative(
+        spark.table("asof_l"), spark.table("asof_r"), Seq("k"), "t", "rt"))
+      val composed = collectSet(Relational.asofJoinLatest(
+        leftDf, rightDf, Seq("k"), "t", "rt"))
+      assert(native == composed)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("exact time ties match (<=, latest right in sort order wins)") {
     val l = Seq((1L, 5L, ts(10))).toDF("event_id", "k", "t")
     val r = Seq((5L, ts(10), 7.0)).toDF("k", "rt", "v")
