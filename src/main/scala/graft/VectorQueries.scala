@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.VectorOps
+import graft.operators.{Sampling, VectorOps}
 
 /** Similarity search over the `embeddings` table (north-star E3):
   * exact brute-force cosine top-k (the correctness baseline), sign-bit
@@ -1208,6 +1208,98 @@ object VectorQueries {
       FROM cells c LEFT JOIN bits b ON b.vid = c.vid
       ORDER BY c.vid ASC NULLS FIRST"""))
 
+  // --- E3i: scalar-quantized (SQ8) compressed ANN + exact rescore -------
+  // The vector-memory story the IVF tier doesn't cover: 100 TB of
+  // float32 embeddings is 4x smaller as int8 codes, and most ANN
+  // serving fleets hold the CODES in RAM and rescore winners from the
+  // full vectors. Per-dim affine SQ8: code = ((v - min_d) * 255) div
+  // max(span_d, 1) in quantized-integer space, decode = min_d +
+  // (code * span_d) div 255 — all floor divisions, so codes, decoded
+  // vectors, and every approximate score are ENGINE-EXACT (no float
+  // quantizer drift); the final cosines are the usual two IEEE
+  // divisions. Output: top-3 per query by the COMPRESSED-domain
+  // cosine, with the true cosine alongside — the quantization error
+  // is visible in the result itself, not just a doc claim.
+  //
+  // 100 TB posture: the per-dim min/span stats are ONE bounded agg
+  // (dim-sized) broadcast back as packed arrays; encode/decode is a
+  // map pass at index-build time; query-time scoring reuses q25's
+  // broadcast-queries shape over the codes. The codegen'd
+  // ArrayDotLong does the dot on decoded integers.
+  private val q86 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val stats = e.select(posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(min(col("v")).as("mn"), (max(col("v")) - min(col("v"))).as("span"))
+      val packed = stats.agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("span")))),
+          s => s.getField("span")).as("spans"))
+      val decoded = transform(
+        sequence(lit(1), size(col("q"))),
+        i => {
+          val vq = element_at(col("q"), i)
+          val mn = element_at(col("mns"), i)
+          val sp = element_at(col("spans"), i)
+          val code = Sampling.ldiv((vq - mn) * lit(255L), greatest(sp, lit(1L)))
+          mn + Sampling.ldiv(code * sp, lit(255L))
+        })
+      val enc = e.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("q"), col("n2"), decoded.as("aq"))
+        .withColumn("an2", VectorOps.qnorm2(col("aq")))
+      val qs = enc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"),
+          col("aq").as("qaq"), col("an2").as("qan2"))
+      val cs = enc.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"), col("aq").as("caq"), col("an2").as("can2"))
+      val scored = cs.join(broadcast(qs), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qaq"), col("caq")),
+            col("qan2"), col("can2")).as("approx_cos"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("true_cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("approx_cos").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("approx_cos"), col("true_cos"))
+        .orderBy(col("qid"), col("approx_cos").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      st AS (SELECT i, min(v) AS mn, max(v) - min(v) AS span FROM e GROUP BY 1),
+      a AS (
+        SELECT e.vec_id, e.i, e.v,
+               st.mn + ((((e.v - st.mn) * 255) // greatest(st.span, 1))
+                         * st.span) // 255 AS av
+        FROM e JOIN st USING (i)),
+      an AS (SELECT vec_id, sum(av * av) AS an2 FROM a GROUP BY 1),
+      d AS (
+        SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+               sum(qa.av * ca.av) AS adot, sum(qa.v * ca.v) AS tdot
+        FROM a qa JOIN a ca ON ca.i = qa.i
+             AND qa.vec_id < 5 AND ca.vec_id <> qa.vec_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, cid,
+               CAST(adot AS DOUBLE) / sqrt(CAST(qan.an2 AS DOUBLE))
+                 / sqrt(CAST(can.an2 AS DOUBLE)) AS approx_cos,
+               CAST(tdot AS DOUBLE) / sqrt(CAST(qn.n2 AS DOUBLE))
+                 / sqrt(CAST(cn.n2 AS DOUBLE)) AS true_cos
+        FROM d JOIN an qan ON qan.vec_id = qid
+               JOIN an can ON can.vec_id = cid
+               JOIN n qn ON qn.vec_id = qid
+               JOIN n cn ON cn.vec_id = cid),
+      r AS (
+        SELECT qid, cid, approx_cos, true_cos, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY approx_cos DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c)
+      SELECT qid, cid, approx_cos, true_cos FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, approx_cos DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1220,5 +1312,6 @@ object VectorQueries {
     "q54_ivf_recall" -> q54,
     "q57_ann_ivf2" -> q57,
     "q59_semantic_dedup" -> q59,
-    "q69_capped_cells" -> q69)
+    "q69_capped_cells" -> q69,
+    "q86_sq8_recall" -> q86)
 }
