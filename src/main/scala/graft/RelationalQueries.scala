@@ -761,6 +761,45 @@ object RelationalQueries {
       FROM z GROUP BY 1
       ORDER BY z_bucket ASC NULLS FIRST"""))
 
+  // --- Graph: exact triangles on the co-order part graph ----------------
+  // Parts appearing in the same order are edges (the co-purchase
+  // graph); triangles are the basic cohesion statistic (clustering
+  // coefficient numerator, community seeding). Counted by DEGREE
+  // ORIENTATION (operators/GraphOps.triangleStats — every out-degree
+  // bounded by O(sqrt m), so wedge work is O(m^1.5) even with hub
+  // parts; max_outdeg is IN the output so the bound is observable).
+  // The oracle replays orientation + wedge-close relationally.
+  private val q87 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      operators.GraphOps.triangleStats(edges, "u", "v")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+              GROUP BY 1),
+      o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS s,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS t
+            FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      w AS (SELECT o1.s AS a, o2.t AS c FROM o o1 JOIN o o2 ON o2.s = o1.t),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM w JOIN o ON o.s = w.a AND o.t = w.c)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+             t.n_triangles,
+             (SELECT COALESCE(CAST(max(c) AS BIGINT), 0)
+              FROM (SELECT s, count(*) AS c FROM o GROUP BY 1)) AS max_outdeg
+      FROM t"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -785,5 +824,6 @@ object RelationalQueries {
     "q64_cube" -> q64,
     "q66_quantile_sketch" -> q66,
     "q67_salted_join" -> q67,
-    "q81_zorder_profile" -> q81)
+    "q81_zorder_profile" -> q81,
+    "q87_triangles" -> q87)
 }

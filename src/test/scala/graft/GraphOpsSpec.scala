@@ -35,4 +35,31 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.connectedComponents(pairs, "a", "b", maxIter = 15).collect()
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
   }
+
+  test("triangleStats counts K4 exactly (4 triangles, 6 edges)") {
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)).toDF("u", "v")
+    val r = GraphOps.triangleStats(k4, "u", "v").collect().head
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // orientation bound: K4 oriented by (degree, id) has max outdeg 3
+    assert(r.getAs[Long]("max_outdeg") <= 3L)
+  }
+
+  test("triangleStats: hub star has zero triangles; duplicates/self-loops ignored") {
+    // star 0-{1..5} plus noise: reversed duplicates and a self-loop.
+    // No two leaves are adjacent, so no triangle; the hub orients its
+    // edges INWARD (leaves have lower degree), so max outdeg stays 1.
+    val star = (1L to 5L).map(i => (0L, i)) ++ Seq((3L, 0L), (2L, 2L))
+    val r = GraphOps.triangleStats(star.toDF("u", "v"), "u", "v").collect().head
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("max_outdeg") == 1L)
+    assert(r.getAs[Long]("n_wedges") == 0L)
+  }
+
+  test("triangleStats on an empty edge set returns a zero row") {
+    val r = GraphOps.triangleStats(
+      Seq.empty[(Long, Long)].toDF("u", "v"), "u", "v").collect()
+    assert(r.length == 1 && r.head.getAs[Long]("n_triangles") == 0L)
+  }
 }
