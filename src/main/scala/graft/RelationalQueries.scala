@@ -800,6 +800,46 @@ object RelationalQueries {
               FROM (SELECT s, count(*) AS c FROM o GROUP BY 1)) AS max_outdeg
       FROM t"""))
 
+  // --- Fuzzy entity matching: blocked banded Levenshtein --------------
+  // Near-identical part names found WITHOUT an all-pairs cross join:
+  // block on (first token, length), pair only within blocks, banded
+  // thresholded edit distance on candidates, block-size cap as the
+  // skew guard (operators/Fuzzy.blockedEditStats — the record-linkage
+  // blocking discipline; cap branch exercised in FuzzySpec). Output is
+  // per-block integer stats, so the result stays 32 rows at any SF.
+  private val q88 = Q(
+    (spark, dir) => {
+      val blk = concat_ws("|",
+        split_part(col("p_name"), lit(" "), lit(1)),
+        length(col("p_name")).cast("string"))
+      operators.Fuzzy.blockedEditStats(
+          Tables.part(spark, dir), "p_partkey", "p_name",
+          blk, maxDist = 2, maxBlock = 5000L)
+        .orderBy(col("blk"))
+    },
+    Some("""
+      WITH t AS (SELECT p_partkey AS id, p_name AS nm,
+                        split_part(p_name, ' ', 1) || '|' ||
+                        CAST(length(p_name) AS VARCHAR) AS blk
+                 FROM part WHERE p_name IS NOT NULL),
+      s AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_rows FROM t GROUP BY 1),
+      tb AS (SELECT t.* FROM t JOIN s USING (blk) WHERE s.n_rows <= 5000),
+      p AS (SELECT a.blk AS blk, levenshtein(a.nm, b.nm) AS d
+            FROM tb a JOIN tb b
+              ON a.blk = b.blk AND a.id < b.id
+             AND abs(length(a.nm) - length(b.nm)) <= 2),
+      ps AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_cand_pairs,
+                    CAST(sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_matches,
+                    min(CASE WHEN d <= 2 THEN d END) AS md
+             FROM p GROUP BY 1)
+      SELECT s.blk, s.n_rows, s.n_rows > 5000 AS capped,
+             COALESCE(ps.n_cand_pairs, 0) AS n_cand_pairs,
+             COALESCE(ps.n_matches, 0) AS n_matches,
+             CAST(COALESCE(ps.md, -1) AS INTEGER) AS min_dist
+      FROM s LEFT JOIN ps USING (blk)
+      ORDER BY blk ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -825,5 +865,6 @@ object RelationalQueries {
     "q66_quantile_sketch" -> q66,
     "q67_salted_join" -> q67,
     "q81_zorder_profile" -> q81,
-    "q87_triangles" -> q87)
+    "q87_triangles" -> q87,
+    "q88_fuzzy_block" -> q88)
 }
