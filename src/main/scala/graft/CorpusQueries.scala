@@ -520,6 +520,83 @@ object CorpusQueries {
       FROM m
       ORDER BY source ASC NULLS FIRST"""))
 
+  // --- E4u: bigram conditional-LM perplexity proxy ----------------------
+  // q75 scores docs under a UNIGRAM corpus LM; the standard CCNet filter
+  // uses a real language model, whose first-order form is the bigram
+  // conditional: surprisal(w_{i-1} w_i) = -log2 p(w_i | w_{i-1}) =
+  // log2(ctx(w_{i-1}) / cnt(w_{i-1} w_i)), replayed exactly as
+  // length(bin(ctx div cnt)) — the same integer-log2 proxy as q75, no
+  // transcendentals. Context counts are derived from the SAME bigram
+  // rows (ctx(p) = Σ_g cnt(p,g)), so conditional probabilities sum to 1
+  // by construction. Docs ranked by mean conditional surprisal: high =
+  // locally incoherent word sequences even when each word is common —
+  // the signal unigram surprisal cannot see.
+  //
+  // 100 TB posture: ONE corpus-sized shuffle — the per-(doc, bigram)
+  // pre-aggregate P (map-side combinable, keyed by corpus-cardinality
+  // doc_id + gram hash), materialized ONCE (localCheckpoint) and fanned
+  // out three ways: bigram counts and context counts are vocabulary²-
+  // and vocabulary-sized aggregates OF P, and the scoring join moves
+  // only the vocabulary²-sized surprisal table (AQE broadcasts it when
+  // it fits — deliberately no hint). Grams are the q78 arithmetic
+  // 60-bit keys: one md5 per token, two multiply-adds per bigram.
+  private val q89 = Q(
+    (spark, dir) => {
+      val tokH = transform(TextOps.tokens(col("text")), t => Kmv.hash60(t))
+      val base = docs(spark, dir)
+        .select(col("doc_id"), col("source"), tokH.as("th"))
+      val bg = when(size(col("th")) >= 2, transform(
+          sequence(lit(1), size(col("th")) - lit(1)),
+          i => struct(element_at(col("th"), i).as("p"),
+            (lit(3L) * element_at(col("th"), i) +
+              lit(5L) * element_at(col("th"), i + lit(1))).as("g"))))
+        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
+      val pre = base.select(col("doc_id"), col("source"), explode(bg).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.p").as("p"), col("b.g").as("g"))
+        .groupBy(col("doc_id"), col("source"), col("p"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // fanned out 3x below: materialize once
+      val cnt2 = pre.groupBy(col("p"), col("g")).agg(sum(col("c")).as("cg"))
+      val ctx = pre.groupBy(col("p")).agg(sum(col("c")).as("cp"))
+      val sur = cnt2.join(ctx, Seq("p"))
+        .select(col("g"),
+          length(bin(Sampling.ldiv(col("cp"), col("cg"))))
+            .cast("long").as("sur"))
+      pre.join(sur, Seq("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("sur")).as("sum_surprisal"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("sum_surprisal"),
+          (col("sum_surprisal").cast("double") / col("n_bigrams"))
+            .as("mean_surprisal"))
+        .orderBy(col("mean_surprisal").desc_nulls_last, col("doc_id"))
+        .limit(25)
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents),
+      bi AS (
+        SELECT doc_id, source, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM tok WHERE len(ts) >= 2),
+      p AS (SELECT doc_id, source, split_part(g, ' ', 1) AS p, g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM bi GROUP BY 1, 2, 3, 4),
+      cnt2 AS (SELECT p, g, CAST(sum(c) AS BIGINT) AS cg FROM p GROUP BY 1, 2),
+      ctx AS (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM p GROUP BY 1),
+      sur AS (SELECT g, CAST(length(bin(cp // cg)) AS BIGINT) AS sur
+              FROM cnt2 JOIN ctx USING (p)),
+      per AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(sum(c * sur) AS BIGINT) AS sum_surprisal
+              FROM p JOIN sur USING (g) GROUP BY 1, 2)
+      SELECT doc_id, source, n_bigrams, sum_surprisal,
+             CAST(sum_surprisal AS DOUBLE) / n_bigrams AS mean_surprisal
+      FROM per
+      ORDER BY mean_surprisal DESC NULLS LAST, doc_id ASC
+      LIMIT 25"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -528,5 +605,6 @@ object CorpusQueries {
     "q78_gopher_repetition" -> q78,
     "q80_retrieval_topk" -> q80,
     "q83_temperature_mix" -> q83,
-    "q84_mix_drift" -> q84)
+    "q84_mix_drift" -> q84,
+    "q89_bigram_lm" -> q89)
 }
