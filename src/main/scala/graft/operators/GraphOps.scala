@@ -169,7 +169,10 @@ object GraphOps {
     * 10^6 neighbors contributes 10^12 wedges. Orientation bounds every
     * out-degree by O(√m), so wedge work is Σ outdeg² = O(m^1.5)
     * regardless of hubs; max_outdeg is emitted so the bound is
-    * observable in the result. All joins are equi-joins on node ids.
+    * observable in the result. All joins are equi-joins on node ids;
+    * n_wedges itself comes from the degree tables
+    * (Σ_m indeg(m)·outdeg(m)), not from re-materializing the wedge
+    * stream.
     *
     * `edges` is one row per undirected edge in either direction;
     * reversed duplicates are canonicalized map-side (least/greatest)
@@ -189,17 +192,28 @@ object GraphOps {
     val oriented = toLower.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true) // reused 3x below: materialize once
+      .localCheckpoint(true) // sole pass over `e`; reused 4x below
+    // The Σ outdeg² wedge stream is built ONCE, only for the closing
+    // join; its cardinality is Σ_m indeg(m)·outdeg(m), a degree-table
+    // aggregate — materializing 49M wedge rows a second time just to
+    // count them doubled the query at sf0.1. The close join streams
+    // the (unsorted) wedge side against a per-partition hash map of
+    // the oriented edges (shuffle_hash): edges-per-partition is
+    // m/parallelism — bounded — while SMJ would SORT the Σ outdeg²
+    // wedge stream, the one thing the orientation bound cannot shrink.
     val wedges = oriented.select(col("s").as("a"), col("t").as("m"))
       .join(oriented.select(col("s").as("m"), col("t").as("c")), Seq("m"))
       .select(col("a"), col("c"))
     val tri = wedges
-      .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+      .join(oriented.select(col("s").as("a"), col("t").as("c"))
+        .hint("shuffle_hash"), Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    val maxOut = oriented.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L)).as("max_outdeg"))
+    val outd = oriented.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    val ind = oriented.groupBy(col("t")).agg(count(lit(1)).as("id"))
+    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+    val nWedges = ind.join(outd, col("t") === col("s"))
+      .agg(coalesce(sum(col("id") * col("od")), lit(0L)).as("n_wedges"))
+    val maxOut = outd.agg(coalesce(max(col("od")), lit(0L)).as("max_outdeg"))
     nEdges.crossJoin(nWedges).crossJoin(tri).crossJoin(maxOut)
   }
 }
