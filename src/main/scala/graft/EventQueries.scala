@@ -12,20 +12,31 @@ import graft.functions.Exact
   * variants share the same `window`/`session_window` expressions (see
   * graft.streaming).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-  * and the queries FLOOR-divide to microseconds. Spark's `div` truncates
+  * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+  * Spark's vectorized reader only accepts via
+  * `spark.sql.legacy.parquet.nanosAsLong`, surfacing a LONG) and as
+  * plain TIMESTAMP(MICROS) (surfacing TIMESTAMP/TIMESTAMP_NTZ), so the
+  * normalization inspects the scanned dtype. For the nanos-long layout
+  * the queries FLOOR-divide to microseconds: Spark's `div` truncates
   * toward zero, which differs from the oracle's floor `//` for pre-1970
-  * timestamps, so the conversion subtracts a non-negative `pmod` first:
+  * timestamps, so the conversion subtracts a non-negative `pmod` first —
   * `(ts - pmod(ts, 1000)) div 1000` is an exact floor for any sign (a
-  * double division would additionally lose precision above 2^53).
+  * double division would additionally lose precision above 2^53). For
+  * the micros layout the value is already exact; NTZ casts to session
+  * TIMESTAMP (identity wall-clock under the pinned UTC session).
   */
 object EventQueries {
 
   /** events with ts as a proper microsecond timestamp column `tus`. */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("tus", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.events(spark, dir)
+    val tus = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    df.withColumn("tus", tus)
+  }
 
   private val eventsSqlCte =
     "ev AS (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS tus FROM events)"
