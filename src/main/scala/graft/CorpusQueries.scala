@@ -597,6 +597,126 @@ object CorpusQueries {
       ORDER BY mean_surprisal DESC NULLS LAST, doc_id ASC
       LIMIT 25"""))
 
+  // --- E4: BM25 retrieval scoring, corpus top-k --------------------------
+  // The standard-ranking sibling of q80's pure tf-idf dot product:
+  // score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+  // the public Robertson/Okapi constants k1=1.2, b=0.75 (folded to
+  // literals 2.2 / 0.3 / 0.9). idf stays the q75/q80 INTEGER log2
+  // discipline; the length normalization dl/avgdl is computed as ONE
+  // integer product and ONE double division (dl*n_docs / total_tokens),
+  // and every double op is written with pinned association in both
+  // engines — IEEE doubles are deterministic given operand order, so
+  // the score hash-matches DuckDB bit for bit (per-row arithmetic over
+  // a FIXED literal term list; no aggregation-order exposure).
+  //
+  // 100 TB posture: identical to q80 — tf/dl are map-only array ops, the
+  // corpus-level (n_docs, total_tokens, df_t) row is ONE tiny aggregate
+  // broadcast back; TakeOrderedAndProject keeps the top-25.
+  private val q91 = Q(
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      def tf(t: String): Column =
+        size(filter(ts, x => x === lit(t))).cast("long")
+      val base = docs(spark, dir).select(
+        (Seq(col("doc_id"), col("source"), size(ts).cast("long").as("dl")) ++
+          QTerms.map(t => tf(t).as(s"tf_$t"))): _*)
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("total_tokens") +:
+          QTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+      def idf(t: String): Column =
+        length(bin(lit(1L) + Sampling.ldiv(col("n_docs"), col(s"df_$t") + lit(1L))))
+          .cast("long")
+      val dlr = (col("dl") * col("n_docs")).cast("double") /
+        col("total_tokens").cast("double")
+      def term(t: String): Column =
+        ((col(s"tf_$t").cast("double") * lit(2.2)) * idf(t).cast("double")) /
+          (col(s"tf_$t").cast("double") + (lit(0.3) + lit(0.9) * dlr))
+      val score = QTerms.map(term).reduce(_ + _).as("score")
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("source"), col("dl"), score)
+        .orderBy(col("score").desc_nulls_last, col("doc_id"))
+        .limit(25)
+    },
+    Some {
+      def term(t: String) =
+        s"""((CAST(tf_$t AS DOUBLE) * 2.2) * CAST(length(bin(1 + n_docs // (df_$t + 1))) AS BIGINT))
+             / (CAST(tf_$t AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))"""
+      s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents),
+      tf AS (
+        SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS dl,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf)
+      SELECT doc_id, source, dl,
+             ((${term(QTerms(0))}
+              + ${term(QTerms(1))})
+              + ${term(QTerms(2))}) AS score
+      FROM tf, st
+      ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 25"""
+    })
+
+  // --- E4: balanced shard assignment (serpentine by size rank) -----------
+  // Training-prep step after packing/mixing: assign every document to
+  // one of S output shards so per-shard token totals are balanced —
+  // the serpentine (boustrophedon) rule over the GLOBAL size rank:
+  // rank docs by n_tokens DESC (doc_id tiebreak), walk shards
+  // 0..S-1, S-1..0, ... so each "pass" gives every shard one doc and
+  // alternating direction cancels the within-pass size gradient.
+  // Deterministic, data-derived, and — unlike greedy LPT bin packing —
+  // expressible as pure rank arithmetic, so it distributes.
+  //
+  // Scale shape: the global rank comes from operators/Ranking
+  // (range-exchange + broadcast offsets — the q63 discipline), NOT a
+  // single-partition window; everything after the rank is map-side
+  // arithmetic plus one S-row aggregate. The oracle replays the same
+  // rank with a plain window (DuckDB is single-node; the point of the
+  // check is the ASSIGNMENT, which must be bit-identical).
+  private val Shards = 8
+  private val q92 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("neg_nt", -col("n_tokens"))
+        .withColumn("g", lit(0))
+      val ranked = operators.Ranking.rankInGroup(d, "g", Seq("neg_nt", "doc_id"))
+      val s = lit(Shards.toLong)
+      val pass = Sampling.ldiv(col("rk") - 1, s)
+      val pos = pmod(col("rk") - 1, s)
+      ranked
+        .withColumn("shard",
+          when(pmod(pass, lit(2L)) === 0, pos).otherwise(s - lit(1L) - pos))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("n_tokens")).as("max_doc_tokens"),
+          min(col("n_tokens")).as("min_doc_tokens"))
+        .orderBy(col("shard").asc_nulls_first)
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+            row_number() OVER (ORDER BY n_tokens DESC NULLS LAST,
+                               doc_id ASC NULLS FIRST) AS rk
+            FROM d),
+      s AS (SELECT n_tokens,
+            CASE WHEN ((rk - 1) // $Shards) % 2 = 0 THEN (rk - 1) % $Shards
+                 ELSE ${Shards - 1} - ((rk - 1) % $Shards) END AS shard
+            FROM r)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             max(n_tokens) AS max_doc_tokens, min(n_tokens) AS min_doc_tokens
+      FROM s GROUP BY 1 ORDER BY shard ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -606,5 +726,7 @@ object CorpusQueries {
     "q80_retrieval_topk" -> q80,
     "q83_temperature_mix" -> q83,
     "q84_mix_drift" -> q84,
-    "q89_bigram_lm" -> q89)
+    "q89_bigram_lm" -> q89,
+    "q91_bm25_topk" -> q91,
+    "q92_shard_assign" -> q92)
 }

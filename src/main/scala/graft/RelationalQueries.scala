@@ -840,6 +840,66 @@ object RelationalQueries {
       FROM s LEFT JOIN ps USING (blk)
       ORDER BY blk ASC NULLS FIRST"""))
 
+  // --- CMS inner-product join-cardinality estimate -----------------------
+  // The sketch-tier answer to "how big will this join be?" — the
+  // pre-flight a 100 TB planner asks before committing to a shuffle
+  // strategy. |A ⋈ B on k| = Σ_k c_A(k)·c_B(k), and the count-min
+  // inner product Σ_bucket a_j[w]·b_j[w], minimized over the d rows,
+  // upper-bounds it within ~|A||B|/w (Cormode & Muthukrishnan 2005,
+  // the additive-sketch composition q72's point estimates come from).
+  // Output: exact size, sketch estimate, blowup ratio — est >= exact
+  // always (one-sided, like q72's per-token guarantee).
+  //
+  // Scale shape: each side folds to d×w bounded counters (map-side
+  // combinable, kilobytes on the exchange); the estimate is a
+  // 4096-row self-join. The exact Σ c_A·c_B side exists HERE as the
+  // evaluation baseline — it is the distinct-key-set shuffle the
+  // sketch replaces at scale. A j-row with NO shared buckets yields
+  // dot 0 — the range(d) left join keeps that row (min must see it);
+  // dropping it would silently bias the estimate up.
+  private val q93 = Q(
+    (spark, dir) => {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").cast("string").as("k"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").cast("string").as("k"))
+      val ca = operators.Cms.build(l, "k").withColumnRenamed("n", "na")
+      val cb = operators.Cms.build(o, "k").withColumnRenamed("n", "nb")
+      val dots = ca.join(cb, Seq("j", "bucket"))
+        .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("dot"))
+      val est = spark.range(operators.Cms.DefaultDepth)
+        .select(col("id").cast("int").as("j"))
+        .join(dots, Seq("j"), "left")
+        .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_n"))
+      val exact = l.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(o.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_n"))
+      exact.crossJoin(est)
+        .select(col("exact_join_n"), col("est_join_n"),
+          (col("est_join_n").cast("double") / col("exact_join_n").cast("double"))
+            .as("blowup"))
+    },
+    Some("""
+      WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+      ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+      ca AS (SELECT j.j, CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || k), 1, 15)) AS BIGINT)
+                    % 1024 AS bucket, count(*) AS na
+             FROM la CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY 1, 2),
+      cb AS (SELECT j.j, CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || k), 1, 15)) AS BIGINT)
+                    % 1024 AS bucket, count(*) AS nb
+             FROM ob CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY 1, 2),
+      d0 AS (SELECT ca.j, CAST(sum(ca.na * cb.nb) AS BIGINT) AS dot
+             FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1),
+      dots AS (SELECT j.j, COALESCE(d0.dot, CAST(0 AS BIGINT)) AS dot
+               FROM (SELECT unnest(range(4)) AS j) j LEFT JOIN d0 ON d0.j = j.j),
+      est AS (SELECT min(dot) AS est_join_n FROM dots),
+      ex AS (SELECT COALESCE(CAST(sum(a.c * b.c) AS BIGINT), CAST(0 AS BIGINT)) AS exact_join_n
+             FROM (SELECT k, count(*) AS c FROM la GROUP BY 1) a
+             JOIN (SELECT k, count(*) AS c FROM ob GROUP BY 1) b USING (k))
+      SELECT exact_join_n, est_join_n,
+             CAST(est_join_n AS DOUBLE) / CAST(exact_join_n AS DOUBLE) AS blowup
+      FROM ex, est"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -866,5 +926,6 @@ object RelationalQueries {
     "q67_salted_join" -> q67,
     "q81_zorder_profile" -> q81,
     "q87_triangles" -> q87,
-    "q88_fuzzy_block" -> q88)
+    "q88_fuzzy_block" -> q88,
+    "q93_cms_join_size" -> q93)
 }

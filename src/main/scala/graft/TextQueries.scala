@@ -1200,6 +1200,66 @@ object TextQueries {
       ORDER BY source ASC NULLS FIRST"""
     })
 
+  // --- E4: cross-document duplicated n-gram coverage ---------------------
+  // The corpus-health metric behind substring-level dedup decisions
+  // (the published "what fraction of a crawl is boilerplate" measure):
+  // per source, the share of per-doc DISTINCT 5-grams that occur in
+  // MORE THAN ONE document, plus how many docs are mostly (>50%)
+  // duplicated material. Complements q16/q17 (which find and remove
+  // duplicates) by quantifying how much duplicated TEXT remains.
+  //
+  // Scale shape: grams are per-doc array_distinct'ed MAP-SIDE and leave
+  // the scan as 60-bit md5-derived longs (never gram strings); the plan
+  // is two hash aggregates plus ONE long-keyed equi-join (gram ->
+  // corpus-wide doc count, partial-agg'd before the exchange). No
+  // all-pairs anything; the join fan-out equals the gram incidence
+  // list, exactly the q45 decontamination exchange shape.
+  private val DupCovN = 5
+  private val q90 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val g = d.select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          TextOps.gramHashes(TextOps.tokens(col("text")), DupCovN))).as("g"))
+      val shared = g.groupBy(col("g")).agg(count(lit(1)).as("n_docs_g"))
+      val per = g.join(shared, Seq("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs_g") > 1, 1L).otherwise(0L)).as("n_dup"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_dup")).as("dup_grams"),
+          sum(when(col("n_dup") * 2 > col("n_grams"), 1L).otherwise(0L))
+            .as("n_docs_mostly_dup"))
+        .select(col("source"), col("n_docs"), col("total_grams"), col("dup_grams"),
+          (col("dup_grams").cast("double") / col("total_grams").cast("double"))
+            .as("dup_coverage"),
+          col("n_docs_mostly_dup"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""
+      WITH g AS (
+        SELECT DISTINCT doc_id, source,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS g
+        FROM (
+          SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                      || ' ' || t[i+4])) AS s
+          FROM (SELECT doc_id, source, string_split(text, ' ') t FROM documents))),
+      sh AS (SELECT g, count(*) AS n_docs_g FROM g GROUP BY 1),
+      per AS (
+        SELECT doc_id, source, count(*) AS n_grams,
+               CAST(sum(CASE WHEN n_docs_g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM g JOIN sh USING (g) GROUP BY 1, 2)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_grams) AS BIGINT) AS total_grams,
+             CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+             CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE) AS dup_coverage,
+             CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_mostly_dup
+      FROM per GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1228,5 +1288,6 @@ object TextQueries {
     "q61_vocab_overlap" -> q61,
     "q71_pii_scrub" -> q71,
     "q72_cms_counts" -> q72,
-    "q82_bloom_decontam" -> q82)
+    "q82_bloom_decontam" -> q82,
+    "q90_dup_gram_coverage" -> q90)
 }
