@@ -334,6 +334,184 @@ object EventQueries {
       FROM a GROUP BY 1
       ORDER BY user_id ASC NULLS FIRST"""))
 
+  // --- E6f: ordered conversion funnel -----------------------------------
+  // The product-analytics staple: how many users complete
+  // signup -> view -> click -> purchase IN ORDER (each stage strictly
+  // after the user's earliest completion of the previous stage).
+  // Sequential dependence means stage k's timestamp is defined off
+  // stage k-1's min — expressed as a CHAIN of per-user conditional min
+  // aggregates (filter -> join on user_id -> min), not a per-user
+  // sorted buffer: each link is a codegen'd hash agg + hash join keyed
+  // on user_id, and by construction stage k's user set shrinks, so the
+  // join's build side only gets smaller down the chain.
+  //
+  // 100 TB posture: every exchange in the chain hashes on user_id
+  // (high cardinality), and AQE reuses the partitioning between the
+  // agg and the next join — no corpus-global sort, no whole-group
+  // collection. The final 4-row stage table uses a window for the
+  // prev-stage conversion ratio, over EXACTLY 4 rows (constant, not
+  // data-scaled). Ratios guard the 0-denominator corner (CASE, not
+  // engine-specific inf/NaN).
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+  private val q94 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("tus"))
+      // stage 1: earliest signup per user; stage k: earliest type-k
+      // event STRICTLY after the user's stage k-1 time.
+      val stage1 = ev.filter(col("event_type") === FunnelStages.head)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+      val stages = FunnelStages.tail.scanLeft(stage1) { (prev, st) =>
+        ev.filter(col("event_type") === st)
+          .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+          .filter(col("tus") > col("tp"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+      }
+      val counts = stages.zip(FunnelStages).zipWithIndex.map {
+        case ((df, st), i) =>
+          df.agg(count(lit(1)).cast("long").as("n_users"))
+            .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+              col("n_users"))
+      }.reduce(_.unionByName(_))
+      val w = Window.orderBy(col("stage_idx")) // 4 rows — constant size
+      counts
+        .withColumn("n_prev", lag(col("n_users"), 1).over(w))
+        .withColumn("n_first", first(col("n_users")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("stage_idx"), col("stage"), col("n_users"),
+          when(col("n_prev") > 0,
+            col("n_users").cast("double") / col("n_prev").cast("double"))
+            .as("conv_vs_prev"),
+          when(col("n_first") > 0,
+            col("n_users").cast("double") / col("n_first").cast("double"))
+            .as("conv_vs_first"))
+        .orderBy(col("stage_idx"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      s1 AS (SELECT user_id, min(tus) AS t FROM ev
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s1 ON ev.user_id = s1.user_id
+             WHERE ev.event_type = 'view' AND ev.tus > s1.t GROUP BY 1),
+      s3 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s2 ON ev.user_id = s2.user_id
+             WHERE ev.event_type = 'click' AND ev.tus > s2.t GROUP BY 1),
+      s4 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s3 ON ev.user_id = s3.user_id
+             WHERE ev.event_type = 'purchase' AND ev.tus > s3.t GROUP BY 1),
+      c AS (SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+            UNION ALL SELECT 2, 'view', count(*) FROM s2
+            UNION ALL SELECT 3, 'click', count(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      SELECT stage_idx, stage, n_users,
+             CASE WHEN lag(n_users) OVER w > 0
+                  THEN CAST(n_users AS DOUBLE) / CAST(lag(n_users) OVER w AS DOUBLE)
+             END AS conv_vs_prev,
+             CASE WHEN first_value(n_users) OVER w > 0
+                  THEN CAST(n_users AS DOUBLE)
+                       / CAST(first_value(n_users) OVER w AS DOUBLE)
+             END AS conv_vs_first
+      FROM c
+      WINDOW w AS (ORDER BY stage_idx ASC NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING)
+      ORDER BY stage_idx ASC NULLS FIRST"""))
+
+  // --- E6g: weekly cohort retention -------------------------------------
+  // Users are cohorted by the ISO week of their FIRST event; retention
+  // is the share of each cohort active again k weeks later. The other
+  // product-analytics staple, and a pure two-hash-agg shape: first-seen
+  // per user, join activity back on user_id, distinct
+  // (cohort, offset, user), then count — every exchange keyed on
+  // user_id or the tiny (cohort, offset) pair. Cohort sizes (one row
+  // per week) broadcast back for the ratio.
+  //
+  // Week truncation is Monday-based in both engines (date_trunc
+  // 'week'); the offset divides an exact multiple of 7 days, so it is
+  // integer-exact, never a double.
+  private val q95 = Q(
+    (spark, dir) => {
+      val ev = events(spark, dir)
+        .select(col("user_id"), to_date(date_trunc("week", col("tus"))).as("wk"))
+      val firstWk = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      val active = ev.join(firstWk, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+            .as("week_offset"))
+        .distinct()
+      val ret = active.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = firstWk.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      ret.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+          col("n_active"),
+          (col("n_active").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      a AS (SELECT user_id, CAST(date_trunc('week', tus) AS DATE) AS wk FROM ev),
+      f AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1),
+      act AS (SELECT DISTINCT a.user_id, f.cohort_week,
+                     CAST((a.wk - f.cohort_week) // 7 AS INTEGER) AS week_offset
+              FROM a JOIN f ON a.user_id = f.user_id),
+      r AS (SELECT cohort_week, week_offset, count(*) AS n_active
+            FROM act GROUP BY 1, 2),
+      s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT r.cohort_week, r.week_offset, s.cohort_size, r.n_active,
+             CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+      FROM r JOIN s ON r.cohort_week = s.cohort_week
+      ORDER BY r.cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST"""))
+
+  // --- E6h: event-type transition matrix (first-order Markov) -----------
+  // P(next event type | current type) from each user's time-ordered
+  // event sequence — the behavioral fingerprint behind bot filtering
+  // and session modeling (the event-stream sibling of q89's text
+  // bigram LM). lead() over (user_id, time, event_id): a
+  // HIGH-cardinality window partition (one user = one tiny group), so
+  // the sort is embarrassingly parallel — then a 25-row transition
+  // count table; row totals BROADCAST back for the conditional
+  // probability (no low-cardinality window over data-scaled rows).
+  private val q96 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val pairs = events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("tus"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      p AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)
+                     AS to_type
+            FROM ev),
+      c AS (SELECT from_type, to_type, count(*) AS n FROM p
+            WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n, t.n_from,
+             CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      FROM c JOIN t ON c.from_type = t.from_type
+      ORDER BY c.from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -343,7 +521,10 @@ object EventQueries {
     "q62_interval_join" -> q62,
     "q76_pagerank" -> q76,
     "q79_rolling_zscore" -> q79,
-    "q85_asof_native" -> q85)
+    "q85_asof_native" -> q85,
+    "q94_funnel" -> q94,
+    "q95_cohort_retention" -> q95,
+    "q96_transition_matrix" -> q96)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
