@@ -512,6 +512,141 @@ object EventQueries {
       FROM c JOIN t ON c.from_type = t.from_type
       ORDER BY c.from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""))
 
+  // --- TS1: calendar gap-fill + forward-fill ----------------------------
+  // The macro-series staple the reference's monthly pipeline implies but
+  // never materializes: regularize an irregular series onto a dense
+  // calendar and carry the last observation forward across gaps
+  // (LOCF — what a CPI/Selic join does with late months). Per event
+  // type: daily value sums (quantized cents, so the series itself is
+  // integer-exact), joined onto the full min..max day calendar; gap
+  // days take last_value IGNORE NULLS. Output stays BIGINT-only
+  // (per-type day/gap accounting + carried-total checksum) so the
+  // ffill path is hash-checked without a single double.
+  //
+  // 100 TB posture: the raw scan folds to (type, day) rows FIRST — the
+  // window then runs over calendar-bounded rows (days x types), not
+  // corpus-scaled data; partition count equals the series count (at
+  // real scale: millions of series ids, one tiny sorted group each).
+  // The one-row calendar agg broadcasts into the sequence explode.
+  private val q97 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("cents"))
+      val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val cal = span.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+        .crossJoin(daily.select(col("event_type")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("ffill", last(col("cents"), ignoreNulls = true).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          count(col("cents")).as("n_obs_days"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_gap_days"),
+          sum(col("cents")).as("observed_cents"),
+          coalesce(sum(when(col("cents").isNull, col("ffill"))), lit(0L))
+            .as("carried_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM ev GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      cal AS (
+        SELECT t.event_type, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                    FROM span) g),
+      f AS (
+        SELECT cal.event_type, cal.day, daily.cents,
+               last_value(daily.cents IGNORE NULLS) OVER (
+                 PARTITION BY cal.event_type ORDER BY cal.day ASC NULLS FIRST
+                 ROWS UNBOUNDED PRECEDING) AS ffill
+        FROM cal LEFT JOIN daily
+          ON daily.event_type = cal.event_type AND daily.day = cal.day)
+      SELECT event_type, count(*) AS n_days,
+             count(cents) AS n_obs_days,
+             CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_days,
+             CAST(sum(cents) AS BIGINT) AS observed_cents,
+             COALESCE(CAST(sum(CASE WHEN cents IS NULL THEN ffill END) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS carried_cents
+      FROM f GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
+  // --- TS3: cross-series Pearson correlation matrix ---------------------
+  // Which daily series move together — the macro-analyst's co-movement
+  // matrix (Selic vs IPCA in the reference's domain), over the five
+  // event-type daily cents series. ALL moments accumulate as exact
+  // BIGINT sums over the quantized series (order-free); r's numerator
+  // and denominators are computed in int64 and cast to double ONCE,
+  // with the multiply/sqrt/divide order pinned identically in both
+  // engines. Days where either side has no observation are excluded by
+  // the inner join (pairwise-complete, the standard rule).
+  //
+  // Envelope: |cents| <= ~2.5e6/day here, so n*sab <= ~1e18 fits int64
+  // with 9x headroom at sf0.1; at real scale widen the moment sums to
+  // DECIMAL(38,0) (exactIntSum discipline) before the double cast.
+  //
+  // 100 TB posture: corpus folds to (series, day) once; the pair join
+  // is calendar x series^2 — sketch-sized relative to the scan. Zero
+  // variance (constant series) yields NULL r via the guard, not a
+  // division blowup.
+  private val q99 = Q(
+    (spark, dir) => {
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("cents"))
+      val a = daily.select(col("event_type").as("type_a"), col("day"),
+        col("cents").as("ya"))
+      val b = daily.select(col("event_type").as("type_b"), col("day"),
+        col("cents").as("yb"))
+      val m = a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+          sum(col("ya") * col("yb")).as("sab"),
+          sum(col("ya") * col("ya")).as("saa"),
+          sum(col("yb") * col("yb")).as("sbb"))
+      val num = col("n") * col("sab") - col("sa") * col("sb")
+      val da = col("n") * col("saa") - col("sa") * col("sa")
+      val db = col("n") * col("sbb") - col("sb") * col("sb")
+      m.select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        when(da > 0 && db > 0,
+          num.cast("double") /
+            (sqrt(da.cast("double")) * sqrt(db.cast("double")))).as("r"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM ev GROUP BY 1, 2),
+      m AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.cents) AS BIGINT) AS sa,
+               CAST(sum(b.cents) AS BIGINT) AS sb,
+               CAST(sum(a.cents * b.cents) AS BIGINT) AS sab,
+               CAST(sum(a.cents * a.cents) AS BIGINT) AS saa,
+               CAST(sum(b.cents * b.cents) AS BIGINT) AS sbb
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n AS n_days,
+             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                  THEN CAST(n * sab - sa * sb AS DOUBLE)
+                       / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             END AS r
+      FROM m ORDER BY type_a ASC NULLS FIRST, type_b ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -524,7 +659,9 @@ object EventQueries {
     "q85_asof_native" -> q85,
     "q94_funnel" -> q94,
     "q95_cohort_retention" -> q95,
-    "q96_transition_matrix" -> q96)
+    "q96_transition_matrix" -> q96,
+    "q97_gap_fill" -> q97,
+    "q99_series_corr" -> q99)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

@@ -900,6 +900,71 @@ object RelationalQueries {
              CAST(est_join_n AS DOUBLE) / CAST(exact_join_n AS DOUBLE) AS blowup
       FROM ex, est"""))
 
+  // --- TS2: per-series least-squares trend (integer-space OLS) ----------
+  // The "is this series rising?" primitive a macro dashboard puts next
+  // to every chart: slope/intercept of monthly revenue per return flag,
+  // from the closed-form normal equations. The regression runs ENTIRELY
+  // on exact integers until the final division: x is the month index
+  // (months since 1992-01), y is per-row floor-dollars summed as BIGINT,
+  // and the five moments (n, Σx, Σy, Σxy, Σx²) are int64 sums over
+  // ~84 monthly points per flag — every intermediate < 2^53, so the
+  // one cast to double per factor is value-exact and slope/intercept
+  // are bit-identical across engines (pinned operation order).
+  //
+  // 100 TB posture: one hash agg folds the corpus to (flag, month)
+  // partial sums (map-side combined); the moment agg then runs over
+  // months x flags rows — nothing downstream of the first fold scales
+  // with the data. At 10^5+ months/series widen moments to
+  // DECIMAL(38,0) (exactIntSum) before the cast.
+  private val q98 = Q(
+    (spark, dir) => {
+      val monthly = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("yd"))
+        .groupBy(col("l_returnflag"), col("x"))
+        .agg(sum(col("yd")).as("y"))
+      val m = monthly.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = num.cast("double") / den.cast("double")
+      m.select(col("l_returnflag"), col("n").as("n_months"),
+        when(den > 0, slope).as("slope_dollars_per_month"),
+        when(den > 0,
+          (col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept_dollars"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT l_returnflag,
+               CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS x,
+               CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM monthly GROUP BY 1)
+      SELECT l_returnflag, n AS n_months,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+             END AS slope_dollars_per_month,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             END AS intercept_dollars
+      FROM m ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -927,5 +992,6 @@ object RelationalQueries {
     "q81_zorder_profile" -> q81,
     "q87_triangles" -> q87,
     "q88_fuzzy_block" -> q88,
-    "q93_cms_join_size" -> q93)
+    "q93_cms_join_size" -> q93,
+    "q98_series_trend" -> q98)
 }
