@@ -647,6 +647,54 @@ object EventQueries {
              END AS r
       FROM m ORDER BY type_a ASC NULLS FIRST, type_b ASC NULLS FIRST"""))
 
+  // --- TS4: fixed-grid equi-width histogram -----------------------------
+  // The distribution-shape profiler beside q60's moments and q66's
+  // quantiles: value counts per event type over a FIXED [0, 1000) grid
+  // of 20 bins (50.00-wide, cents-integer edges). Fixed, data-
+  // independent edges are the scale-honest choice: the bin index is a
+  // pure map-side floor division (one hash agg total, no pre-pass for
+  // min/max), results merge across corpus slices by simple addition,
+  // and the same grid stays comparable across days/sources — the
+  // monitoring property data-derived edges lose. Out-of-range values
+  // clamp to the edge bins (underflow -> 0, overflow -> 19), counted
+  // there like every production histogram does.
+  private val HistBins = 20
+  private val HistWidthCents = 5000L // 50.00 per bin over [0, 1000)
+  private val q100 = Q(
+    (spark, dir) => {
+      val cents = Exact.quantize(col("value"))
+      val bin = least(lit(HistBins - 1L),
+        greatest(lit(0L), floor(cents / lit(HistWidthCents).cast("double"))
+          .cast("long"))).as("bin")
+      val counts = events(spark, dir)
+        .select(col("event_type"), bin)
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      counts.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("bin"),
+          (col("bin") * lit(HistWidthCents)).as("lo_cents"),
+          col("n"),
+          (col("n").cast("double") / col("n_type").cast("double")).as("share"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT event_type,
+               least(${HistBins - 1}, greatest(0, CAST(floor(
+                 CAST(round(value * 100.0) AS BIGINT)
+                   / CAST($HistWidthCents AS DOUBLE)) AS BIGINT))) AS bin
+        FROM events),
+      c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+            FROM c GROUP BY 1)
+      SELECT c.event_type, c.bin, CAST(c.bin * $HistWidthCents AS BIGINT)
+               AS lo_cents, c.n,
+             CAST(c.n AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS share
+      FROM c JOIN t ON c.event_type = t.event_type
+      ORDER BY c.event_type ASC NULLS FIRST, c.bin ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -661,7 +709,8 @@ object EventQueries {
     "q95_cohort_retention" -> q95,
     "q96_transition_matrix" -> q96,
     "q97_gap_fill" -> q97,
-    "q99_series_corr" -> q99)
+    "q99_series_corr" -> q99,
+    "q100_histogram" -> q100)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
