@@ -695,6 +695,123 @@ object EventQueries {
       FROM c JOIN t ON c.event_type = t.event_type
       ORDER BY c.event_type ASC NULLS FIRST, c.bin ASC NULLS FIRST"""))
 
+  // --- TS5: monthly seasonality index ------------------------------------
+  // The ratio every macro release is deflated by: per series, each
+  // calendar month's mean value relative to the series' overall mean.
+  // Both means are ratios of exact integer sums, so the index is ONE
+  // double division of two exact int64 products per output row:
+  // idx = (s_m · n_t) / (n_m · s_t) — identical association in both
+  // engines, no accumulated float drift. Two hash aggs + a
+  // series-cardinality broadcast join; nothing after the first fold
+  // scales with the data.
+  private val q101 = Q(
+    (spark, dir) => {
+      val base = events(spark, dir).select(col("event_type"),
+        month(col("tus")).as("moy"), Exact.quantize(col("value")).as("cents"))
+      val m = base.groupBy(col("event_type"), col("moy"))
+        .agg(count(lit(1)).as("n_m"), sum(col("cents")).as("s_m"))
+      val t = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("s_t"))
+      m.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("moy"), col("n_m").as("n_events"),
+          col("s_m").as("sum_cents"),
+          when(col("n_m") * col("s_t") =!= 0L,
+            (col("s_m") * col("n_t")).cast("double") /
+              (col("n_m") * col("s_t")).cast("double")).as("seasonal_idx"))
+        .orderBy(col("event_type"), col("moy"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      b AS (SELECT event_type, month(tus) AS moy,
+                   CAST(round(value * 100.0) AS BIGINT) AS cents FROM ev),
+      m AS (SELECT event_type, moy, CAST(count(*) AS BIGINT) AS n_m,
+                   CAST(sum(cents) AS BIGINT) AS s_m
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+                   CAST(sum(cents) AS BIGINT) AS s_t
+            FROM b GROUP BY 1)
+      SELECT m.event_type, m.moy, m.n_m AS n_events, m.s_m AS sum_cents,
+             CASE WHEN m.n_m * t.s_t <> 0
+                  THEN CAST(m.s_m * t.n_t AS DOUBLE)
+                       / CAST(m.n_m * t.s_t AS DOUBLE)
+             END AS seasonal_idx
+      FROM m JOIN t ON m.event_type = t.event_type
+      ORDER BY m.event_type ASC NULLS FIRST, moy ASC NULLS FIRST"""))
+
+  // --- TS6: CUSUM level-shift detection ----------------------------------
+  // Where did the series break? The classic one-sided CUSUM against
+  // the series' own mean, made integer-exact by SCALING instead of
+  // dividing: dev_t = x_t·n − Σx (so Σ dev = 0 exactly and no mean
+  // division ever happens); S_t = prefix sum of dev; the upward CUSUM
+  // is C_t = S_t − min_{i≤t} S_i. The changepoint is the day of the
+  // maximal C_t (earliest day on ties). Every quantity is int64
+  // (|S_t| ≤ n·max|dev| — ~4e11 here, 2^63 headroom ~10^7x); the one
+  // double in the output unscales max C by n once, in pinned order.
+  //
+  // 100 TB posture: the scan folds to (series, day) rows first; the
+  // three windows (prefix sum, running min, group max) all partition
+  // per series over CALENDAR-bounded rows — at real scale millions of
+  // independent tiny sort groups (the q79 posture), never the raw
+  // corpus through a low-cardinality funnel.
+  private val q102 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val stats = daily.withColumn("n", count(lit(1)).over(byType))
+        .withColumn("sx", sum(col("x")).over(byType))
+      val ordered = byType.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = stats
+        .withColumn("s", sum(col("x") * col("n") - col("sx")).over(ordered))
+        .withColumn("c", col("s") - min(col("s")).over(ordered))
+      cusum.withColumn("cmax", max(col("c")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(col("cmax")).as("max_cusum_scaled"),
+          min(when(col("c") === col("cmax"), col("day"))).as("cp_day"))
+        .select(col("event_type"), col("n_days"), col("max_cusum_scaled"),
+          (col("max_cusum_scaled").cast("double") /
+            col("n_days").cast("double") / lit(100.0)).as("max_cusum"),
+          col("cp_day"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        FROM ev GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, day, x,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+        FROM daily),
+      cs AS (
+        SELECT event_type, day, n,
+               CAST(sum(x * n - sx) OVER w AS BIGINT) AS s
+        FROM st
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC NULLS FIRST
+                     ROWS UNBOUNDED PRECEDING)),
+      cm AS (
+        SELECT event_type, day, n,
+               s - CAST(min(s) OVER w AS BIGINT) AS c
+        FROM cs
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC NULLS FIRST
+                     ROWS UNBOUNDED PRECEDING)),
+      fin AS (
+        SELECT event_type, day, n, c,
+               CAST(max(c) OVER (PARTITION BY event_type) AS BIGINT) AS cmax
+        FROM cm)
+      SELECT event_type, max(n) AS n_days,
+             max(cmax) AS max_cusum_scaled,
+             CAST(max(cmax) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0
+               AS max_cusum,
+             min(CASE WHEN c = cmax THEN day END) AS cp_day
+      FROM fin GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -710,7 +827,9 @@ object EventQueries {
     "q96_transition_matrix" -> q96,
     "q97_gap_fill" -> q97,
     "q99_series_corr" -> q99,
-    "q100_histogram" -> q100)
+    "q100_histogram" -> q100,
+    "q101_seasonality" -> q101,
+    "q102_cusum" -> q102)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
