@@ -965,6 +965,66 @@ object RelationalQueries {
              END AS intercept_dollars
       FROM m ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  // --- key-skew diagnostics ----------------------------------------------
+  // The other half of q93's join pre-flight: BEFORE committing a
+  // shuffle strategy, measure how concentrated each candidate key is.
+  // Per configured (table, key): row count, distinct keys, the hottest
+  // key's count and share, and the top-1 key itself — exactly the
+  // numbers that decide between a plain hash join, AQE skew split, and
+  // the q67 salted form (events.event_type here IS the 90%-hot-key
+  // shape those exist for).
+  //
+  // Scale shape: per key column, ONE count agg then ONE summary agg —
+  // the hottest key comes from a struct-max argmax ((c, k) pairs,
+  // ties -> lexicographically-largest key, identical binary collation
+  // in both engines) in the SAME pass as the other stats, so the
+  // counts subtree is never recomputed for a rejoin (the q90 lesson).
+  // Nothing downstream of the first fold scales with the table; the
+  // diagnostics cost one shuffle of distinct keys each.
+  private val q103 = Q(
+    (spark, dir) => {
+      def skew(df: org.apache.spark.sql.DataFrame, label: String,
+               key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        df.select(key.cast("string").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_count"),
+            max(struct(col("c"), col("k"))).getField("k").as("top_key"))
+          .select(lit(label).as("table_key"), col("n_rows"), col("n_keys"),
+            col("max_count"),
+            (col("max_count").cast("double") / col("n_rows").cast("double"))
+              .as("max_share"),
+            col("top_key"))
+      }
+      val l = Tables.lineitem(spark, dir)
+      val e = Tables.events(spark, dir)
+      skew(l, "lineitem.l_orderkey", col("l_orderkey"))
+        .unionByName(skew(l, "lineitem.l_returnflag", col("l_returnflag")))
+        .unionByName(skew(e, "events.event_type", col("event_type")))
+        .unionByName(skew(e, "events.user_id", col("user_id")))
+        .orderBy(col("table_key"))
+    },
+    Some {
+      def skew(table: String, key: String) =
+        s"""SELECT '$table.$key' AS table_key,
+              CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(max(c) AS BIGINT) AS max_count,
+              (max({'c': c, 'k': k})).k AS top_key
+            FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+                  FROM $table GROUP BY 1)"""
+      s"""
+      WITH u AS (
+        ${skew("lineitem", "l_orderkey")}
+        UNION ALL ${skew("lineitem", "l_returnflag")}
+        UNION ALL ${skew("events", "event_type")}
+        UNION ALL ${skew("events", "user_id")})
+      SELECT table_key, n_rows, n_keys, max_count,
+             CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+             top_key
+      FROM u ORDER BY table_key ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -993,5 +1053,6 @@ object RelationalQueries {
     "q87_triangles" -> q87,
     "q88_fuzzy_block" -> q88,
     "q93_cms_join_size" -> q93,
-    "q98_series_trend" -> q98)
+    "q98_series_trend" -> q98,
+    "q103_key_skew" -> q103)
 }
