@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.operators.{Kmv, Sampling, TextOps}
+import graft.operators.{Kmv, Sampling, TextOps, VectorOps}
 import graft.plans.MisraGriesTerms
 
 /** Corpus statistics + deterministic sampling operators over `documents`
@@ -717,6 +717,110 @@ object CorpusQueries {
              max(n_tokens) AS max_doc_tokens, min(n_tokens) AS min_doc_tokens
       FROM s GROUP BY 1 ORDER BY shard ASC NULLS FIRST"""))
 
+  // --- E3/E4: hybrid retrieval — reciprocal rank fusion ------------------
+  // The modern search stack in one operator: a LEXICAL ranking (q80's
+  // all-integer tf-idf over the fixed term set) and a VECTOR ranking
+  // (exact quantized-integer dot against one query embedding, the q25
+  // discipline) fused by RRF: score = Σ 1/(K + rank), K = 60 (the
+  // published constant). Both per-list scores are exact integers, so
+  // the ranks are engine-identical; the only doubles are the two
+  // 1/(60+r) terms added in pinned order.
+  //
+  // 100 TB posture: each side is a corpus map pass + a top-50
+  // TakeOrderedAndProject; the rank windows run over the two FIXED
+  // 50-row lists (constant, not data-scaled), and the fusion is a
+  // 50v50 full outer join. The corpus is never shuffled; doc_id ==
+  // vec_id joins the two modalities only inside the bounded lists.
+  private val RrfK = 60
+  private val RrfTopN = 50
+  private val q104 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ts = TextOps.tokens(col("text"))
+      def tf(t: String): Column =
+        size(filter(ts, x => x === lit(t))).cast("long")
+      val base = docs(spark, dir).select(
+        (col("doc_id") +: QTerms.map(t => tf(t).as(s"tf_$t"))): _*)
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        QTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      def idf(t: String): Column =
+        length(bin(lit(1L) + Sampling.ldiv(col("n_docs"), col(s"df_$t") + lit(1L))))
+          .cast("long")
+      val lexScore = QTerms.map(t => col(s"tf_$t") * idf(t)).reduce(_ + _)
+      val lexTop = base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), lexScore.as("s_lex"))
+        .orderBy(col("s_lex").desc_nulls_last, col("doc_id"))
+        .limit(RrfTopN)
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+      val qv = e.filter(col("vec_id") === 7L).select(col("q").as("qq"))
+      val vecTop = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.qdot(col("q"), col("qq")).as("s_vec"))
+        .orderBy(col("s_vec").desc_nulls_last, col("doc_id"))
+        .limit(RrfTopN)
+      // rank windows over the two FIXED 50-row lists (constant size)
+      val wl = Window.orderBy(col("s_lex").desc_nulls_last, col("doc_id"))
+      val wv = Window.orderBy(col("s_vec").desc_nulls_last, col("doc_id"))
+      val rl = lexTop.withColumn("lex_rank", row_number().over(wl))
+        .select(col("doc_id"), col("lex_rank"))
+      val rv = vecTop.withColumn("vec_rank", row_number().over(wv))
+        .select(col("doc_id"), col("vec_rank"))
+      rl.join(rv, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK).cast("double") + col("lex_rank").cast("double")))
+            .otherwise(lit(0.0)) +
+           when(col("vec_rank").isNotNull,
+             lit(1.0) / (lit(RrfK).cast("double") + col("vec_rank").cast("double")))
+             .otherwise(lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc_nulls_last, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tf AS (
+        SELECT doc_id,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf),
+      lex AS (
+        SELECT doc_id,
+               (${QTerms.map(t => s"tf_$t * CAST(length(bin(1 + n_docs // (df_$t + 1))) AS BIGINT)").mkString("\n                + ")}) AS s_lex
+        FROM tf, st
+        ORDER BY s_lex DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT $RrfTopN),
+      rl AS (SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY s_lex DESC NULLS LAST, doc_id ASC NULLS FIRST) AS INTEGER)
+               AS lex_rank FROM lex),
+      e AS (
+        SELECT vec_id,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      qv AS (SELECT i, v FROM e WHERE vec_id = 7),
+      vec AS (
+        SELECT e.vec_id AS doc_id, CAST(sum(e.v * qv.v) AS BIGINT) AS s_vec
+        FROM e JOIN qv ON qv.i = e.i
+        GROUP BY 1
+        ORDER BY s_vec DESC NULLS LAST, doc_id ASC NULLS FIRST LIMIT $RrfTopN),
+      rv AS (SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY s_vec DESC NULLS LAST, doc_id ASC NULLS FIRST) AS INTEGER)
+               AS vec_rank FROM vec)
+      SELECT COALESCE(rl.doc_id, rv.doc_id) AS doc_id, rl.lex_rank, rv.vec_rank,
+             (CASE WHEN rl.lex_rank IS NOT NULL
+                   THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(rl.lex_rank AS DOUBLE))
+                   ELSE 0.0 END
+              + CASE WHEN rv.vec_rank IS NOT NULL
+                     THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(rv.vec_rank AS DOUBLE))
+                     ELSE 0.0 END) AS rrf
+      FROM rl FULL OUTER JOIN rv ON rl.doc_id = rv.doc_id
+      ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 15"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -728,5 +832,6 @@ object CorpusQueries {
     "q84_mix_drift" -> q84,
     "q89_bigram_lm" -> q89,
     "q91_bm25_topk" -> q91,
-    "q92_shard_assign" -> q92)
+    "q92_shard_assign" -> q92,
+    "q104_hybrid_rrf" -> q104)
 }

@@ -812,6 +812,65 @@ object EventQueries {
              min(CASE WHEN c = cmax THEN day END) AS cp_day
       FROM fin GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --- TS7: rolling 7-day window by RANGE frame --------------------------
+  // The trailing-calendar-week aggregate q79's ROWS frame cannot
+  // express: RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over the
+  // integer epoch-day orders by VALUE, so calendar gaps shrink the
+  // window's row count instead of silently reaching further back —
+  // the correct semantics for irregular daily series. Output is the
+  // peak trailing week per series (max rolling sum + its end day,
+  // earliest on ties), BIGINT-only.
+  //
+  // 100 TB posture: the scan folds to (series, day) first; the range
+  // window partitions per series over calendar-bounded rows (the
+  // q97/q102 posture) — one shuffle on series.
+  private val q105 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("x"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(-6, Window.currentRow)
+      val byType = Window.partitionBy(col("event_type"))
+      val rolled = daily
+        .withColumn("roll7", sum(col("x")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+      rolled.withColumn("mx", max(col("roll7")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("mx")).as("peak_week_cents"),
+          min(when(col("roll7") === col("mx"), col("day")))
+            .as("peak_week_end"),
+          max(col("n7")).as("max_days_in_window"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x,
+               CAST(CAST(tus AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        FROM ev GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, day,
+               CAST(sum(x) OVER w7 AS BIGINT) AS roll7,
+               CAST(count(*) OVER w7 AS BIGINT) AS n7
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY d ASC NULLS FIRST
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      m AS (
+        SELECT event_type, day, roll7, n7,
+               CAST(max(roll7) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+        FROM r)
+      SELECT event_type, count(*) AS n_days,
+             max(mx) AS peak_week_cents,
+             min(CASE WHEN roll7 = mx THEN day END) AS peak_week_end,
+             max(n7) AS max_days_in_window
+      FROM m GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -829,7 +888,8 @@ object EventQueries {
     "q99_series_corr" -> q99,
     "q100_histogram" -> q100,
     "q101_seasonality" -> q101,
-    "q102_cusum" -> q102)
+    "q102_cusum" -> q102,
+    "q105_rolling_week" -> q105)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
