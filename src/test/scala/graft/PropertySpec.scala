@@ -98,4 +98,40 @@ class PropertySpec extends SparkSpec {
       splits.forall(Set("train", "val", "test")) && splits.sameElements(again)
     })
   }
+
+  test("property: SeriesFillStream fold is split-invariant at any batch boundary") {
+    // the streaming LOCF kernel: folding an in-order day sequence in
+    // one slice equals folding any prefix then the rest from its state
+    import graft.streaming.SeriesFillStream
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      gaps <- Gen.listOfN(n, Gen.choose(1, 9))
+      cents <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      cut <- Gen.choose(0, n)
+    } yield (gaps.scanLeft(100)(_ + _).tail.zip(cents), cut)
+    pass(Prop.forAll(gen) { case (obs, cut) =>
+      val whole = SeriesFillStream.foldSlice(obs, None)
+      val split = SeriesFillStream.foldSlice(obs.drop(cut),
+        if (cut == 0) None else Some(SeriesFillStream.foldSlice(obs.take(cut), None)))
+      whole == split
+    })
+  }
+
+  test("property: FunnelStream fold is split-invariant at any batch boundary") {
+    // the streaming funnel kernel: same state whether the in-order
+    // event sequence arrives whole or split at any point
+    import graft.streaming.FunnelStream
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(1L, 60L))
+      st <- Gen.listOfN(n, Gen.choose(0, 3))
+      cut <- Gen.choose(0, n)
+    } yield (ts.sorted.zip(st), cut)
+    pass(Prop.forAll(gen) { case (evs, cut) =>
+      val whole = FunnelStream.foldSlice(evs, None, 4)
+      val split = FunnelStream.foldSlice(evs.drop(cut),
+        if (cut == 0) None else Some(FunnelStream.foldSlice(evs.take(cut), None, 4)), 4)
+      whole == split
+    })
+  }
 }
