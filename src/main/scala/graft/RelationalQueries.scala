@@ -1025,6 +1025,45 @@ object RelationalQueries {
       FROM u ORDER BY table_key ASC NULLS FIRST"""
     })
 
+  // --- set operations: EXCEPT / INTERSECT --------------------------------
+  // The year-over-year customer churn/retention question as pure set
+  // algebra: buyers-in-1995 EXCEPT buyers-in-1996 (churned) and the
+  // INTERSECT (retained). Spark plans both as distinct-aggregate
+  // rewrites (left-anti / left-semi over hash-distinct inputs) — the
+  // shuffle is on the key, never the fact; DuckDB's EXCEPT/INTERSECT
+  // carry identical DISTINCT semantics. Output is the BIGINT set
+  // cardinalities plus the extreme churned keys as spot-checkable
+  // witnesses.
+  private val q106 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val a = buyers(1995)
+      val b = buyers(1996)
+      val churned = a.except(b)
+      val retained = a.intersect(b)
+      a.agg(count(lit(1)).as("n_1995"))
+        .crossJoin(b.agg(count(lit(1)).as("n_1996")))
+        .crossJoin(churned.agg(count(lit(1)).as("n_churned"),
+          min(col("o_custkey")).as("min_churned_key"),
+          max(col("o_custkey")).as("max_churned_key")))
+        .crossJoin(retained.agg(count(lit(1)).as("n_retained")))
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1996),
+      ch AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b),
+      re AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      SELECT (SELECT count(*) FROM a) AS n_1995,
+             (SELECT count(*) FROM b) AS n_1996,
+             (SELECT count(*) FROM ch) AS n_churned,
+             (SELECT min(o_custkey) FROM ch) AS min_churned_key,
+             (SELECT max(o_custkey) FROM ch) AS max_churned_key,
+             (SELECT count(*) FROM re) AS n_retained"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -1054,5 +1093,6 @@ object RelationalQueries {
     "q88_fuzzy_block" -> q88,
     "q93_cms_join_size" -> q93,
     "q98_series_trend" -> q98,
-    "q103_key_skew" -> q103)
+    "q103_key_skew" -> q103,
+    "q106_set_ops" -> q106)
 }
