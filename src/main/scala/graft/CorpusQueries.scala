@@ -682,8 +682,12 @@ object CorpusQueries {
   private val Shards = 8
   private val q92 = Q(
     (spark, dir) => {
+      // coalesce to 0 BEFORE ranking: a null text would otherwise sort
+      // NULLS FIRST in Spark's (neg_nt ASC) but NULLS LAST in the
+      // oracle's (n_tokens DESC), silently breaking assignment parity
       val d = docs(spark, dir).select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        coalesce(size(TextOps.tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
         .withColumn("neg_nt", -col("n_tokens"))
         .withColumn("g", lit(0))
       val ranked = operators.Ranking.rankInGroup(d, "g", Seq("neg_nt", "doc_id"))
@@ -702,7 +706,8 @@ object CorpusQueries {
     },
     Some(s"""
       WITH d AS (SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+                 AS n_tokens
              FROM documents),
       r AS (SELECT doc_id, n_tokens,
             row_number() OVER (ORDER BY n_tokens DESC NULLS LAST,

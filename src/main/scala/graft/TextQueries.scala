@@ -431,23 +431,52 @@ object TextQueries {
       FROM p WHERE n_shared >= 2
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
-  // --- E4e: token counting, whitespace vs BPE-ish regex tokenizer --------
+  // --- E4e: token counting — whitespace, BPE-ish regex, and REAL BPE ----
+  // Three token accountings per source: whitespace split, a regex
+  // proxy, and true byte-pair-encoding symbols under the fixture merge
+  // table (functions/Bpe + plans/BpeCountLong, VERDICT r6 wishlist #1).
+  // The BPE path is the 100 TB shape: the codegen'd encoder runs over
+  // the DISTINCT vocabulary only, and corpus totals come from a
+  // broadcast (word -> n_bpe) probe against per-(source, word) counts
+  // — per-row cost at scale is a hash lookup, not an encode. The
+  // oracle replays the merge table with a recursive CTE built from the
+  // SAME Scala merge list (Bpe.oracleCte), so the two sides cannot
+  // drift.
   private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val q24 = Q(
     (spark, dir) => {
-      docs(spark, dir)
+      val d = docs(spark, dir)
+      val base = d
         .select(col("source"),
           size(TextOps.tokens(col("text"))).as("ws"),
           size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).as("re"))
         .groupBy(col("source"))
         .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
-        .orderBy(col("source"))
+      val words = d
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val vocab = words.select(col("w")).distinct()
+        .withColumn("nb", functions.Bpe.countCol(col("w")))
+      val bpe = words.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("source"))
+        .agg(sum(col("c") * col("nb")).as("bpe_tokens"))
+      base.join(bpe, Seq("source")).orderBy(col("source"))
     },
     Some(s"""
-      SELECT source,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-             CAST(sum(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS re_tokens
-      FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST"""))
+      WITH RECURSIVE words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      ${functions.Bpe.oracleCte("words")},
+      wc AS (SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2),
+      b AS (SELECT source, CAST(sum(c * n_bpe) AS BIGINT) AS bpe_tokens
+            FROM wc JOIN bpe USING (w) GROUP BY 1),
+      base AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS re_tokens
+        FROM documents GROUP BY 1)
+      SELECT base.source, ws_tokens, re_tokens, bpe_tokens
+      FROM base JOIN b ON base.source = b.source
+      ORDER BY base.source ASC NULLS FIRST"""))
 
   // --- E4f: TF-IDF keyword extraction ------------------------------------
   // Top-3 most characteristic terms per document (doc_id < 10). The
@@ -840,14 +869,22 @@ object TextQueries {
   // tail sequence of each shard is counted as a full slot).
   private val q56 = Q(
     (spark, dir) => {
-      val B = 256L // context window: tokens per packed sequence
+      val B = 256L // context window: BPE tokens per packed sequence
       val S = 8L   // packing shards per source
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val t = docs(spark, dir).select(col("source"), col("doc_id"),
-        pmod(col("doc_id"), lit(S)).as("shard"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // re-grounded on REAL BPE tokens (round 7): packing budgets are
+      // tokenizer budgets — n_tokens is the per-doc sum of fixture-BPE
+      // symbol counts, via the distinct-vocabulary broadcast (see q24)
+      val wrd = docs(spark, dir).select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = wrd.select(col("w")).distinct()
+        .withColumn("nb", functions.Bpe.countCol(col("w")))
+      val t = wrd.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("nb")).as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(S)))
       val c = t.withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("seq_a", expr(s"cb div $B"))
         .withColumn("seq_b", expr(s"(cb + n_tokens - 1) div $B"))
@@ -866,11 +903,15 @@ object TextQueries {
             .as("pack_efficiency"))
         .orderBy(col("source"))
     },
-    Some("""
-      WITH t AS (
-        SELECT source, doc_id, doc_id % 8 AS shard,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    Some(s"""
+      WITH RECURSIVE words AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents),
+      ${functions.Bpe.oracleCte("words")},
+      t AS (
+        SELECT source, doc_id, doc_id % 8 AS shard,
+               CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+        FROM words JOIN bpe USING (w) GROUP BY 1, 2, 3),
       c AS (
         SELECT source, shard, n_tokens,
                coalesce(sum(n_tokens) OVER (PARTITION BY source, shard

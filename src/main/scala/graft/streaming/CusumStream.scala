@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * changepoint detector, folded incrementally: per series, maintain
   * S_t = Σ (x_i − target), its running minimum, and the maximal
   * upward excursion C_t = S_t − min_{i≤t} S_i with the day it peaked.
-  * Four longs of state per series — O(series) total, O(1) per
-  * observation.
+  * Six fixed-size fields of state per series — O(series) total, O(1)
+  * per observation.
   *
   * Why a FIXED target: q102's batch form self-centers against the
   * series' own mean (dev = x·n − Σx), which needs the WHOLE series —
@@ -26,24 +26,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object CusumStream {
 
-  /** Per-series state: prefix sum, running min, peak excursion + day. */
-  final case class CusumState(s: Long, minS: Long, maxC: Long, maxCDay: Int)
+  /** Per-series state: prefix sum, running min, peak excursion + day,
+    * plus the last-folded (day, x) pair enforcing the in-order replay
+    * contract (the same loud-fail + idempotent-redelivery discipline
+    * as [[SeriesFillStream]]; before round 7 the contract was
+    * documented but unenforced, so a late or duplicate day silently
+    * double-folded into the prefix sum). */
+  final case class CusumState(s: Long, minS: Long, maxC: Long, maxCDay: Int,
+                              lastDay: Int, lastX: Long)
 
   /** Output per touched series: (series, maxC, peak day; day = -1
     * until any observation arrives). */
   type Out = (String, Long, Int)
 
-  /** Pure shared kernel: fold one in-order slice of (day, x). */
+  /** Pure shared kernel: fold one in-order slice of (day, x). Exact
+    * redelivery of the already-folded (day, x) is an idempotent skip;
+    * an older day, or the same day with a DIFFERENT value, fails
+    * loudly. */
   def foldSlice(obs: Seq[(Int, Long)], state: Option[CusumState],
                 target: Long): CusumState = {
-    var st = state.getOrElse(CusumState(0L, 0L, -1L, -1))
+    var st = state.getOrElse(CusumState(0L, 0L, -1L, -1, Int.MinValue, 0L))
     obs.sortBy(_._1).foreach { case (day, x) =>
-      val s = st.s + (x - target)
-      val minS = math.min(st.minS, s)
-      val c = s - minS
-      // strictly-greater keeps the earliest peak day on C ties
-      if (c > st.maxC) st = CusumState(s, minS, c, day)
-      else st = CusumState(s, minS, st.maxC, st.maxCDay)
+      if (day == st.lastDay && x == st.lastX) {
+        // exact redelivery of the already-folded observation: skip
+      } else {
+        require(day > st.lastDay,
+          s"out-of-order or contradictory day $day after ${st.lastDay}")
+        val s = st.s + (x - target)
+        val minS = math.min(st.minS, s)
+        val c = s - minS
+        // strictly-greater keeps the earliest peak day on C ties
+        if (c > st.maxC) st = CusumState(s, minS, c, day, day, x)
+        else st = CusumState(s, minS, st.maxC, st.maxCDay, day, x)
+      }
     }
     st
   }

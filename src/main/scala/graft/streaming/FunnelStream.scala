@@ -31,25 +31,47 @@ object FunnelStream {
   val Stages: Seq[String] = Seq("signup", "view", "click", "purchase")
 
   /** Per-user state: earliest in-order completion micros per stage
-    * index; -1 = not reached. Fixed size k — O(users) total. */
-  final case class FunnelState(t: Seq[Long])
+    * index; -1 = not reached. `lastTs` = latest event time folded so
+    * far, used to ENFORCE the in-order-across-batches contract (the
+    * same loud-fail discipline as [[SeriesFillStream]]; before round 7
+    * this contract was documented but unenforced, so a late event
+    * silently corrupted state). Fixed size k+1 — O(users) total. */
+  final case class FunnelState(t: Seq[Long], lastTs: Long)
 
   /** Output row per touched user: (user, deepest stage reached
     * 0..k, completion time of that stage; 0 when depth = 0). */
   type Out = (Long, Int, Long)
 
   /** Pure shared kernel: fold one in-order slice of (ts, stageIdx)
-    * events into the stage-times vector. */
+    * events into the stage-times vector.
+    *
+    * Monotone-arrival enforcement: a slice whose earliest event is
+    * STRICTLY before the state's `lastTs` violates the in-order replay
+    * contract and fails loudly. Events AT `lastTs` are accepted —
+    * exact at-least-once redelivery of the last micro-batch is then
+    * naturally idempotent (a slot is set once; a replayed event either
+    * finds its slot already set or is rejected by the same strict->
+    * rule it was rejected by originally), and a genuine equal-time
+    * event split across batches folds exactly as it would have in one
+    * batch (the slot conditions depend only on ts, not on arrival
+    * batch). */
   def foldSlice(events: Seq[(Long, Int)], state: Option[FunnelState],
                 k: Int): FunnelState = {
     val t = state.map(_.t.toArray).getOrElse(Array.fill(k)(-1L))
+    var lastTs = state.map(_.lastTs).getOrElse(Long.MinValue)
     // sort by time; at equal times process later stages first so a
     // same-instant (signup, view) pair does NOT chain (strict-> rule:
     // the view needs ts > signup time, which equal times fail)
-    events.sortBy { case (ts, s) => (ts, -s) }.foreach { case (ts, s) =>
-      if (t(s) < 0 && (s == 0 || (t(s - 1) >= 0 && ts > t(s - 1)))) t(s) = ts
+    val sorted = events.sortBy { case (ts, s) => (ts, -s) }
+    sorted.headOption.foreach { case (ts, _) =>
+      require(ts >= lastTs,
+        s"late event at $ts after already-folded time $lastTs")
     }
-    FunnelState(t.toSeq)
+    sorted.foreach { case (ts, s) =>
+      if (t(s) < 0 && (s == 0 || (t(s - 1) >= 0 && ts > t(s - 1)))) t(s) = ts
+      if (ts > lastTs) lastTs = ts
+    }
+    FunnelState(t.toSeq, lastTs)
   }
 
   def depthOf(st: FunnelState): (Int, Long) = {

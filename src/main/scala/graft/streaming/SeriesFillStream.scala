@@ -44,17 +44,25 @@ object SeriesFillStream {
   type Out = (String, Long, Long, Long, Long, Long)
 
   /** Pure shared kernel: fold one in-order slice of (day, cents)
-    * observations into the state. Later duplicate days for an already
-    * seen day violate the contract and fail loudly (a silent skip
-    * would desync stream and batch). */
+    * observations into the state.
+    *
+    * At-least-once redelivery: re-folding the EXACT already-folded
+    * observation (day == lastDay && cents == lastCents — e.g. the last
+    * micro-batch replayed after a sink-side failure) is an idempotent
+    * no-op, so a replay is never a restart-loop poison pill. Anything
+    * genuinely contradictory — an older day, or the same day with a
+    * DIFFERENT value — still fails loudly (a silent skip would desync
+    * stream and batch). */
   def foldSlice(obs: Seq[(Int, Long)], state: Option[FillState]): FillState = {
     var st = state.orNull
     obs.sortBy(_._1).foreach { case (day, cents) =>
       if (st == null)
         st = FillState(day, day, cents, 1L, 0L, cents, 0L)
-      else {
+      else if (day == st.lastDay && cents == st.lastCents) {
+        // exact redelivery of the already-folded observation: skip
+      } else {
         require(day > st.lastDay,
-          s"out-of-order or duplicate day $day after ${st.lastDay}")
+          s"out-of-order or contradictory day $day after ${st.lastDay}")
         val gap = (day - st.lastDay - 1).toLong
         st = FillState(st.firstDay, day, cents,
           st.nObs + 1L, st.gapDays + gap,

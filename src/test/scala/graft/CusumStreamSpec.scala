@@ -62,6 +62,20 @@ class CusumStreamSpec extends SparkSpec {
     assert(lo.maxC == 0L && lo.maxCDay == 1)
   }
 
+  test("kernel enforces in-order arrival; exact redelivery is idempotent") {
+    // ADVICE r6: the contract was documented but unenforced — a
+    // duplicate day silently double-folded into the prefix sum
+    val st1 = CusumStream.foldSlice(Seq((1, 12L), (2, 8L)), None, Target)
+    val st2 = CusumStream.foldSlice(Seq((2, 8L)), Some(st1), Target)
+    assert(st2 == st1, "redelivered tail observation must fold to the same state")
+    intercept[IllegalArgumentException] { // same day, contradictory value
+      CusumStream.foldSlice(Seq((2, 9L)), Some(st1), Target)
+    }
+    intercept[IllegalArgumentException] { // older day
+      CusumStream.foldSlice(Seq((1, 12L)), Some(st1), Target)
+    }
+  }
+
   test("property: kernel fold is split-invariant at any batch boundary") {
     val gen = for {
       n <- Gen.choose(1, 30)

@@ -82,4 +82,19 @@ class FunnelStreamSpec extends SparkSpec {
     val s2 = FunnelStream.foldSlice(Seq((7L, 0), (8L, 1)), Some(s1), K)
     assert(s2.t == Seq(3L, 8L, -1L, -1L), "second signup must not displace")
   }
+
+  test("kernel enforces in-order arrival; equal-time redelivery is idempotent") {
+    // ADVICE r6: the in-order-across-batches contract was documented
+    // but unenforced — a late event silently corrupted state
+    val s1 = FunnelStream.foldSlice(Seq((5L, 0), (9L, 1)), None, K)
+    intercept[IllegalArgumentException] { // strictly-late event
+      FunnelStream.foldSlice(Seq((8L, 2)), Some(s1), K)
+    }
+    // exact redelivery of the last micro-batch folds to the same state
+    val s2 = FunnelStream.foldSlice(Seq((9L, 1)), Some(s1), K)
+    assert(s2 == s1, "redelivered event must be a no-op")
+    // a genuine equal-time event still folds by the strict-> rule
+    val s3 = FunnelStream.foldSlice(Seq((9L, 2)), Some(s1), K)
+    assert(s3.t == Seq(5L, 9L, -1L, -1L), "same-instant next stage must not chain")
+  }
 }

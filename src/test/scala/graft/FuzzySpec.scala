@@ -49,4 +49,59 @@ class FuzzySpec extends SparkSpec {
       r.head.getAs[Long]("n_matches") == 0L &&
       r.head.getAs[Int]("min_dist") == -1)
   }
+
+  test("identical-name collapse expands pair stats exactly (closed form)") {
+    // 3x "cat" + 1x "cut" in block 'c': row-level pairing would see
+    // C(4,2)=6 candidate pairs — C(3,2)=3 identical (d=0) + 3x1 cross
+    // (d=1) — all matching at maxDist 2. The collapsed engine must
+    // reproduce those ROW-pair units from one Levenshtein evaluation.
+    val r = stats(Seq((1L, "cat"), (2L, "cat"), (3L, "cat"), (4L, "cut")), 2, 100L)
+    val c = r.head
+    assert(c.getAs[Long]("n_rows") == 4L &&
+      c.getAs[Long]("n_distinct") == 2L &&
+      c.getAs[Long]("n_cand_pairs") == 6L &&
+      c.getAs[Long]("n_matches") == 6L &&
+      c.getAs[Int]("min_dist") == 0)
+  }
+
+  test("a duplicated name never trips the cap: cap binds on DISTINCT names") {
+    // 5 copies of one string: distinct count 1 <= maxBlock 3, so the
+    // block pairs up (closed form C(5,2)=10 at d=0) instead of the old
+    // row-count cap excluding it — the round-6 q88 coverage fix.
+    val r = stats(Seq.tabulate(5)(i => (i + 1L, "same")), 2, 3L)
+    val b = r.head
+    assert(!b.getAs[Boolean]("capped") &&
+      b.getAs[Long]("n_cand_pairs") == 10L &&
+      b.getAs[Long]("n_matches") == 10L &&
+      b.getAs[Int]("min_dist") == 0)
+  }
+
+  test("hash-bit refiners keep over-cap rows participating with depth recorded") {
+    // 12 distinct names share block 'n'; cap 3 forces bisection. With
+    // 8 hash bits every final block must be within cap, no row is
+    // excluded, and split blocks carry depth >= 1.
+    val rows = Seq.tabulate(12)(i => (i + 1L, f"name$i%02d"))
+    val r = Fuzzy.blockedEditStats(rows.toDF("id", "nm"), "id", "nm",
+        substring(col("nm"), 1, 1), 2, 3L,
+        refiners = Fuzzy.hashRefiners(8))
+      .collect()
+    assert(r.map(_.getAs[Long]("n_rows")).sum == 12L, "every row participates")
+    assert(r.forall(!_.getAs[Boolean]("capped")))
+    assert(r.forall(_.getAs[Long]("n_distinct") <= 3L))
+    assert(r.exists(_.getAs[Int]("depth") >= 1))
+  }
+
+  test("refiners exhausted -> still-over-cap block is flagged, not silent") {
+    // cap 1 with a single refinement bit cannot always reach cap; any
+    // block still over cap is excluded from pair work but observable.
+    val rows = Seq.tabulate(6)(i => (i + 1L, s"x$i"))
+    val r = Fuzzy.blockedEditStats(rows.toDF("id", "nm"), "id", "nm",
+        substring(col("nm"), 1, 1), 2, 1L,
+        refiners = Fuzzy.hashRefiners(1))
+      .collect()
+    val capped = r.filter(_.getAs[Boolean]("capped"))
+    assert(capped.nonEmpty, "6 names over one bit cannot all reach cap 1")
+    assert(capped.forall(_.getAs[Long]("n_cand_pairs") == 0L))
+    assert(r.map(_.getAs[Long]("n_rows")).sum == 6L, "capped rows still counted")
+  }
 }

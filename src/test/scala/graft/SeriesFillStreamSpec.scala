@@ -78,4 +78,20 @@ class SeriesFillStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("exact redelivery of the last observation is an idempotent no-op") {
+    // ADVICE r6: an at-least-once replay of the already-folded
+    // (day, cents) pair must not be a restart-loop poison pill
+    val st1 = SeriesFillStream.foldSlice(Seq((100, 10L), (103, 7L)), None)
+    val st2 = SeriesFillStream.foldSlice(Seq((103, 7L)), Some(st1))
+    assert(st2 == st1, "redelivered tail observation must fold to the same state")
+    // but the same day with a DIFFERENT value is contradictory input
+    intercept[IllegalArgumentException] {
+      SeriesFillStream.foldSlice(Seq((103, 8L)), Some(st1))
+    }
+    // and an older day is still out-of-order
+    intercept[IllegalArgumentException] {
+      SeriesFillStream.foldSlice(Seq((101, 7L)), Some(st1))
+    }
+  }
 }

@@ -17,16 +17,69 @@ flagged it; this makes the next silent regression a red exit code.
 """
 import argparse
 import json
+import os
+import re
+import subprocess
 import sys
+
+
+def _git_fallback(path: str, text: str) -> dict | None:
+    """Salvage a truncated driver bench file (VERDICT r6 tooling nit:
+    BENCH_r05.json's tail was cut mid-JSON) from git history.
+
+    Fingerprint whatever complete `"qNN_name":seconds` pairs survive in
+    the raw text, then walk committed BENCHOUT.json revisions newest-
+    first and return the first whose timings match every salvaged pair —
+    that IS the run the truncated file recorded. With no fingerprint
+    match, fall back to the salvaged pairs themselves (a partial but
+    real comparison point); never silently substitute a different run's
+    numbers.
+    """
+    pairs = {m.group(1): float(m.group(2)) for m in re.finditer(
+        r'\\?"(q[a-zA-Z0-9_]+)\\?":\s*(-?[0-9]+(?:\.[0-9]+)?)', text)}
+    cwd = os.path.dirname(os.path.abspath(path)) or "."
+    try:
+        revs = subprocess.run(
+            ["git", "rev-list", "HEAD", "--", "BENCHOUT.json"],
+            cwd=cwd, capture_output=True, text=True, check=True).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        revs = []
+    for rev in revs:  # newest first
+        try:
+            blob = subprocess.run(
+                ["git", "show", f"{rev}:BENCHOUT.json"],
+                cwd=cwd, capture_output=True, text=True, check=True).stdout
+            doc = json.loads(blob.strip().splitlines()[-1])
+        except (OSError, subprocess.CalledProcessError,
+                json.JSONDecodeError, IndexError):
+            continue
+        qs = doc.get("queries") or {}
+        if pairs and qs and all(
+                abs(qs.get(q, float("-inf")) - v) < 1e-9
+                for q, v in pairs.items()):
+            print(f"note: {path} is truncated; recovered its full run from "
+                  f"git BENCHOUT.json @ {rev[:9]} (fingerprint of "
+                  f"{len(pairs)} surviving timings)", file=sys.stderr)
+            return dict(qs)
+    if pairs:
+        print(f"note: {path} is truncated and no git BENCHOUT.json matches; "
+              f"gating on the {len(pairs)} salvaged timings only",
+              file=sys.stderr)
+        return pairs
+    return None
 
 
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read().strip()
+    doc: dict = {}
     try:  # a whole-file JSON doc (the driver's pretty-printed BENCH_r{N}.json)
         doc = json.loads(text)
     except json.JSONDecodeError:  # raw Bench.scala output: JSON is the last line
-        doc = json.loads(text.splitlines()[-1])
+        try:
+            doc = json.loads(text.splitlines()[-1])
+        except json.JSONDecodeError:
+            doc = {}
     # the driver's BENCH_r{N}.json wraps Bench.scala's line under "parsed",
     # or (when its parse came up empty) embeds it in the "tail" log capture
     if isinstance(doc.get("parsed"), dict):
@@ -34,11 +87,16 @@ def load(path: str) -> dict:
     elif "queries" not in doc and "tail" in doc:
         for line in reversed(doc["tail"].splitlines()):
             if '"metric"' in line and '"queries"' in line:
-                doc = json.loads(line[line.index("{"):])
+                try:
+                    doc = json.loads(line[line.index("{"):])
+                except json.JSONDecodeError:
+                    continue
                 break
-        else:
-            raise SystemExit(f"{path}: no bench JSON line found in 'tail'")
-    queries = doc.get("queries", {})
+    queries = doc.get("queries") or {}
+    if not queries:
+        # a truncated driver artifact must not lose the gate's comparison
+        # point — recover the run from git history by timing fingerprint
+        queries = _git_fallback(path, text) or {}
     if not queries:
         # an empty dict must never silently pass the gate (format drift,
         # a typo'd SPARK_GRAFT_BENCH_ONLY, or a driver parse gone wrong)
