@@ -54,14 +54,14 @@ object Sampling {
   val PriorityHashBits = 24
 
   /** Low-bits width reserved for the tiebreak id in the packed priority. */
-  val PackIdBits = 21
+  val PackIdBits = 24
 
   /** Weight-proportional sampling priority, packed with the row id into
     * ONE BIGINT so a bounded bottom-k aggregate can pick the top-k rows
     * per group with no window and no shuffle of the corpus:
     *
     *   priority = (weight * 2^24) div (h24 + 1)        (integer, exact)
-    *   packed   = priority * 2^21 + (2^21 - 1 - id)
+    *   packed   = priority * 2^24 + (2^24 - 1 - id)
     *
     * Taking the k LARGEST `packed` values yields the k largest
     * priorities with id-ASCENDING tiebreak (the id is stored
@@ -71,15 +71,18 @@ object Sampling {
     * This is priority/sequential-Poisson sampling (Ohlsson '98; Duffield
     * et al. '07): P(row in sample) is approximately proportional to its
     * weight, and the choice is a pure row function. Bounds enforced
-    * in-plan via raise_error: weight ∈ [1, 2^18) and id ∈ [0, 2^21) keep
-    * `packed` < 2^63. Wider corpora raise PackIdBits into a
-    * two-long struct aggregate — the packing is an optimization, not the
-    * algorithm.
+    * in-plan via raise_error: weight ∈ [1, 2^15) and id ∈ [0, 2^24) keep
+    * `packed` < 2^63 ((2^15-1)·2^24 max priority, times 2^24, plus the
+    * id, is 2^63 - 2^48 + 2^24 - 1). Round 7 widened the id budget from
+    * 2^21 after the sf1 scaling corpus (doc_id offsets to 9M) tripped
+    * the loud guard exactly as designed. Corpora wider still raise
+    * PackIdBits into a two-long struct aggregate — the packing is an
+    * optimization, not the algorithm.
     */
   def priorityPacked(prefix: String, id: Column, weight: Column): Column = {
     val pHash = hashBits(prefix, id, PriorityHashBits)
     val idMax = (1L << PackIdBits) - 1L
-    val wMax = 1L << 18
+    val wMax = 1L << 15
     val guarded = when(
       id >= 0 && id <= lit(idMax) && weight >= 1L && weight < lit(wMax),
       id)

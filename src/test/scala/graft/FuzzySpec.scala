@@ -91,6 +91,25 @@ class FuzzySpec extends SparkSpec {
     assert(r.exists(_.getAs[Int]("depth") >= 1))
   }
 
+  test("token refiners split on the next token before hash bits") {
+    // two families share block 'a' (first char); the second token
+    // separates them semantically, so tokenHashRefiners' level 1 must
+    // split by token — near-dups WITHIN a family keep matching, and
+    // depth stops at 1 (no hash bits spent)
+    val rows = Seq((1L, "acme corp east"), (2L, "acme corp west"),
+      (3L, "acme labs east"), (4L, "acme labs west"))
+    val r = Fuzzy.blockedEditStats(rows.toDF("id", "nm"), "id", "nm",
+        substring(col("nm"), 1, 1), 10, 1L,
+        refiners = Fuzzy.tokenHashRefiners(" ", tokens = 1, bits = 2))
+      .orderBy("blk").collect()
+    // level 1 splits on token 2 ("corp" vs "labs") -> 2 distinct each,
+    // still over cap 1 -> one hash bit more; every row participates
+    assert(r.map(_.getAs[Long]("n_rows")).sum == 4L)
+    assert(r.exists(row => row.getAs[String]("blk").contains("|corp|") ||
+      row.getAs[String]("blk").endsWith("|corp")))
+    assert(r.forall(_.getAs[Int]("depth") >= 1))
+  }
+
   test("refiners exhausted -> still-over-cap block is flagged, not silent") {
     // cap 1 with a single refinement bit cannot always reach cap; any
     // block still over cap is excluded from pair work but observable.

@@ -78,7 +78,7 @@ class SampleStreamSpec extends SparkSpec {
     // source s9 has 4 docs -> all 4 kept; huge-weight docs must appear
     val rows = (0L until 40L).map(i => (i, "s0", 50L)) ++
       Seq((100L, "s9", 60L), (101L, "s9", 61L), (102L, "s9", 62L), (103L, "s9", 63L)) ++
-      Seq((200L, "s0", 200000L)) // weight ~4000x the rest: p(in top-10) ~ 1
+      Seq((200L, "s0", 30000L)) // weight 600x the rest: p(in top-10) ~ 1
     val state = SampleStream.batchSample(df(rows), K)
     val sample = SampleStream.currentSample(state).collect()
     assert(sample.count(_.getString(0) == "s9") == 4)

@@ -58,7 +58,7 @@ class SamplingSpec extends SparkSpec {
       .select(Sampling.priorityPacked("t|", col("id"), col("w")))
     val e1 = intercept[Exception](badW.collect())
     assert(e1.getMessage.contains("priorityPacked bounds"))
-    val badId = Seq((1L << 22, 10L)).toDF("id", "w")
+    val badId = Seq((1L << 25, 10L)).toDF("id", "w")
       .select(Sampling.priorityPacked("t|", col("id"), col("w")))
     val e2 = intercept[Exception](badId.collect())
     assert(e2.getMessage.contains("priorityPacked bounds"))
