@@ -19,7 +19,8 @@ object Queries {
     * thematic registries. */
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all
+      EventQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all ++
+      WarehouseQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.operators.{History, Skyline}
+
+/** Warehouse-structure tier: the dimensional-modeling operators a
+  * lakehouse user reaches for right after the reference's swap-write
+  * gold sink (load.py) — SCD Type-2 history building, GROUPING SETS
+  * multi-grain aggregation, and Pareto-frontier (skyline) extraction.
+  * All DuckDB-oracle-checked under the suite determinism contract
+  * (integer-space money, DATE outputs, total ORDER BY).
+  */
+object WarehouseQueries {
+
+  private def xsum(e: String): String = Exact.sumSql(e)
+
+  // --- SCD Type 2: order-status validity intervals ----------------------
+  // The reference's gold layer keeps only latest state (full-replace
+  // swap-write); SCD2 is the standard answer to "what was this
+  // customer's status on date D". Islands via ONE lag+running-sum window
+  // per entity (single key exchange + sort), collapse via map-side
+  // partial groupBy, interval close via lead over the collapsed runs —
+  // see operators/History.scala for the 100 TB argument.
+  private val q109 = Q(
+    (spark, dir) => {
+      val feed = Tables.orders(spark, dir).select(
+        col("o_custkey"),
+        col("o_orderdate").cast("date").as("obs_date"),
+        col("o_orderkey"),
+        col("o_orderstatus"))
+      History.scd2(feed, key = "o_custkey", ts = "obs_date",
+          tieBreak = "o_orderkey", attr = "o_orderstatus")
+        .select(col("o_custkey"), col("seq"),
+          col("o_orderstatus").as("status"),
+          col("valid_from"), col("valid_to"), col("last_seen"),
+          col("n_obs"), col("is_current"))
+        .orderBy(col("o_custkey").asc, col("seq").asc)
+    },
+    Some("""
+      WITH feed AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+               o_orderkey, o_orderstatus
+        FROM orders),
+      flagged AS (
+        SELECT *, CASE WHEN lag(o_orderstatus) OVER w
+                            IS DISTINCT FROM o_orderstatus
+                       THEN 1 ELSE 0 END AS chg
+        FROM feed
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY obs_date, o_orderkey)),
+      islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY obs_date, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged),
+      runs AS (
+        SELECT o_custkey, isl, min(o_orderstatus) AS status,
+               min(obs_date) AS valid_from, max(obs_date) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM islands GROUP BY 1, 2),
+      closed AS (
+        SELECT o_custkey,
+               CAST(row_number() OVER w2 AS BIGINT) AS seq,
+               status, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               last_seen, n_obs
+        FROM runs
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, isl))
+      SELECT o_custkey, seq, status, valid_from, valid_to, last_seen, n_obs,
+             (valid_to IS NULL) AS is_current
+      FROM closed
+      ORDER BY o_custkey ASC, seq ASC"""))
+
+  // --- GROUPING SETS: non-hierarchical multi-grain aggregation ----------
+  // q37 covers ROLLUP (prefix hierarchy) and q64 CUBE (full cross);
+  // GROUPING SETS is the general form — here ((rf,ls),(ls),()), a set
+  // list NEITHER rollup nor cube can produce (it has (ls) without (rf)).
+  // grouping_id() disambiguates the all-null grand-total row from a
+  // hypothetical null group value. Scale shape: Spark expands to a
+  // single Expand + hash aggregate — one shuffle, 3× map-side rows, no
+  // joins; identical to how a 100 TB reporting rollup should run.
+  private val q110 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          Exact.exactSum(col("l_quantity")).as("sum_qty"),
+          Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n_rows,
+             ${xsum("l_quantity")} AS sum_qty,
+             ${xsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_linestatus), ())
+      ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST"""))
+
+  // --- Pareto skyline: price/size frontier over part --------------------
+  // "Best part per budget": not dominated on (min price, max size).
+  // Distributed prefix-max (operators/Skyline.scala) — the oracle states
+  // the same frontier with the naive global RANGE window DuckDB can
+  // afford at sf; the Spark side never builds a corpus-sized window.
+  // Bucket width 250¢ ⇒ cost-range/250 buckets (≈80 at sf0.01, more as
+  // the replicated-key SFs widen the price range) — enough parallel
+  // groups for the per-bucket windows while keeping the bucket digest
+  // (the one driver-sized table) tiny.
+  private val q111 = Q(
+    (spark, dir) => {
+      val p = Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_name"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      Skyline.frontier(p, col("price_cents"), col("size"), bucketWidth = 250L)
+        .select(col("p_partkey"), col("p_name"), col("price_cents"), col("size"))
+        .orderBy(col("price_cents").asc, col("size").desc, col("p_partkey").asc)
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part),
+      w AS (
+        SELECT *,
+               max(size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS cheaper_max,
+               max(size) OVER (PARTITION BY price_cents) AS at_cost_max
+        FROM p)
+      SELECT p_partkey, p_name, price_cents, size
+      FROM w
+      WHERE (cheaper_max IS NULL OR size > cheaper_max)
+        AND size = at_cost_max
+      ORDER BY price_cents ASC, size DESC, p_partkey ASC"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q109_scd2" -> q109,
+    "q110_grouping_sets" -> q110,
+    "q111_skyline" -> q111)
+}
