@@ -1300,6 +1300,142 @@ object VectorQueries {
       SELECT qid, cid, approx_cos, true_cos FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, approx_cos DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- E3i: Product Quantization + ADC retrieval -------------------------
+  // The third ANN compression leg (IVF = q40/q57 routes, SQ8 = q86
+  // uniform grid, PQ = learned per-subspace codebooks): 64 dims → m=4
+  // codes of ksub=16 entries, 2 Lloyd iterations per subspace on the
+  // exact integer grid (operators/Pq.scala). Retrieval is ADC: a per-
+  // query m×ksub lookup table of partial dots, approx dot = Σ LUT[s,
+  // code], top-20 candidates by (approx dot, id), exact-cosine rescore,
+  // top-5 out. The oracle replays the ENTIRE pipeline — both Lloyd
+  // iterations, encode, LUT, ADC, rescore — as generated CTEs; approx
+  // dots are integers, so cross-engine equality is exact.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKsub = 16
+  private val PqIters = 2
+  private val PqCand = 20
+  private val PqTopK = 5
+
+  private def pqOracle: String = {
+    val iterBlocks = (0 until PqIters).map { i =>
+      s"""bn$i AS (SELECT s, code, sum(v*v) AS cn2 FROM b$i GROUP BY 1, 2),
+      d$i AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
+              FROM es JOIN b$i b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
+      a$i AS (SELECT vec_id, s, code FROM (
+                SELECT d.vec_id, d.s, d.code, row_number() OVER (
+                  PARTITION BY d.vec_id, d.s
+                  ORDER BY bn.cn2 - 2 * d.dot ASC, d.code ASC) AS rn
+                FROM d$i d JOIN bn$i bn ON bn.s = d.s AND bn.code = d.code)
+              WHERE rn = 1),
+      m$i AS (SELECT a.s, a.code, es.j,
+                     (2 * sum(es.v) + count(*)) // (2 * count(*)) AS v
+              FROM a$i a JOIN es ON es.vec_id = a.vec_id AND es.s = a.s
+              GROUP BY 1, 2, 3),
+      b${i + 1} AS MATERIALIZED (
+        SELECT b.s, b.code, b.j, COALESCE(m.v, b.v) AS v
+        FROM b$i b LEFT JOIN m$i m
+          ON m.s = b.s AND m.code = b.code AND m.j = b.j)"""
+    }.mkString(",\n      ")
+    val B = s"b$PqIters"
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1),
+      es AS MATERIALIZED (
+        SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS s,
+               (i - 1) % $PqSubDim AS j, v
+        FROM e),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                      AS code, vec_id
+             FROM embeddings
+             QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqKsub),
+      b0 AS MATERIALIZED (
+        SELECT es.s, c0.code, es.j, es.v
+        FROM c0 JOIN es ON es.vec_id = c0.vec_id),
+      $iterBlocks,
+      bnf AS (SELECT s, code, sum(v*v) AS cn2 FROM $B GROUP BY 1, 2),
+      df AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
+             FROM es JOIN $B b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, s, code FROM (
+                SELECT d.vec_id, d.s, d.code, row_number() OVER (
+                  PARTITION BY d.vec_id, d.s
+                  ORDER BY bn.cn2 - 2 * d.dot ASC, d.code ASC) AS rn
+                FROM df d JOIN bnf bn ON bn.s = d.s AND bn.code = d.code)
+              WHERE rn = 1),
+      lut AS (SELECT lq.vec_id AS qid, b.s, b.code, sum(lq.v * b.v) AS pdot
+              FROM es lq JOIN $B b ON b.s = lq.s AND b.j = lq.j
+              WHERE lq.vec_id < 10 GROUP BY 1, 2, 3),
+      adc AS (SELECT lut.qid, enc.vec_id AS cid,
+                     CAST(sum(lut.pdot) AS BIGINT) AS adc_dot
+              FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+              WHERE enc.vec_id <> lut.qid GROUP BY 1, 2),
+      cand AS (SELECT qid, cid, adc_dot FROM (
+                 SELECT qid, cid, adc_dot, row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY adc_dot DESC NULLS LAST, cid ASC) AS rn
+                 FROM adc)
+               WHERE rn <= $PqCand),
+      xd AS (SELECT cand.qid, cand.cid, cand.adc_dot,
+                    sum(ea.v * eb.v) AS dot
+             FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                       JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+             GROUP BY 1, 2, 3),
+      xc AS (SELECT qid, cid, adc_dot,
+                    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE))
+                      / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos_sim
+             FROM xd JOIN n nq ON nq.vec_id = qid
+                     JOIN n nc ON nc.vec_id = cid)
+      SELECT qid, cid, adc_dot, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC) AS rn
+        FROM xc)
+      WHERE rn <= $PqTopK
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""
+  }
+
+  private val q113 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      // the subvector stream feeds training (iters assigns), the final
+      // encode, and the query LUT — cut it once
+      val sub = graft.operators.Pq
+        .subvectors(e, "vec_id", "q", PqM, PqSubDim).localCheckpoint()
+      val books = graft.operators.Pq.trainCodebooks(sub, "vec_id", PqKsub, PqIters)
+      val codes = graft.operators.Pq.assignCodes(sub, "vec_id", books)
+      val lut = graft.operators.Pq
+        .adcLut(sub.filter(col("vec_id") < 10), "vec_id", books)
+      val adc = codes.join(broadcast(lut), Seq("s", "code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id").as("cid"))
+        .agg(sum(col("pdot")).as("adc_dot"))
+      val wCand = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("adc_dot").desc_nulls_last, col("cid").asc)
+      val cand = adc.withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") <= PqCand).drop("rn")
+      val scored = cand
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cid"))
+        .select(col("qid"), col("cid"), col("adc_dot"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc)
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("cid"), col("adc_dot"), col("cos_sim"))
+        .orderBy(col("qid").asc_nulls_first, col("cos_sim").desc_nulls_last,
+          col("cid").asc_nulls_first)
+    },
+    Some(pqOracle))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1313,5 +1449,6 @@ object VectorQueries {
     "q57_ann_ivf2" -> q57,
     "q59_semantic_dedup" -> q59,
     "q69_capped_cells" -> q69,
-    "q86_sq8_recall" -> q86)
+    "q86_sq8_recall" -> q86,
+    "q113_pq_adc" -> q113)
 }

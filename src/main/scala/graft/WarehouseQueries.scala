@@ -147,8 +147,82 @@ object WarehouseQueries {
         AND size = at_cost_max
       ORDER BY price_cents ASC, size DESC, p_partkey ASC"""))
 
+  // --- k-core decomposition: peeling the co-purchase graph --------------
+  // The graph-curation counterpart of q48's quality funnel: shells vs
+  // cores. Three k values straddling the sf0.01 phase transition
+  // (k=75/80 keep ~1900-node cores; k=85 cascades to EMPTY over 10
+  // peeling rounds — the cascade is the point: it exercises the loop,
+  // not one no-op round). Both engines run the same FIXED-R peeling
+  // (R=12 ≥ the observed 10-round cascade): Spark early-breaks at the
+  // fixpoint (extra rounds are no-ops, so results are identical), the
+  // oracle unrolls all R rounds as generated CTEs — the q76/q107
+  // fixed-iteration discipline. `converged` (= round R-1 and R agree)
+  // is IN the output, so an undersized R is observable, not silent.
+  private val KcoreRounds = 12
+  private val KcoreKs = Seq(75, 80, 85)
+
+  private def kcoreOracle: String = {
+    val chains = KcoreKs.map { k =>
+      val rounds = (0 until KcoreRounds).map { i =>
+        s"""d${k}_$i AS MATERIALIZED (SELECT nn AS n, count(*) AS d FROM (
+              SELECT u AS nn FROM e${k}_$i UNION ALL SELECT v AS nn FROM e${k}_$i)
+            GROUP BY 1),
+          e${k}_${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e${k}_$i e
+            JOIN d${k}_$i a ON e.u = a.n AND a.d >= $k
+            JOIN d${k}_$i b ON e.v = b.n AND b.d >= $k)"""
+      }.mkString(",\n          ")
+      val R = KcoreRounds
+      s"""e${k}_0 AS MATERIALIZED (SELECT u, v FROM e00),
+          $rounds,
+          d${k}_$R AS MATERIALIZED (SELECT nn AS n, count(*) AS d FROM (
+            SELECT u AS nn FROM e${k}_$R UNION ALL SELECT v AS nn FROM e${k}_$R)
+            GROUP BY 1),
+          s$k AS (SELECT CAST($k AS BIGINT) AS k,
+            (SELECT CAST(count(*) AS BIGINT) FROM d${k}_$R) AS n_nodes,
+            (SELECT CAST(count(*) AS BIGINT) FROM e${k}_$R) AS n_edges,
+            COALESCE((SELECT CAST(min(d) AS BIGINT) FROM d${k}_$R), 0)
+              AS min_core_deg,
+            ((SELECT count(*) FROM e${k}_$R) =
+             (SELECT count(*) FROM e${k}_${R - 1})) AS converged)"""
+    }.mkString(",\n          ")
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e00 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      $chains
+      SELECT * FROM s${KcoreKs.head}
+      ${KcoreKs.tail.map(k => s"UNION ALL SELECT * FROM s$k").mkString(" ")}
+      ORDER BY k ASC"""
+  }
+
+  private val q112 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .localCheckpoint() // eager: peeled three times (one per k)
+      val perK = KcoreKs.map { k =>
+        val (core, conv) = operators.GraphOps.kCore(edges, "u", "v", k,
+          maxIter = KcoreRounds)
+        val deg = core.select(explode(array(col("u"), col("v"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val nodeStats = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          coalesce(min(col("d")), lit(0L)).as("min_core_deg"))
+        val edgeStats = core.agg(count(lit(1)).as("n_edges"))
+        nodeStats.crossJoin(edgeStats)
+          .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
+            col("min_core_deg"), lit(conv).as("converged"))
+      }
+      perK.reduce(_ unionByName _).orderBy(col("k").asc)
+    },
+    Some(kcoreOracle))
+
   val all: Seq[(String, Q)] = Seq(
     "q109_scd2" -> q109,
     "q110_grouping_sets" -> q110,
-    "q111_skyline" -> q111)
+    "q111_skyline" -> q111,
+    "q112_kcore" -> q112)
 }

@@ -156,6 +156,58 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** k-core extraction by ITERATIVE PEELING: repeatedly delete every
+    * node of degree < k (and its edges) until none remains — the unique
+    * maximal subgraph with all degrees ≥ k. The curation workhorse for
+    * graph-shaped corpora: spam/boilerplate link farms live in the
+    * shallow shells, dense communities in the deep cores (Seidman 1983;
+    * the distributed formulation is the Pregel-style peeling of
+    * Montresor et al., "Distributed k-core decomposition", with a
+    * synchronous whole-graph round instead of per-node messages).
+    *
+    * Per round: one explode+hash-agg for degrees (shuffle by node) and
+    * two semi-joins to drop edges with a deleted endpoint (shuffle by
+    * endpoint; the survivor set is node-sized and AQE broadcasts it once
+    * it shrinks). Round count is the cascade depth — bounded by the
+    * graph's degeneracy ordering, tens of rounds on real graphs — and
+    * each round costs O(surviving edges), so total work is O(m · rounds)
+    * with rounds ≪ n. Convergence is detected from the edge count the
+    * lineage-cutting checkpoint materializes anyway (edge counts
+    * strictly decrease until the fixpoint): ONE job per round, the same
+    * discipline as [[connectedComponents]].
+    *
+    * Returns (core edges canonicalized u<v, converged-within-maxIter).
+    * `converged = false` still returns a well-defined result — exactly
+    * `maxIter` peeling rounds, the fixed-R semantics a SQL oracle can
+    * replay by unrolling R rounds.
+    */
+  def kCore(pairs: DataFrame, a: String, b: String, k: Int,
+            maxIter: Int = 12): (DataFrame, Boolean) = {
+    var e = pairs.filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .distinct()
+      .localCheckpoint() // eager: the loop re-reads it
+    var n = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val good = deg.filter(col("d") >= k).select(col("n"))
+      val next = e
+        .join(good.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(good.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")) // USING-joins move the key first; re-pin
+        .localCheckpoint(false) // lazy: materialized by the count below
+      val c = next.count()
+      converged = c == n
+      n = c
+      e = next
+      i += 1
+    }
+    (e, converged)
+  }
+
   /** Exact triangle count by DEGREE ORIENTATION (the classic
     * O(m^1.5) algorithm; Chiba-Nishizeki / Schank-Wagner): orient
     * every undirected edge from its lower-(degree, id) endpoint to the

@@ -62,4 +62,30 @@ class GraphOpsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("u", "v"), "u", "v").collect()
     assert(r.length == 1 && r.head.getAs[Long]("n_triangles") == 0L)
   }
+
+  test("kCore: triangle survives k=2, pendant chain peels off in cascade") {
+    // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is exactly
+    // the triangle, and reaching it takes TWO peeling rounds (5 falls
+    // first, exposing 4) — exercises the cascade, not a single sweep.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val (core, conv) = GraphOps.kCore(g.toDF("u", "v"), "u", "v", k = 2)
+    assert(conv)
+    assert(core.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
+  test("kCore: whole-graph collapse and fixed-R truncation semantics") {
+    // chain 1-2-3-4-5-6 has no 2-core: both ends peel inward, two nodes
+    // per round — gone within maxIter. With maxIter=1 the peel is
+    // truncated after ONE round (ends dropped, middle still there) and
+    // converged=false reports the truncation.
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    val (core, conv) = GraphOps.kCore(chain.toDF("u", "v"), "u", "v", k = 2)
+    assert(conv && core.count() == 0L)
+    val (cut, conv1) = GraphOps.kCore(chain.toDF("u", "v"), "u", "v", k = 2,
+      maxIter = 1)
+    assert(!conv1)
+    assert(cut.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 3L), (3L, 4L), (4L, 5L)))
+  }
 }
