@@ -1463,6 +1463,40 @@ object TextQueries {
       FROM perdoc GROUP BY 1 ORDER BY source ASC NULLS FIRST"""
     })
 
+  // --- E2g: asymmetric containment (template/boilerplate detection) -----
+  // What Jaccard can't see: a template fully embedded in a larger page
+  // has low resemblance but containment ≈ 1. Prefix-filtered SSJoin
+  // (operators/TextOps.containmentPairs — candidate generation is an
+  // equi-join of each doc's |A|−α+1 RAREST shingles against the
+  // inverted index; the filter is lossless set theory). The oracle is
+  // the quadratic containment definition itself, so parity proves the
+  // prefix filter drops nothing. Threshold 4/5 in integer arithmetic.
+  private val ContainNum = 4
+  private val ContainDen = 5
+
+  private val q114 = Q(
+    (spark, dir) => {
+      TextOps.containmentPairs(docs(spark, dir), "doc_id", "text",
+          ContainNum, ContainDen)
+        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+          col("inter"), col("containment"))
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(a.sh) AS BIGINT) AS n_a,
+               CAST(len(b.sh) AS BIGINT) AS n_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE len(a.sh) > 0)
+      SELECT a_id, b_id, n_a, n_b, inter,
+             CAST(inter AS DOUBLE) / n_a AS containment
+      FROM p
+      WHERE inter * $ContainDen >= n_a * $ContainNum
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1493,5 +1527,6 @@ object TextQueries {
     "q72_cms_counts" -> q72,
     "q82_bloom_decontam" -> q82,
     "q90_dup_gram_coverage" -> q90,
-    "q108_substring_dedup" -> q108)
+    "q108_substring_dedup" -> q108,
+    "q114_containment" -> q114)
 }

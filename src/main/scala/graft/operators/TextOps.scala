@@ -279,6 +279,71 @@ object TextOps {
     explodedShingles(df, id, text, n)
       .groupBy(col(id)).agg(collect_set(col("s")).as("sh"))
 
+  /** ASYMMETRIC containment join with PREFIX FILTERING (the SSJoin /
+    * ppjoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    * all ordered pairs (a, b) with C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    * ≥ tNum/tDen. Containment is what resemblance (Jaccard, q17) can't
+    * see: a boilerplate template fully embedded in a much larger page
+    * has tiny Jaccard but containment ≈ 1 — the quote/template/
+    * boilerplate detector of a curation pipeline (Broder's containment,
+    * SPEX-style supserset dedup).
+    *
+    * Why not all-pairs: the prefix-filter theorem — if |A∩B| ≥ α then
+    * ANY (|A|−α+1)-subset of A intersects B — makes candidate
+    * generation an EQUI-JOIN: a's prefix shingles (its |A|−α+1
+    * RAREST, by global document frequency — rarest-first makes
+    * posting lists short) against the full inverted index. The filter
+    * is LOSSLESS for any fixed prefix length (pure set theory; the
+    * ordering only buys efficiency), so results equal the quadratic
+    * definition — which is exactly what q114's all-pairs oracle checks.
+    *
+    * Threshold arithmetic is integer-only (α = ⌈tNum·|A|/tDen⌉ via
+    * (tNum·|A|+tDen−1) div tDen; the final test is inter·tDen ≥
+    * |A|·tNum): no float threshold crossing to drift across engines.
+    *
+    * Scale shape: shingle-df aggregate (shuffle by shingle), per-doc
+    * rank window (shuffle by doc — partitioned by doc id, never
+    * global), prefix⋈index equi-join on the shingle (hot shingles have
+    * high df and therefore fall OUTSIDE prefixes, so posting-list skew
+    * is self-limiting), candidate dedup, then one set-join verify pass
+    * over candidates only. The size prune (|B| ≥ α) drops pairs no
+    * verify could pass.
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       tNum: Int, tDen: Int, n: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen")
+    val ex = explodedShingles(df, id, text, n).distinct()
+    val sizes = ex.groupBy(col(id)).agg(count(lit(1)).as("__nsh"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__df").asc, col("s").asc)
+    val prefixes = ex.join(dfreq, Seq("s"))
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, Seq(id))
+      .withColumn("__alpha",
+        Sampling.ldiv(lit(tNum) * col("__nsh") + lit(tDen - 1), lit(tDen)))
+      .filter(col("__rn") <= col("__nsh") - col("__alpha") + lit(1))
+      .select(col(id).as("a_id"), col("s"), col("__alpha"))
+    val cand = prefixes
+      .join(ex.select(col(id).as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("__alpha"))
+      .distinct()
+      .join(sizes.select(col(id).as("b_id"), col("__nsh").as("__nb")), Seq("b_id"))
+      .filter(col("__nb") >= col("__alpha"))
+      .select(col("a_id"), col("b_id"))
+    val sets = shingleSets(df, id, text, n)
+    cand
+      .join(sets.select(col(id).as("a_id"), col("sh").as("__sha")), Seq("a_id"))
+      .join(sets.select(col(id).as("b_id"), col("sh").as("__shb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("__sha")).cast("long").as("n_a"),
+        size(col("__shb")).cast("long").as("n_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("inter"))
+      .filter(col("inter") * lit(tDen.toLong) >= col("n_a") * lit(tNum.toLong))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
     * a (doc_id, sh) shingle-set store: joins both sides' sets, computes
     * |a ∩ b| ONCE via a two-step projection (CollapseProject refuses to

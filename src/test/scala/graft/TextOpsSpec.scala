@@ -136,4 +136,45 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L), "'x y' appears 3 times in the bigram stream")
   }
+
+  test("containmentPairs sees a template inside a larger page (Jaccard can't)") {
+    // doc 1 = 6-token template; doc 2 = template + 30 tokens of page
+    // chrome. Containment(1→2) = 1.0; Jaccard ≈ 4/34 — far below any
+    // near-dup threshold. The asymmetric direction (2→1) must NOT fire.
+    val template = "terms of service apply here now"
+    val page = template + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, template), (2L, page), (3L, "unrelated words only three"))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(df, "doc_id", "text", 4, 5)
+      .select("a_id", "b_id", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((1L, 2L, 1.0)))
+  }
+
+  test("property: prefix-filtered containment == quadratic definition") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // small vocab forces real shingle overlap; threshold 1/2 keeps the
+    // candidate space honest (big prefixes, many near-misses)
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val r = check(Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = TextOps.containmentPairs(df, "doc_id", "text", 1, 2)
+          .select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // quadratic reference over distinct 3-shingle sets
+        def sh(t: String): Set[String] =
+          t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        val sets = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+        val want = (for {
+          (ia, sa) <- sets; (ib, sb) <- sets
+          if ia != ib && sa.nonEmpty && (sa & sb).size * 2 >= sa.size
+        } yield (ia, ib)).toSet
+        got == want
+      })
+    assert(r.passed, r.status.toString)
+  }
 }
