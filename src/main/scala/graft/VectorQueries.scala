@@ -1317,27 +1317,61 @@ object VectorQueries {
   private val PqCand = 20
   private val PqTopK = 5
 
-  private def pqOracle: String = {
+  /** The PQ training+encode+LUT chain as DuckDB CTEs, every CTE name
+    * prefixed by `p` so the chain can coexist with other CTE families
+    * in one WITH clause (the IVF chain also claims c0/a1/d1/m1).
+    * Requires `e` (vec_id, v, i) to be defined by the caller; emits
+    * `${p}enc` (vec_id, s, code) and `${p}lut` (qid, s, code, pdot for
+    * queries vec_id < 10). Shared verbatim by q113 (prefix "") and
+    * q115 (prefix "p") so the two oracles' codebooks cannot drift. */
+  private def pqChainCte(p: String): String = {
     val iterBlocks = (0 until PqIters).map { i =>
-      s"""bn$i AS (SELECT s, code, sum(v*v) AS cn2 FROM b$i GROUP BY 1, 2),
-      d$i AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
-              FROM es JOIN b$i b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
-      a$i AS (SELECT vec_id, s, code FROM (
+      s"""${p}bn$i AS (SELECT s, code, sum(v*v) AS cn2 FROM ${p}b$i GROUP BY 1, 2),
+      ${p}d$i AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
+              FROM ${p}es es JOIN ${p}b$i b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
+      ${p}a$i AS (SELECT vec_id, s, code FROM (
                 SELECT d.vec_id, d.s, d.code, row_number() OVER (
                   PARTITION BY d.vec_id, d.s
                   ORDER BY bn.cn2 - 2 * d.dot ASC, d.code ASC) AS rn
-                FROM d$i d JOIN bn$i bn ON bn.s = d.s AND bn.code = d.code)
+                FROM ${p}d$i d JOIN ${p}bn$i bn ON bn.s = d.s AND bn.code = d.code)
               WHERE rn = 1),
-      m$i AS (SELECT a.s, a.code, es.j,
+      ${p}m$i AS (SELECT a.s, a.code, es.j,
                      (2 * sum(es.v) + count(*)) // (2 * count(*)) AS v
-              FROM a$i a JOIN es ON es.vec_id = a.vec_id AND es.s = a.s
+              FROM ${p}a$i a JOIN ${p}es es ON es.vec_id = a.vec_id AND es.s = a.s
               GROUP BY 1, 2, 3),
-      b${i + 1} AS MATERIALIZED (
+      ${p}b${i + 1} AS MATERIALIZED (
         SELECT b.s, b.code, b.j, COALESCE(m.v, b.v) AS v
-        FROM b$i b LEFT JOIN m$i m
+        FROM ${p}b$i b LEFT JOIN ${p}m$i m
           ON m.s = b.s AND m.code = b.code AND m.j = b.j)"""
     }.mkString(",\n      ")
-    val B = s"b$PqIters"
+    val B = s"${p}b$PqIters"
+    s"""${p}es AS MATERIALIZED (
+        SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS s,
+               (i - 1) % $PqSubDim AS j, v
+        FROM e),
+      ${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                      AS code, vec_id
+             FROM embeddings
+             QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqKsub),
+      ${p}b0 AS MATERIALIZED (
+        SELECT es.s, c0.code, es.j, es.v
+        FROM ${p}c0 c0 JOIN ${p}es es ON es.vec_id = c0.vec_id),
+      $iterBlocks,
+      ${p}bnf AS (SELECT s, code, sum(v*v) AS cn2 FROM $B GROUP BY 1, 2),
+      ${p}df AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
+             FROM ${p}es es JOIN $B b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
+      ${p}enc AS (SELECT vec_id, s, code FROM (
+                SELECT d.vec_id, d.s, d.code, row_number() OVER (
+                  PARTITION BY d.vec_id, d.s
+                  ORDER BY bn.cn2 - 2 * d.dot ASC, d.code ASC) AS rn
+                FROM ${p}df d JOIN ${p}bnf bn ON bn.s = d.s AND bn.code = d.code)
+              WHERE rn = 1),
+      ${p}lut AS (SELECT lq.vec_id AS qid, b.s, b.code, sum(lq.v * b.v) AS pdot
+              FROM ${p}es lq JOIN $B b ON b.s = lq.s AND b.j = lq.j
+              WHERE lq.vec_id < 10 GROUP BY 1, 2, 3)"""
+  }
+
+  private def pqOracle: String = {
     s"""
       WITH e AS MATERIALIZED (
         SELECT vec_id,
@@ -1345,30 +1379,7 @@ object VectorQueries {
                generate_subscripts(embedding, 1) AS i
         FROM embeddings),
       n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1),
-      es AS MATERIALIZED (
-        SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS s,
-               (i - 1) % $PqSubDim AS j, v
-        FROM e),
-      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                      AS code, vec_id
-             FROM embeddings
-             QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqKsub),
-      b0 AS MATERIALIZED (
-        SELECT es.s, c0.code, es.j, es.v
-        FROM c0 JOIN es ON es.vec_id = c0.vec_id),
-      $iterBlocks,
-      bnf AS (SELECT s, code, sum(v*v) AS cn2 FROM $B GROUP BY 1, 2),
-      df AS (SELECT es.vec_id, es.s, b.code, sum(es.v * b.v) AS dot
-             FROM es JOIN $B b ON b.s = es.s AND b.j = es.j GROUP BY 1, 2, 3),
-      enc AS (SELECT vec_id, s, code FROM (
-                SELECT d.vec_id, d.s, d.code, row_number() OVER (
-                  PARTITION BY d.vec_id, d.s
-                  ORDER BY bn.cn2 - 2 * d.dot ASC, d.code ASC) AS rn
-                FROM df d JOIN bnf bn ON bn.s = d.s AND bn.code = d.code)
-              WHERE rn = 1),
-      lut AS (SELECT lq.vec_id AS qid, b.s, b.code, sum(lq.v * b.v) AS pdot
-              FROM es lq JOIN $B b ON b.s = lq.s AND b.j = lq.j
-              WHERE lq.vec_id < 10 GROUP BY 1, 2, 3),
+      ${pqChainCte("")},
       adc AS (SELECT lut.qid, enc.vec_id AS cid,
                      CAST(sum(lut.pdot) AS BIGINT) AS adc_dot
               FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
@@ -1436,6 +1447,111 @@ object VectorQueries {
     },
     Some(pqOracle))
 
+  // --- E3j: IVF-PQ — the production trillion-vector retrieval shape ------
+  // q40's trained IVF routing composed with q113's PQ compression: the
+  // query probes its nprobe nearest cells (√n centroids, broadcast),
+  // and ONLY vectors in probed cells are ADC-scored from their m-byte
+  // codes via the broadcast per-query LUT; the top-PqCand shortlist
+  // pays the exact-cosine rescore. This is the FAISS IVFADC layout
+  // (Jégou et al. 2011 §V) re-expressed as three broadcast joins.
+  //
+  // 100 TB posture: the full-corpus work is (a) the map-only cell
+  // assignment (CellArgMaxCosineLong, no shuffle) and (b) the PQ encode
+  // (one broadcast join + partial min_by) — both linear scans with
+  // sublinear broadcast state (√n centroids, m·ksub codebook rows). At
+  // serve time the corpus is reduced to n·m small-int codes (~64×
+  // smaller than raw fp32), candidates are the nprobe/k corpus
+  // fraction, and nothing all-pairs ever materializes. The oracle
+  // replays BOTH trainings (IVF k-means CTEs + PQ Lloyd CTEs, shared
+  // generators with q40/q113) so routing, codebooks, ADC integers and
+  // the rescore are all hash-checked cross-engine.
+  private val q115 = Q(
+    (spark, dir) => {
+      val (e, cents, cells, nprobe) = ivfTrained(spark, dir)
+      val sub = graft.operators.Pq
+        .subvectors(e, "vec_id", "q", PqM, PqSubDim).localCheckpoint()
+      val books = graft.operators.Pq.trainCodebooks(sub, "vec_id", PqKsub, PqIters)
+      val codes = graft.operators.Pq.assignCodes(sub, "vec_id", books)
+      val lut = graft.operators.Pq
+        .adcLut(sub.filter(col("vec_id") < 10), "vec_id", books)
+      // query routing: exact centroid cosine, top-nprobe cells (q40 flow)
+      val sim = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("cell"),
+          VectorOps.cosine(VectorOps.qdot(col("q"), col("cq")),
+            col("n2"), col("cn2")).as("cos_c"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_c").desc_nulls_last, col("cell").asc_nulls_first)
+      val probes = sim.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= nprobe).select(col("qid"), col("cell"))
+      val cand = probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid").as("cid"))
+      // ADC over the probed candidates only: codes join is the m-row
+      // per-candidate stream, LUT is broadcast, partial sum map-side
+      val adc = cand
+        .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+        .join(broadcast(lut), Seq("qid", "s", "code"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("pdot")).as("adc_dot"))
+      val wCand = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("adc_dot").desc_nulls_last, col("cid").asc)
+      val short = adc.withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") <= PqCand).drop("rn")
+      val scored = short
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cid"))
+        .select(col("qid"), col("cid"), col("adc_dot"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc)
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= PqTopK)
+        .select(col("qid"), col("cid"), col("adc_dot"), col("cos_sim"))
+        .orderBy(col("qid").asc_nulls_first, col("cos_sim").desc_nulls_last,
+          col("cid").asc_nulls_first)
+    },
+    Some(s"""
+      WITH $ivfSqlCte,
+      ${pqChainCte("p")},
+      probes AS (SELECT vid, cell FROM ranked
+                 WHERE rn <= (SELECT np FROM kk) AND vid < 10),
+      cand AS (SELECT pr.vid AS qid, c.vid AS cid
+               FROM probes pr JOIN cells c
+                 ON c.cell = pr.cell AND c.vid <> pr.vid),
+      adc AS (SELECT cand.qid, cand.cid,
+                     CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+              FROM cand JOIN penc en ON en.vec_id = cand.cid
+                   JOIN plut l ON l.qid = cand.qid AND l.s = en.s
+                              AND l.code = en.code
+              GROUP BY 1, 2),
+      sl AS (SELECT qid, cid, adc_dot FROM (
+               SELECT qid, cid, adc_dot, row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY adc_dot DESC NULLS LAST, cid ASC) AS rn
+               FROM adc)
+             WHERE rn <= $PqCand),
+      xd AS (SELECT sl.qid, sl.cid, sl.adc_dot, sum(ea.v * eb.v) AS dot
+             FROM sl JOIN e ea ON ea.vec_id = sl.qid
+                     JOIN e eb ON eb.vec_id = sl.cid AND eb.i = ea.i
+             GROUP BY 1, 2, 3),
+      xc AS (SELECT qid, cid, adc_dot,
+                    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE))
+                      / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos_sim
+             FROM xd JOIN n nq ON nq.vec_id = qid
+                     JOIN n nc ON nc.vec_id = cid)
+      SELECT qid, cid, adc_dot, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC) AS rn
+        FROM xc)
+      WHERE rn <= $PqTopK
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1450,5 +1566,6 @@ object VectorQueries {
     "q59_semantic_dedup" -> q59,
     "q69_capped_cells" -> q69,
     "q86_sq8_recall" -> q86,
-    "q113_pq_adc" -> q113)
+    "q113_pq_adc" -> q113,
+    "q115_ivfpq" -> q115)
 }

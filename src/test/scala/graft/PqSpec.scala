@@ -71,4 +71,35 @@ class PqSpec extends SparkSpec {
         s"id=${r.get(0)}")
     }
   }
+
+  test("IVF-restricted ADC scores equal the full-scan ADC on the subset") {
+    // The q115 candidate restriction must commute with ADC scoring: for
+    // any candidate subset, the per-pair approximate dot from the
+    // cand→codes→LUT join path is exactly the full-corpus q113 score for
+    // that pair (routing only prunes — it never perturbs scores).
+    val vs = (0L until 30L).map(i =>
+      (i, (0 until dim).map(d => ((i * 13 + d * 7) % 19).toLong)))
+    val df = toDf(vs)
+    val sub = Pq.subvectors(df, "id", "q", m, subDim)
+    val books = Pq.trainCodebooks(sub, "id", ksub = 4, iters = 2)
+    val codes = Pq.assignCodes(sub, "id", books)
+    val lut = Pq.adcLut(sub.filter(col("id") < 2L), "id", books)
+    val full = codes.join(lut, Seq("s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("pdot")).as("adc_dot"))
+    // an arbitrary "probed" subset: even candidate ids only
+    val cand = full.select(col("qid"), col("cid"))
+      .filter(col("cid") % 2 === 0)
+    val restricted = cand
+      .join(codes.withColumnRenamed("id", "cid"), Seq("cid"))
+      .join(lut, Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).as("adc_dot"))
+    val mismatch = restricted.as("r")
+      .join(full.as("f"), Seq("qid", "cid"))
+      .filter(col("r.adc_dot") =!= col("f.adc_dot"))
+    assert(restricted.count() == cand.count())
+    assert(mismatch.count() == 0)
+  }
 }
