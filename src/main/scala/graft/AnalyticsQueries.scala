@@ -1,0 +1,425 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.operators.{GraphOps, Selection}
+
+/** Analytics tier (q116-q122): graph distances, sort-free exact
+  * selection, reshape (pivot/unpivot), ntile segmentation, CDC snapshot
+  * diff, and bounded-domain exact group quantiles — the operations a
+  * warehouse user reaches for right after the q109-q112 structural tier.
+  * All DuckDB-oracle-checked under the suite determinism contract
+  * (integer-space money/distances, DATE outputs, total ORDER BY).
+  */
+object AnalyticsQueries {
+
+  // --- q116: multi-hop shortest paths over the co-purchase graph --------
+  // "How close is every part to the catalog's anchor part?" — the
+  // supply-chain / recommendation reachability question. Edge weight is
+  // CLOSENESS-inverted co-purchase multiplicity (maxm+1-m): strongly
+  // co-purchased pairs are short hops. Spark runs GraphOps.ssspInt
+  // (synchronous integer Bellman-Ford, one join+agg shuffle per round);
+  // the oracle unrolls the same FIXED-R rounds as generated CTEs and
+  // both report the converged flag, so an undersized R is observable,
+  // not silent (the q76/q112 discipline). Output is the hop-distance
+  // histogram — small and stable — plus a hops=-1 row for unreached
+  // nodes (none when the graph is connected, but stated, not assumed).
+  private val SsspRounds = 12
+
+  private def ssspOracle: String = {
+    val hp = GraphOps.HopPack
+    val rounds = (0 until SsspRounds).map { i =>
+      s"""r${i + 1} AS MATERIALIZED (
+            SELECT node, min(key) AS key FROM (
+              SELECT node, key FROM r$i
+              UNION ALL
+              SELECT e.t AS node, r.key + e.step AS key
+              FROM r$i r JOIN e ON e.s = r.node)
+            GROUP BY 1)"""
+    }.mkString(",\n          ")
+    val R = SsspRounds
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      und AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS m
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      mx AS (SELECT max(m) AS maxm FROM und),
+      e AS MATERIALIZED (
+        SELECT u AS s, v AS t, (maxm + 1 - m) * $hp + 1 AS step FROM und, mx
+        UNION ALL
+        SELECT v AS s, u AS t, (maxm + 1 - m) * $hp + 1 AS step FROM und, mx),
+      r0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS key FROM und),
+      $rounds,
+      conv AS (SELECT
+        (SELECT count(*) FROM r${R - 1}) = (SELECT count(*) FROM r$R) AND
+        (SELECT COALESCE(sum(key), 0) FROM r${R - 1}) =
+        (SELECT COALESCE(sum(key), 0) FROM r$R) AS converged),
+      lab AS (SELECT node, key // $hp AS dist, key % $hp AS hops FROM r$R),
+      hist AS (
+        SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+               min(dist) AS min_dist, max(dist) AS max_dist,
+               CAST(sum(dist) AS BIGINT) AS sum_dist
+        FROM lab GROUP BY 1),
+      nodes AS (SELECT count(*) AS tot FROM
+        (SELECT u AS nn FROM und UNION SELECT v AS nn FROM und) t),
+      unreached AS (
+        SELECT CAST(-1 AS BIGINT) AS hops,
+               (SELECT tot FROM nodes) - (SELECT count(*) FROM lab) AS n_nodes,
+               CAST(0 AS BIGINT) AS min_dist, CAST(0 AS BIGINT) AS max_dist,
+               CAST(0 AS BIGINT) AS sum_dist)
+      SELECT h.hops, h.n_nodes, h.min_dist, h.max_dist, h.sum_dist,
+             conv.converged
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM unreached) h, conv
+      ORDER BY hops ASC"""
+  }
+
+  private val q116 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint() // eager: read for weights, source, and node set
+      val mx = und.agg(max(col("m")).as("maxm"))
+      val wEdges = und.crossJoin(broadcast(mx)) // single-row broadcast
+        .select(col("u"), col("v"), (col("maxm") + 1L - col("m")).as("w"))
+      val edges = wEdges.unionByName(
+        wEdges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val sources = und.agg(min(col("u")).as("node")) // u < v ⇒ global min
+      val (lab, conv) = GraphOps.ssspInt(edges, "u", "v", "w", sources,
+        maxIter = SsspRounds)
+      val hist = lab.groupBy(col("hops"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("dist")).as("min_dist"),
+          max(col("dist")).as("max_dist"), sum(col("dist")).as("sum_dist"))
+      val tot = und.select(explode(array(col("u"), col("v"))).as("nn"))
+        .agg(countDistinct(col("nn")).as("tot"))
+      val reached = lab.agg(count(lit(1)).as("r"))
+      val unreachedRow = tot.crossJoin(reached)
+        .select(lit(-1L).as("hops"), (col("tot") - col("r")).as("n_nodes"),
+          lit(0L).as("min_dist"), lit(0L).as("max_dist"),
+          lit(0L).as("sum_dist"))
+      hist.unionByName(unreachedRow)
+        .withColumn("converged", lit(conv))
+        .orderBy(col("hops").asc)
+    },
+    Some(ssspOracle))
+
+  // --- q117: exact global quantiles WITHOUT a global sort ---------------
+  // The third point in the percentile design space (q36 buffers whole
+  // groups, q66 sketches): EXACT selection by value-domain bisection —
+  // O(log |domain|) cached-column COUNT passes, O(1) driver state, no
+  // shuffle at all (operators/Selection.scala). This is the only shape
+  // that answers "the exact 100 TB median" without sorting 100 TB.
+  // Ranks use the lower-discrete convention ceil(p*n), mirrored
+  // literally in the oracle's row_number arithmetic.
+  private val q117 = Q(
+    (spark, dir) => {
+      val v = Tables.lineitem(spark, dir)
+        .select(Exact.quantize(col("l_extendedprice")).as("cents"))
+        .persist()
+      try {
+        val n = v.count()
+        val ranks = Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L))
+          .map { case (pn, pd) => Selection.discreteRank(n, pn, pd) }
+        // ONE multi-probe selection: all four ranks share every scan
+        val got = Selection.kthSmallestMulti(v, col("cents"), ranks.distinct)
+        val Seq(p25, p50, p75, p99) = ranks.map(got)
+        val s = spark
+        import s.implicits._
+        Seq((n, p25, p50, p75, p99))
+          .toDF("n", "p25_cents", "p50_cents", "p75_cents", "p99_cents")
+      } finally v.unpersist()
+    },
+    Some("""
+      WITH v AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+                 FROM lineitem),
+      r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                   count(*) OVER () AS n
+            FROM v)
+      SELECT max(n) AS n,
+             max(CASE WHEN rn = GREATEST(1, (1 * n + 3) // 4) THEN cents END) AS p25_cents,
+             max(CASE WHEN rn = GREATEST(1, (1 * n + 1) // 2) THEN cents END) AS p50_cents,
+             max(CASE WHEN rn = GREATEST(1, (3 * n + 3) // 4) THEN cents END) AS p75_cents,
+             max(CASE WHEN rn = GREATEST(1, (99 * n + 99) // 100) THEN cents END) AS p99_cents
+      FROM r"""))
+
+  // --- q118: PIVOT — monthly revenue by region as columns ---------------
+  // The reporting reshape the reference's summary.md renders by hand.
+  // Spark's groupBy().pivot() with an EXPLICIT value list — the list
+  // keeps the plan a single hash aggregate (no extra distinct-values
+  // job, a real scan at 100 TB) with one conditional-sum column per
+  // region, exactly what the oracle states as CASE sums. Money stays in
+  // integer cents (conditional Exact split-long sums).
+  private val Regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  private def regionCol(r: String): String =
+    r.toLowerCase.replace(' ', '_') + "_cents"
+
+  /** Orders enriched with region name: one fact shuffle join to
+    * customer, then broadcast nation/region (25 + 5 rows). */
+  private def ordersWithRegion(spark: org.apache.spark.sql.SparkSession,
+                               dir: String) = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("r_name"), Exact.quantize(col("o_totalprice")).as("cents"))
+  }
+
+  private def pivotOracleBase: String = s"""
+      WITH base AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               r_name, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey)"""
+
+  private val q118 = Q(
+    (spark, dir) => {
+      val wide = ordersWithRegion(spark, dir)
+        .groupBy(col("month"))
+        .pivot("r_name", Regions)
+        .agg(Exact.exactIntSum(col("cents")).cast("long"))
+      wide.select(col("month") +:
+          Regions.map(r => coalesce(col(s"`$r`"), lit(0L)).as(regionCol(r))): _*)
+        .orderBy(col("month").asc)
+    },
+    Some(s"""$pivotOracleBase
+      SELECT month, ${Regions.map(r =>
+        s"COALESCE(CAST(sum(CASE WHEN r_name = '$r' THEN cents END) AS BIGINT), 0) AS ${regionCol(r)}")
+        .mkString(",\n             ")}
+      FROM base GROUP BY month
+      ORDER BY month ASC"""))
+
+  // --- q119: UNPIVOT — the wide frame melted back to long form ----------
+  // Round-trips q118's wide result through `stack` (Spark's unpivot):
+  // the output grain is the FULL month x region grid — a month with no
+  // revenue in a region yields an explicit 0 row (what reshape
+  // produces), which the oracle states as a grid cross join, NOT a
+  // plain GROUP BY (which would omit the row). stack is a map-side
+  // generator: no shuffle beyond q118's aggregate.
+  private val q119 = Q(
+    (spark, dir) => {
+      val wide = ordersWithRegion(spark, dir)
+        .groupBy(col("month"))
+        .pivot("r_name", Regions)
+        .agg(Exact.exactIntSum(col("cents")).cast("long"))
+      val stackArgs = Regions.map(r =>
+        s"'${r.replace("'", "''")}', coalesce(`$r`, CAST(0 AS BIGINT))")
+        .mkString(", ")
+      wide.select(col("month"),
+          expr(s"stack(${Regions.size}, $stackArgs) AS (r_name, revenue_cents)"))
+        .orderBy(col("month").asc, col("r_name").asc)
+    },
+    Some(s"""$pivotOracleBase,
+      agg AS (SELECT month, r_name, CAST(sum(cents) AS BIGINT) AS cents
+              FROM base GROUP BY 1, 2),
+      months AS (SELECT DISTINCT month FROM base),
+      grid AS (SELECT month, r AS r_name FROM months
+               CROSS JOIN (VALUES ${Regions.map(r => s"('$r')").mkString(", ")}) t(r))
+      SELECT g.month, g.r_name, COALESCE(a.cents, 0) AS revenue_cents
+      FROM grid g LEFT JOIN agg a ON g.month = a.month AND g.r_name = a.r_name
+      ORDER BY g.month ASC, g.r_name ASC"""))
+
+  // --- q120: RFM customer segmentation via ntile ------------------------
+  // Recency/frequency/monetary quartiles — the classic CRM cut. ntile
+  // needs a TOTAL order (ties broken by custkey) to be deterministic;
+  // with one, its floor/remainder bucket arithmetic is SQL-standard and
+  // identical in both engines. The Spark side does NOT use a global
+  // ntile window (one partition holding every customer — the q63
+  // anti-pattern): each dimension's quartile comes from the two-pass
+  // distributed exact rank (operators/Ranking) + ntileFromRank's
+  // integer bucket arithmetic, so the largest sort is a range
+  // partition, never the whole customer grain. DESC dimensions rank
+  // ascending on the negated column (the q92 discipline).
+  private val q120 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+      val perCust = o.crossJoin(broadcast(mx))
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(col("maxd")), max(col("o_orderdate")))
+            .cast("long").as("recency_days"),
+          count(lit(1)).as("freq"),
+          Exact.exactIntSum(Exact.quantize(col("o_totalprice")))
+            .cast("long").as("mon_cents"))
+        .withColumn("g", lit(0L))
+        .withColumn("neg_freq", -col("freq"))
+        .withColumn("neg_mon", -col("mon_cents"))
+      val ranked = Seq(
+        (Seq("recency_days", "o_custkey"), "rk_r", "n_tot"),
+        (Seq("neg_freq", "o_custkey"), "rk_f", "n_f"),
+        (Seq("neg_mon", "o_custkey"), "rk_m", "n_m"))
+        .foldLeft(perCust) { case (df, (ord, rk, sz)) =>
+          operators.Ranking.rankInGroup(df, "g", ord,
+            rankName = rk, sizeName = sz)
+        }
+      val seg = ranked.select(col("o_custkey"), col("recency_days"),
+        col("freq"), col("mon_cents"),
+        operators.Ranking.ntileFromRank(col("rk_r"), col("n_tot"), 4)
+          .cast("long").as("r_tile"),
+        operators.Ranking.ntileFromRank(col("rk_f"), col("n_tot"), 4)
+          .cast("long").as("f_tile"),
+        operators.Ranking.ntileFromRank(col("rk_m"), col("n_tot"), 4)
+          .cast("long").as("m_tile"))
+      seg.groupBy((col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.exactIntSum(col("mon_cents")).cast("long").as("sum_cents"),
+          min(col("recency_days")).as("min_recency"),
+          max(col("freq")).as("max_freq"))
+        .orderBy(col("segment").asc)
+    },
+    Some("""
+      WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate), max(maxd)) AS BIGINT)
+                 AS recency_days,
+               count(*) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                 AS mon_cents
+        FROM orders, mx GROUP BY o_custkey),
+      seg AS (
+        SELECT o_custkey, recency_days, freq, mon_cents,
+               CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                 AS BIGINT) AS r_tile,
+               CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC)
+                 AS BIGINT) AS f_tile,
+               CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey ASC)
+                 AS BIGINT) AS m_tile
+        FROM per_cust)
+      SELECT r_tile * 100 + f_tile * 10 + m_tile AS segment,
+             count(*) AS n_customers,
+             CAST(sum(mon_cents) AS BIGINT) AS sum_cents,
+             min(recency_days) AS min_recency, max(freq) AS max_freq
+      FROM seg GROUP BY 1 ORDER BY segment ASC"""))
+
+  // --- q121: CDC snapshot diff ------------------------------------------
+  // "What changed between the 1998 close and the 2000 close?" — the diff
+  // a swap-write gold table (reference load.py) cannot answer and an
+  // SCD2 table (q109) answers only per-attribute. Keyed full-outer join
+  // of two as-of aggregate snapshots, classified added / changed /
+  // unchanged (removed cannot occur in an append-only feed — the shape
+  // still states it). Both snapshots shuffle on the SAME key, so AQE
+  // plans one co-partitioned exchange each — at 100 TB this is the
+  // standard CDC reconciliation join, linear in the key grain.
+  private val q121 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      def snap(cut: String) = o
+        .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.exactIntSum(Exact.quantize(col("o_totalprice")))
+            .cast("long").as("cents"))
+      val old = snap("1999-01-01")
+        .select(col("o_custkey"), col("n_orders").as("old_n"),
+          col("cents").as("old_cents"))
+      val neu = snap("2001-01-01")
+        .select(col("o_custkey"), col("n_orders").as("new_n"),
+          col("cents").as("new_cents"))
+      val kind = when(col("old_n").isNull, "added")
+        .when(col("new_n").isNull, "removed")
+        .when(col("old_n") =!= col("new_n")
+          || col("old_cents") =!= col("new_cents"), "changed")
+        .otherwise("unchanged")
+      old.join(neu, Seq("o_custkey"), "full_outer")
+        .select(kind.as("kind"),
+          (coalesce(col("new_n"), lit(0L))
+            - coalesce(col("old_n"), lit(0L))).as("d_orders"),
+          (coalesce(col("new_cents"), lit(0L))
+            - coalesce(col("old_cents"), lit(0L))).as("d_cents"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_keys"),
+          Exact.exactIntSum(col("d_orders")).cast("long").as("delta_orders"),
+          Exact.exactIntSum(col("d_cents")).cast("long").as("delta_cents"))
+        .orderBy(col("kind").asc)
+    },
+    Some("""
+      WITH old AS (
+        SELECT o_custkey, count(*) AS old_n,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS old_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1),
+      neu AS (
+        SELECT o_custkey, count(*) AS new_n,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS new_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY 1),
+      d AS (
+        SELECT CASE WHEN old_n IS NULL THEN 'added'
+                    WHEN new_n IS NULL THEN 'removed'
+                    WHEN old_n <> new_n OR old_cents <> new_cents THEN 'changed'
+                    ELSE 'unchanged' END AS kind,
+               COALESCE(new_n, 0) - COALESCE(old_n, 0) AS d_orders,
+               COALESCE(new_cents, 0) - COALESCE(old_cents, 0) AS d_cents
+        FROM old FULL OUTER JOIN neu USING (o_custkey))
+      SELECT kind, count(*) AS n_keys,
+             CAST(sum(d_orders) AS BIGINT) AS delta_orders,
+             CAST(sum(d_cents) AS BIGINT) AS delta_cents
+      FROM d GROUP BY 1 ORDER BY kind ASC"""))
+
+  // --- q122: exact per-group quantiles over a BOUNDED domain ------------
+  // Completes the percentile triptych's group dimension: when the value
+  // domain is bounded (l_quantity ∈ 1..50 — flags, scores, star
+  // ratings), the exact group quantile needs NO per-group buffer and NO
+  // bisection loop: ONE (group, value) histogram aggregate, a window
+  // cumsum over ≤ |domain| rows per group, and a conditional min. The
+  // shuffle is bounded by |groups| x |domain| — independent of row
+  // count, the 100 TB argument. Ranks use the same lower-discrete
+  // convention as q117, stated identically in the oracle.
+  private val q122 = Q(
+    (spark, dir) => {
+      val h = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("g")).orderBy(col("q").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+      cum.groupBy(col("g"), col("n"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("q")))
+            .as("p50_qty"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("q")))
+            .as("p90_qty"))
+        .select(col("g"), col("n"), col("p50_qty"), col("p90_qty"))
+        .orderBy(col("g").asc)
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT g, q, c,
+               sum(c) OVER (PARTITION BY g ORDER BY q ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM h)
+      SELECT g, CAST(n AS BIGINT) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN q END) AS p50_qty,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS p90_qty
+      FROM cum GROUP BY g, n ORDER BY g ASC"""))
+
+  val all: Seq[(String, Q)] = Seq(
+    "q116_sssp" -> q116,
+    "q117_exact_select" -> q117,
+    "q118_pivot" -> q118,
+    "q119_unpivot" -> q119,
+    "q120_rfm" -> q120,
+    "q121_snapshot_diff" -> q121,
+    "q122_group_quantiles" -> q122)
+}

@@ -20,7 +20,7 @@ object Queries {
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all ++
-      WarehouseQueries.all
+      WarehouseQueries.all ++ AnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -268,4 +268,80 @@ object GraphOps {
     val maxOut = outd.agg(coalesce(max(col("od")), lit(0L)).as("max_outdeg"))
     nEdges.crossJoin(nWedges).crossJoin(tri).crossJoin(maxOut)
   }
+
+  /** Hops fit in 20 bits of the packed SSSP label; distances take the
+    * rest. maxIter (and therefore hops) must stay far below 2^20. */
+  val HopPack: Long = 1L << 20
+
+  /** Multi-source shortest paths with non-negative integer weights by
+    * synchronous Bellman-Ford relaxation — entirely in integer space so
+    * both engines agree bit-for-bit and a SQL oracle can replay the
+    * rounds as unrolled CTEs (the q76/q112 fixed-R discipline).
+    *
+    * Each node label is ONE packed long `dist * HopPack + hops`: taking
+    * `min` over packed labels is a lexicographic min over (dist, hops)
+    * because hops < HopPack, so ties in distance resolve to the
+    * fewest-hop path — deterministic on any cluster layout, no
+    * struct-ordering or min_by semantics to align across engines. A
+    * relaxation over edge (s→t, w) is `label(s) + w*HopPack + 1`.
+    *
+    * Scale shape: one equi-join (labels ⋈ edges on src) + one hash
+    * aggregate (min per node) per round — the Pregel iteration
+    * expressed as DataFrames, each round a single shuffle bounded by
+    * |frontier-adjacent edges|, never all-pairs. Rounds = hop diameter
+    * of the reached subgraph (synchronous relaxation reaches every
+    * node at its hop distance, then only improves weights), which for
+    * the near-scale-free co-purchase/similarity graphs this engine
+    * builds is O(log n) — the 100 TB cost is diameter × (join+agg),
+    * not n × anything. Lineage is cut with a lazy localCheckpoint per
+    * round, materialized by the SAME action that reads the convergence
+    * signal (one job per round, the connectedComponents discipline):
+    * labels only decrease and nodes are only added, so the signal pair
+    * (count, sum) repeats iff the round was a no-op.
+    *
+    * `edges` is DIRECTED (callers with undirected graphs pass both
+    * orientations); `sources` is one column of seed node ids (dist 0).
+    * Weights must be >= 0; the overflow guard below rejects label
+    * spaces where the wrap-exactness precondition of the sum signal
+    * could fail. Early-breaks at the fixpoint; `converged = false`
+    * still returns exactly `maxIter` rounds — the fixed-R semantics an
+    * oracle replays.
+    *
+    * Output: (node, dist, hops) for every REACHED node, plus the
+    * converged flag.
+    */
+  def ssspInt(edges: DataFrame, src: String, dst: String, w: String,
+              sources: DataFrame, maxIter: Int = 12): (DataFrame, Boolean) = {
+    require(maxIter < (HopPack >> 1), s"maxIter $maxIter too large for hop packing")
+    val e = edges.select(col(src).as("s"), col(dst).as("t"),
+        (col(w).cast("long") * HopPack + 1L).as("step"))
+      .localCheckpoint() // eager: re-read every round
+    var labels = sources.toDF("node").select(col("node"), lit(0L).as("key"))
+      .localCheckpoint()
+    var prevSig: Option[(Long, Long)] = None
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = labels
+        .join(e, labels("node") === e("s"))
+        .select(col("t").as("node"), (col("key") + col("step")).as("key"))
+      val next = labels.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("key")).as("key"))
+        .localCheckpoint(false) // lazy: materialized by the signal job
+      val row = next.agg(sum(col("key")), count(lit(1)), max(col("key"))).head()
+      val sig = if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+      if (!row.isNullAt(2))
+        require(row.getLong(2) >= 0 && row.getLong(2).toDouble * sig._2 < 9.2e18,
+          s"ssspInt sum-convergence needs n * maxKey < 2^63 " +
+            s"(n=${sig._2}, maxKey=${row.getLong(2)}); shrink weights or remap ids")
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      labels = next
+      i += 1
+    }
+    // keys are non-negative, so shift/mask == floor-div/mod — integer
+    // space end to end (Spark's `/` on longs would return DOUBLE)
+    (labels.select(col("node"), shiftright(col("key"), 20).as("dist"),
+      col("key").bitwiseAND(lit(HopPack - 1)).as("hops")), converged)
+  }
 }
