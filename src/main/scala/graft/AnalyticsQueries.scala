@@ -414,6 +414,43 @@ object AnalyticsQueries {
              min(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS p90_qty
       FROM cum GROUP BY g, n ORDER BY g ASC"""))
 
+  // --- q125: top-k per group via the bounded native aggregate -----------
+  // "Top 3 orders per priority" — the report every warehouse serves.
+  // The standard row_number window + filter sorts every group's full
+  // slice (and a 5-value partition key funnels the corpus through 5
+  // tasks); plans/TopKPairsLong instead carries k 16-byte pairs per
+  // group per task, combines MAP-SIDE, and merges as a bounded ordered
+  // union — the shuffle moves |groups| x k pairs, not the table. The
+  // oracle IS the window form, so the driver hash-checks the native
+  // aggregate against the semantics it replaces.
+  private val q125 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("priority"),
+        Exact.quantize(col("o_totalprice")).as("cents"),
+        col("o_orderkey"))
+      o.groupBy(col("priority"))
+        .agg(operators.TopK.topKPairs(col("cents"), col("o_orderkey"), 3)
+          .as("top"))
+        .select(col("priority"), posexplode(col("top")))
+        .select(col("priority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.v").as("cents"), col("col.id").as("o_orderkey"))
+        .orderBy(col("priority").asc, col("rank").asc)
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice * 100.0)
+                                            AS BIGINT) DESC,
+                                           o_orderkey ASC) AS rank
+        FROM orders)
+      SELECT priority, CAST(rank AS BIGINT) AS rank, cents, o_orderkey
+      FROM o WHERE rank <= 3
+      ORDER BY priority ASC, rank ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -421,5 +458,6 @@ object AnalyticsQueries {
     "q119_unpivot" -> q119,
     "q120_rfm" -> q120,
     "q121_snapshot_diff" -> q121,
-    "q122_group_quantiles" -> q122)
+    "q122_group_quantiles" -> q122,
+    "q125_topk_group" -> q125)
 }

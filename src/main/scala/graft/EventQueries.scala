@@ -871,6 +871,148 @@ object EventQueries {
              max(n7) AS max_days_in_window
       FROM m GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --- q123: exact trailing-7-day distinct users (rolling DAU/WAU) ------
+  // The engagement metric every product dashboard carries. Exact
+  // sliding-window COUNT DISTINCT cannot use a plain window frame (the
+  // distinct set is not decomposable); the scale-correct exact form is
+  // CONTRIBUTION FANOUT: dedup to (user, day) — the grain the metric is
+  // defined on — then each user-day contributes to its next 7 report
+  // days (a map-side explode, x7 = window width, never x rows), and a
+  // two-phase distinct aggregate folds per report day. Work is
+  // O(window x |user-days|), shuffles on (day, user) — no corpus-sized
+  // window partition, no quadratic day-pair join. (The sketched
+  // alternative — mergeable per-day KMV unioned over the window, q58's
+  // operator — trades exactness for O(k) state; this is the exact
+  // baseline it would be judged against.)
+  private val q123 = Q(
+    (spark, dir) => {
+      val ud = events(spark, dir)
+        .select(col("user_id"), to_date(col("tus")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      val contrib = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("j"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("j")).as("day"))
+      val wau = contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau7"))
+        .orderBy(col("day").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      ud AS (SELECT DISTINCT user_id, CAST(tus AS DATE) AS day FROM ev),
+      days AS (SELECT DISTINCT day FROM ud),
+      contrib AS (SELECT user_id, day + CAST(j AS INTEGER) AS day
+                  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS j) j),
+      wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau7
+              FROM contrib c WHERE c.day IN (SELECT day FROM days)
+              GROUP BY 1),
+      dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      SELECT dau.day, dau.dau, wau.wau7
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY dau.day ASC"""))
+
+  // --- q124: multi-touch attribution (linear, integer-exact) ------------
+  // Each purchase's cents split equally across the user's touch events
+  // (view/click) since their previous purchase; floor-division
+  // remainder goes to the EARLIEST touch (stated rule, so the split is
+  // exact and deterministic); conversions with no touches attribute to
+  // 'direct'. The conversion grouping is ONE reverse-cumulative window
+  // per user (conv_seq = purchases at-or-after the row) — the event
+  // stream shuffles once on user_id, sort groups are per-user event
+  // counts, and everything downstream is (user, conv_seq)-keyed
+  // aggregates + one broadcast-sized stats join. Conservation holds by
+  // construction: Σ attributed = Σ converted cents (smoke-asserted).
+  private val q124 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_type"), Exact.quantize(col("value")).as("cents"))
+        .filter(col("cents") >= 0L) // keeps div/floor-div engine-equal
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grp = ev.withColumn("conv_seq",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+        .filter(col("conv_seq") >= 1L) // trailing touches: no conversion yet
+      val convs = grp.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("conv_seq"), col("cents"))
+      val touches = grp.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("conv_seq"), col("tus"),
+          col("event_id"), col("event_type"))
+      val tstats = touches.groupBy(col("user_id"), col("conv_seq"))
+        .agg(count(lit(1)).as("n_touch"),
+          min(struct(col("tus"), col("event_id"))).as("first_t"))
+      val joined = convs.join(tstats, Seq("user_id", "conv_seq"), "left")
+      val direct = joined.filter(col("n_touch").isNull)
+        .agg(count(lit(1)).as("n_attr"),
+          Exact.exactIntSum(col("cents")).cast("long").as("attr_cents"))
+        .select(lit("direct").as("channel"), col("n_attr"), col("attr_cents"))
+      val attributed = touches
+        .join(joined.filter(col("n_touch").isNotNull)
+          .select(col("user_id"), col("conv_seq"), col("cents"),
+            col("n_touch"), col("first_t")),
+          Seq("user_id", "conv_seq"))
+        .withColumn("share",
+          expr("cents div n_touch") +
+            when(struct(col("tus"), col("event_id")) === col("first_t"),
+              col("cents") - expr("cents div n_touch") * col("n_touch"))
+              .otherwise(0L))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_attr"),
+          Exact.exactIntSum(col("share")).cast("long").as("attr_cents"))
+      attributed.unionByName(direct)
+        .filter(col("n_attr") > 0L) // an empty direct bucket stays absent
+        .orderBy(col("channel").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      e AS (SELECT user_id, tus, event_id, event_type,
+                   CAST(round(value * 100.0) AS BIGINT) AS cents
+            FROM ev WHERE event_type IN ('view', 'click', 'purchase')
+              AND CAST(round(value * 100.0) AS BIGINT) >= 0),
+      g AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY tus DESC, event_id DESC
+                              ROWS UNBOUNDED PRECEDING) AS conv_seq
+            FROM e),
+      gg AS (SELECT * FROM g WHERE conv_seq >= 1),
+      convs AS (SELECT user_id, conv_seq, cents FROM gg
+                WHERE event_type = 'purchase'),
+      touches AS (SELECT user_id, conv_seq, tus, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id, conv_seq
+                                            ORDER BY tus ASC, event_id ASC)
+                           AS trk
+                  FROM gg WHERE event_type <> 'purchase'),
+      tstats AS (SELECT user_id, conv_seq, count(*) AS n_touch
+                 FROM touches GROUP BY 1, 2),
+      joined AS (SELECT c.user_id, c.conv_seq, c.cents, t.n_touch
+                 FROM convs c LEFT JOIN tstats t
+                   ON c.user_id = t.user_id AND c.conv_seq = t.conv_seq),
+      direct AS (SELECT 'direct' AS channel, count(*) AS n_attr,
+                        CAST(sum(cents) AS BIGINT) AS attr_cents
+                 FROM joined WHERE n_touch IS NULL),
+      attributed AS (
+        SELECT t.event_type AS channel, count(*) AS n_attr,
+               CAST(sum(j.cents // j.n_touch +
+                 CASE WHEN t.trk = 1
+                      THEN j.cents - (j.cents // j.n_touch) * j.n_touch
+                      ELSE 0 END) AS BIGINT) AS attr_cents
+        FROM touches t JOIN joined j
+          ON t.user_id = j.user_id AND t.conv_seq = j.conv_seq
+          AND j.n_touch IS NOT NULL
+        GROUP BY 1)
+      SELECT channel, n_attr, attr_cents FROM attributed
+      UNION ALL
+      SELECT channel, n_attr, attr_cents FROM direct WHERE n_attr > 0
+      ORDER BY channel ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -889,7 +1031,9 @@ object EventQueries {
     "q100_histogram" -> q100,
     "q101_seasonality" -> q101,
     "q102_cusum" -> q102,
-    "q105_rolling_week" -> q105)
+    "q105_rolling_week" -> q105,
+    "q123_rolling_dau" -> q123,
+    "q124_attribution" -> q124)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
