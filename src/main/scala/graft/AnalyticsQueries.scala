@@ -451,6 +451,78 @@ object AnalyticsQueries {
       FROM o WHERE rank <= 3
       ORDER BY priority ASC, rank ASC"""))
 
+  // --- q128: referential-integrity audit --------------------------------
+  // The warehouse health check a medallion pipeline runs before
+  // promoting silver→gold: for every FK relationship, orphaned child
+  // keys (anti-join child→parent) and unreferenced parent keys
+  // (anti-join parent→child). Both sides reduce to DISTINCT key sets
+  // first, so every join is key-only — the shuffle carries keys, never
+  // rows; at 100 TB this is |keys| work regardless of fact width.
+  // Orphans are 0 on consistent TPC-H data (the audit PROVES it);
+  // unreferenced counts are the non-trivial side (parts never ordered,
+  // customers without orders).
+  private val q128 = Q(
+    (spark, dir) => {
+      def keys(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.select(col(c).as("k")).distinct()
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          keys(Tables.lineitem(spark, dir), "l_orderkey"),
+          keys(Tables.orders(spark, dir), "o_orderkey")),
+        ("lineitem.l_partkey->part.p_partkey",
+          keys(Tables.lineitem(spark, dir), "l_partkey"),
+          keys(Tables.part(spark, dir), "p_partkey")),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          keys(Tables.lineitem(spark, dir), "l_suppkey"),
+          keys(Tables.supplier(spark, dir), "s_suppkey")),
+        ("orders.o_custkey->customer.c_custkey",
+          keys(Tables.orders(spark, dir), "o_custkey"),
+          keys(Tables.customer(spark, dir), "c_custkey")),
+        ("customer.c_nationkey->nation.n_nationkey",
+          keys(Tables.customer(spark, dir), "c_nationkey"),
+          keys(Tables.nation(spark, dir), "n_nationkey")))
+      rels.map { case (name, child, parent) =>
+        val orphans = child.join(parent, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_keys"))
+        val unreferenced = parent.join(child, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_unreferenced_parents"))
+        val sizes = child.agg(count(lit(1)).as("n_child_keys"))
+          .crossJoin(parent.agg(count(lit(1)).as("n_parent_keys")))
+        sizes.crossJoin(orphans).crossJoin(unreferenced)
+          .select(lit(name).as("relationship"), col("n_child_keys"),
+            col("n_parent_keys"), col("n_orphan_keys"),
+            col("n_unreferenced_parents"))
+      }.reduce(_ unionByName _).orderBy(col("relationship").asc)
+    },
+    Some {
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          "SELECT DISTINCT l_orderkey AS k FROM lineitem",
+          "SELECT DISTINCT o_orderkey AS k FROM orders"),
+        ("lineitem.l_partkey->part.p_partkey",
+          "SELECT DISTINCT l_partkey AS k FROM lineitem",
+          "SELECT DISTINCT p_partkey AS k FROM part"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          "SELECT DISTINCT l_suppkey AS k FROM lineitem",
+          "SELECT DISTINCT s_suppkey AS k FROM supplier"),
+        ("orders.o_custkey->customer.c_custkey",
+          "SELECT DISTINCT o_custkey AS k FROM orders",
+          "SELECT DISTINCT c_custkey AS k FROM customer"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          "SELECT DISTINCT c_nationkey AS k FROM customer",
+          "SELECT DISTINCT n_nationkey AS k FROM nation"))
+      rels.map { case (name, child, parent) =>
+        s"""SELECT '$name' AS relationship,
+              (SELECT count(*) FROM ($child) c) AS n_child_keys,
+              (SELECT count(*) FROM ($parent) p) AS n_parent_keys,
+              (SELECT count(*) FROM ($child) c
+               WHERE k NOT IN (SELECT k FROM ($parent) p)) AS n_orphan_keys,
+              (SELECT count(*) FROM ($parent) p
+               WHERE k NOT IN (SELECT k FROM ($child) c))
+                AS n_unreferenced_parents"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship ASC")
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -459,5 +531,6 @@ object AnalyticsQueries {
     "q120_rfm" -> q120,
     "q121_snapshot_diff" -> q121,
     "q122_group_quantiles" -> q122,
-    "q125_topk_group" -> q125)
+    "q125_topk_group" -> q125,
+    "q128_fk_audit" -> q128)
 }

@@ -1013,6 +1013,90 @@ object EventQueries {
       SELECT channel, n_attr, attr_cents FROM direct WHERE n_attr > 0
       ORDER BY channel ASC"""))
 
+  // --- q126: top converting paths (ordered event-type sequences) --------
+  // "Which journeys do users actually take?" — the path report behind
+  // q94's fixed funnel: per (user, day), the time-ordered event-type
+  // sequence as a '>'-joined string, then the 10 most common paths.
+  // collect_list buffers ONE user-day's events (bounded by per-user
+  // daily activity, never corpus-sized); array_sort on (tus, event_id)
+  // structs makes the order total, so the path string is deterministic
+  // and the oracle states it as string_agg(... ORDER BY tus, event_id).
+  // Top-10 compiles to TakeOrderedAndProject over the path counts —
+  // |distinct paths| rows, no global sort.
+  private val q126 = Q(
+    (spark, dir) => {
+      val s = events(spark, dir).select(col("user_id"),
+        to_date(col("tus")).as("day"), col("tus"), col("event_id"),
+        col("event_type"))
+      val paths = s.groupBy(col("user_id"), col("day"))
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(tus, event_id, event_type))), x -> x.event_type), '>')")
+          .as("path"))
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_user_days").desc, col("path").asc)
+        .limit(10)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      paths AS (
+        SELECT user_id, CAST(tus AS DATE) AS day,
+               string_agg(event_type, '>' ORDER BY tus ASC, event_id ASC)
+                 AS path
+        FROM ev GROUP BY 1, 2)
+      SELECT path, count(*) AS n_user_days,
+             count(DISTINCT user_id) AS n_users
+      FROM paths GROUP BY 1
+      ORDER BY n_user_days DESC NULLS LAST, path ASC
+      LIMIT 10"""))
+
+  // --- q127: event debounce (keep-first within burst sessions) ----------
+  // Telemetry dedup: repeated (user, type) events chaining closer than
+  // 60 s are one burst; only the burst's first event is kept. Bursts
+  // ARE session windows per (user_id, event_type) — the chain rule
+  // (each event extends the window) is exactly debounce semantics, so
+  // the kept event is min(tus, event_id) per session and the oracle
+  // replays it with the q30 lag+cumsum island form. Scale: one shuffle
+  // on the high-cardinality (user, type) key; session state is
+  // per-group and time-bounded (this is also the streaming-ready
+  // shape — session_window works under watermarks unchanged).
+  private val q127 = Q(
+    (spark, dir) => {
+      events(spark, dir)
+        .groupBy(session_window(col("tus"), "60 seconds"), col("user_id"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          Exact.exactIntSum(col("n")).cast("long").as("n_events"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          (col("n_events") - col("n_kept")).as("n_dropped"))
+        .orderBy(col("event_type").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      g AS (
+        SELECT user_id, event_type, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                      OR tus - lag(tus) OVER w > INTERVAL 60 SECOND
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY tus ASC NULLS FIRST)),
+      s AS (
+        SELECT user_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY tus ASC NULLS FIRST
+                                 ROWS UNBOUNDED PRECEDING) AS burst
+        FROM g),
+      b AS (SELECT event_type, count(*) AS n
+            FROM s GROUP BY event_type, user_id, burst)
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+             count(*) AS n_kept,
+             CAST(sum(n) AS BIGINT) - count(*) AS n_dropped
+      FROM b GROUP BY 1 ORDER BY event_type ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1033,7 +1117,9 @@ object EventQueries {
     "q102_cusum" -> q102,
     "q105_rolling_week" -> q105,
     "q123_rolling_dau" -> q123,
-    "q124_attribution" -> q124)
+    "q124_attribution" -> q124,
+    "q126_top_paths" -> q126,
+    "q127_debounce" -> q127)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
