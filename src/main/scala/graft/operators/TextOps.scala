@@ -312,7 +312,13 @@ object TextOps {
   def containmentPairs(df: DataFrame, id: String, text: String,
                        tNum: Int, tDen: Int, n: Int = 3): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen")
-    val ex = explodedShingles(df, id, text, n).distinct()
+    // Materialize the tokenize+shingle scan ONCE (the GraphOps rule: a
+    // self-join must not re-run its expensive input): ex feeds the size
+    // and document-frequency aggregates, the prefix window, the
+    // inverted-index candidate join, AND (via collect_set) both sides
+    // of the exact verification — six references that would otherwise
+    // each re-tokenize the corpus.
+    val ex = explodedShingles(df, id, text, n).distinct().localCheckpoint()
     val sizes = ex.groupBy(col(id)).agg(count(lit(1)).as("__nsh"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -332,7 +338,9 @@ object TextOps {
       .join(sizes.select(col(id).as("b_id"), col("__nsh").as("__nb")), Seq("b_id"))
       .filter(col("__nb") >= col("__alpha"))
       .select(col("a_id"), col("b_id"))
-    val sets = shingleSets(df, id, text, n)
+    // ex is already the DISTINCT per-doc shingle list, so collect_set
+    // over it equals shingleSets(df) without another corpus scan
+    val sets = ex.groupBy(col(id)).agg(collect_set(col("s")).as("sh"))
     cand
       .join(sets.select(col(id).as("a_id"), col("sh").as("__sha")), Seq("a_id"))
       .join(sets.select(col(id).as("b_id"), col("sh").as("__shb")), Seq("b_id"))
