@@ -523,6 +523,63 @@ object AnalyticsQueries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship ASC")
     })
 
+  // --- q130: equi-depth bucketing from sort-free exact cut points -------
+  // Feature binning / histogram-equalization over a continuous column:
+  // 8 buckets holding (as nearly as duplicates allow) n/8 rows each.
+  // The cut points are q117's multi-probe Selection (7 ranks answered
+  // in ~10 cached scans — NO global sort, NO ntile window over the
+  // corpus), and bucket assignment is a broadcast-free literal CASE
+  // chain (7 comparisons, whole-stage codegen). The deterministic rule
+  // "bucket b ⇔ x ≤ cut_b, last bucket open-ended" is stated
+  // identically in the oracle, which derives the same cuts by
+  // row_number selection. The shuffle story at 100 TB: one narrow
+  // column cached, ~10 aggregate passes, one final 8-group aggregate.
+  private val EqdB = 8
+
+  private val q130 = Q(
+    (spark, dir) => {
+      val v = Tables.lineitem(spark, dir)
+        .select(Exact.quantize(col("l_extendedprice")).as("cents"))
+        .persist()
+      try {
+        val n = v.count()
+        val ranks = (1 until EqdB).map(i =>
+          Selection.discreteRank(n, i.toLong, EqdB.toLong))
+        val got = Selection.kthSmallestMulti(v, col("cents"), ranks.distinct)
+        val cuts = ranks.map(got) // ascending by construction
+        val bucket = cuts.zipWithIndex.foldRight(lit(EqdB.toLong)) {
+          case ((c, i), acc) =>
+            when(col("cents") <= c, lit((i + 1).toLong)).otherwise(acc)
+        }
+        v.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"),
+            Exact.exactIntSum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy(col("bucket").asc)
+      } finally v.unpersist()
+    },
+    Some {
+      val cutDefs = (1 until EqdB).map(i =>
+        s"max(CASE WHEN rn = GREATEST(1, ($i * n + ${EqdB - 1}) // $EqdB) " +
+          s"THEN cents END) AS c$i").mkString(",\n               ")
+      val chain = (1 until EqdB).map(i =>
+        s"WHEN v.cents <= cuts.c$i THEN $i").mkString(" ")
+      s"""
+      WITH v AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+                 FROM lineitem),
+      r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                   count(*) OVER () AS n
+            FROM v),
+      cuts AS (SELECT $cutDefs FROM r)
+      SELECT CAST(CASE $chain ELSE $EqdB END AS BIGINT) AS bucket,
+             count(*) AS n_rows, min(v.cents) AS lo_cents,
+             max(v.cents) AS hi_cents,
+             CAST(sum(v.cents) AS BIGINT) AS sum_cents
+      FROM v CROSS JOIN cuts
+      GROUP BY 1 ORDER BY bucket ASC"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -532,5 +589,6 @@ object AnalyticsQueries {
     "q121_snapshot_diff" -> q121,
     "q122_group_quantiles" -> q122,
     "q125_topk_group" -> q125,
-    "q128_fk_audit" -> q128)
+    "q128_fk_audit" -> q128,
+    "q130_equidepth" -> q130)
 }

@@ -1097,6 +1097,80 @@ object EventQueries {
              CAST(sum(n) AS BIGINT) - count(*) AS n_dropped
       FROM b GROUP BY 1 ORDER BY event_type ASC"""))
 
+  // --- q129: sliding-window distinct via MERGEABLE KMV sketches ---------
+  // The scale path q123's exact fanout is judged against: exact
+  // trailing-window COUNT DISTINCT pays O(window x user-days) and a
+  // distinct aggregate per day; the sketch form carries ONE bottom-k
+  // array per day (k longs), and the window union is a bottom-k merge
+  // of ≤ 7 sketches — valid because bottom-k of a union equals
+  // bottom-k of the per-day bottom-k's union (every one of the k
+  // smallest of the union is in its own day's bottom-k). At 100 TB the
+  // per-day state is k longs regardless of users; only the one
+  // (user, day) dedup scan grows. Both the exact count and the
+  // estimate ship in the output, so the error is observable row by
+  // row. k = 16 keeps the estimator branch (not just the exact-below-k
+  // branch) exercised at the sf0.01 oracle scale. Shares the q58/q61
+  // Kmv algebra by construction (operators/Kmv — single-sketch
+  // discipline), and the oracle replays hash/rank/estimate verbatim.
+  private val WkmvK = 16
+
+  private val q129 = Q(
+    (spark, dir) => {
+      import graft.operators.Kmv
+      val ud = events(spark, dir)
+        .select(col("user_id"), to_date(col("tus")).as("day")).distinct()
+        .localCheckpoint() // feeds the sketch side AND the exact side
+      val days = ud.select(col("day")).distinct()
+      val perDay = ud
+        .select(col("day"),
+          Kmv.hash60(col("user_id").cast("string")).as("hv"))
+        .groupBy(col("day")).agg(Kmv.sketch(col("hv"), WkmvK).as("kmv"))
+      val winSketch = perDay
+        .select(explode(sequence(lit(0), lit(6))).as("j"), col("day"), col("kmv"))
+        .select(date_add(col("day"), col("j")).as("day"), col("kmv"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        // ≤ 7 arrays of ≤ k longs per group: bounded collect, then the
+        // bottom-k-of-union trim (the Kmv.mergeArrays law, n-ary)
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, WkmvK).as("kmv"))
+      val exact = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("j"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("j")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7"))
+      exact.join(winSketch, Seq("day"))
+        .select(col("day"), col("wau7"),
+          size(col("kmv")).cast("long").as("kmv_n"),
+          element_at(col("kmv"), -1).as("kmv_kth"),
+          Kmv.estimate(col("kmv"), WkmvK).as("est_wau7"))
+        .orderBy(col("day").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      ud AS (SELECT DISTINCT user_id, CAST(tus AS DATE) AS day FROM ev),
+      days AS (SELECT DISTINCT day FROM ud),
+      win AS (SELECT d.day AS rday, u.user_id
+              FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day),
+      exact AS (SELECT rday, count(DISTINCT user_id) AS wau7
+                FROM win GROUP BY 1),
+      h AS (SELECT DISTINCT rday,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS hv
+            FROM win),
+      r AS (SELECT rday, hv,
+                   row_number() OVER (PARTITION BY rday ORDER BY hv ASC) AS rn
+            FROM h),
+      kv AS (SELECT rday, count(*) AS kmv_n, max(hv) AS kmv_kth
+             FROM r WHERE rn <= $WkmvK GROUP BY 1)
+      SELECT e.rday AS day, e.wau7, kv.kmv_n, kv.kmv_kth,
+             CASE WHEN kv.kmv_n < $WkmvK THEN CAST(kv.kmv_n AS DOUBLE)
+                  ELSE ${WkmvK - 1}.0 * 1152921504606846976.0
+                       / CAST(kv.kmv_kth AS DOUBLE) END AS est_wau7
+      FROM exact e JOIN kv ON e.rday = kv.rday
+      ORDER BY day ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1119,7 +1193,8 @@ object EventQueries {
     "q123_rolling_dau" -> q123,
     "q124_attribution" -> q124,
     "q126_top_paths" -> q126,
-    "q127_debounce" -> q127)
+    "q127_debounce" -> q127,
+    "q129_window_kmv" -> q129)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
