@@ -929,46 +929,12 @@ object EventQueries {
   // construction: Σ attributed = Σ converted cents (smoke-asserted).
   private val q124 = Q(
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(spark, dir)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"), col("tus"), col("event_id"),
-          col("event_type"), Exact.quantize(col("value")).as("cents"))
-        .filter(col("cents") >= 0L) // keeps div/floor-div engine-equal
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus").desc, col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val grp = ev.withColumn("conv_seq",
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
-        .filter(col("conv_seq") >= 1L) // trailing touches: no conversion yet
-      val convs = grp.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("conv_seq"), col("cents"))
-      val touches = grp.filter(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("conv_seq"), col("tus"),
-          col("event_id"), col("event_type"))
-      val tstats = touches.groupBy(col("user_id"), col("conv_seq"))
-        .agg(count(lit(1)).as("n_touch"),
-          min(struct(col("tus"), col("event_id"))).as("first_t"))
-      val joined = convs.join(tstats, Seq("user_id", "conv_seq"), "left")
-      val direct = joined.filter(col("n_touch").isNull)
-        .agg(count(lit(1)).as("n_attr"),
-          Exact.exactIntSum(col("cents")).cast("long").as("attr_cents"))
-        .select(lit("direct").as("channel"), col("n_attr"), col("attr_cents"))
-      val attributed = touches
-        .join(joined.filter(col("n_touch").isNotNull)
-          .select(col("user_id"), col("conv_seq"), col("cents"),
-            col("n_touch"), col("first_t")),
-          Seq("user_id", "conv_seq"))
-        .withColumn("share",
-          expr("cents div n_touch") +
-            when(struct(col("tus"), col("event_id")) === col("first_t"),
-              col("cents") - expr("cents div n_touch") * col("n_touch"))
-              .otherwise(0L))
-        .groupBy(col("event_type").as("channel"))
-        .agg(count(lit(1)).as("n_attr"),
-          Exact.exactIntSum(col("share")).cast("long").as("attr_cents"))
-      attributed.unionByName(direct)
-        .filter(col("n_attr") > 0L) // an empty direct bucket stays absent
+      // kernel lives in operators/Attribution so the streaming twin
+      // (AttributionStream) shares one definition by construction
+      operators.Attribution.linearTotals(
+          events(spark, dir).select(col("user_id"), col("tus"),
+            col("event_id"), col("event_type"),
+            Exact.quantize(col("value")).as("cents")))
         .orderBy(col("channel").asc)
     },
     Some(s"""
@@ -1171,6 +1137,73 @@ object EventQueries {
       FROM exact e JOIN kv ON e.rday = kv.rday
       ORDER BY day ASC"""))
 
+  // --- q131: PERSONALIZED PageRank (seed-teleport affinity) -------------
+  // "Which users are closest to purchasing?" — q76's integer PageRank
+  // with initial mass and teleport restricted to a seed (the
+  // 't:purchase' node of the user/event-type bipartite graph), so
+  // ranks become seed AFFINITY instead of global centrality (the
+  // recommendation/expansion primitive). Same fixed-iteration integer
+  // replay discipline: the oracle unrolls the three iterations with
+  // the seed CASE in the init and teleport terms; plan shape is
+  // unchanged from q76 (one edges⋈ranks shuffle + one agg per
+  // iteration).
+  private val PprSeed = "t:purchase"
+
+  private val q131 = Q(
+    (spark, dir) => {
+      val s = spark
+      import s.implicits._
+      val pairs = Tables.events(spark, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = pairs.select(col("u").as("s"), col("t").as("d"))
+        .unionByName(pairs.select(col("t").as("s"), col("u").as("d")))
+      operators.GraphOps.pageRankInt(edges, "s", "d", iters = 3,
+          seeds = Some(Seq(PprSeed).toDF("node")))
+        .filter(col("node").startsWith("u:"))
+        .orderBy(col("rank").desc_nulls_last, col("node"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+               't:' || event_type AS t
+        FROM events),
+      e AS (SELECT u AS s, t AS d FROM pairs
+            UNION ALL
+            SELECT t AS s, u AS d FROM pairs),
+      deg AS (SELECT s, count(*) AS od FROM e GROUP BY 1),
+      r0 AS (SELECT s AS node,
+                    CAST(CASE WHEN s = '$PprSeed' THEN 1000000 ELSE 0 END
+                      AS BIGINT) AS rank
+             FROM deg),
+      c1 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r0 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r1 AS (SELECT g.s AS node,
+                    CAST(CASE WHEN g.s = '$PprSeed' THEN 150000 ELSE 0 END
+                         + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c1 c ON g.s = c.d),
+      c2 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r1 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r2 AS (SELECT g.s AS node,
+                    CAST(CASE WHEN g.s = '$PprSeed' THEN 150000 ELSE 0 END
+                         + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c2 c ON g.s = c.d),
+      c3 AS (SELECT e.d, sum(r.rank // g.od) AS m
+             FROM e JOIN r2 r ON e.s = r.node JOIN deg g ON e.s = g.s
+             GROUP BY 1),
+      r3 AS (SELECT g.s AS node,
+                    CAST(CASE WHEN g.s = '$PprSeed' THEN 150000 ELSE 0 END
+                         + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             FROM deg g LEFT JOIN c3 c ON g.s = c.d)
+      SELECT node, rank FROM r3
+      WHERE node LIKE 'u:%'
+      ORDER BY rank DESC NULLS LAST, node ASC NULLS FIRST
+      LIMIT 20"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1194,7 +1227,8 @@ object EventQueries {
     "q124_attribution" -> q124,
     "q126_top_paths" -> q126,
     "q127_debounce" -> q127,
-    "q129_window_kmv" -> q129)
+    "q129_window_kmv" -> q129,
+    "q131_ppr" -> q131)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

@@ -128,13 +128,25 @@ object GraphOps {
     * localCheckpoint materialized by the next iteration's job.
     */
   def pageRankInt(edges: DataFrame, src: String, dst: String,
-                  iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+                  iters: Int = 3, scale: Long = 1000000L,
+                  seeds: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
       .localCheckpoint() // eager: scanned `iters` times + deg + nodes
-    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    val deg0 = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    // PERSONALIZED variant: with a seed set, initial mass and the
+    // teleport term land only on seeds (sf = 1) — ranks become seed
+    // affinity instead of global centrality. The uniform case is
+    // sf = 1 everywhere, reproducing classic PageRank bit-for-bit.
+    val deg = (seeds match {
+      case Some(sd) => deg0.join(
+          sd.toDF("s").withColumn("__sf", lit(1L)), Seq("s"), "left")
+        .select(col("s"), col("od"), coalesce(col("__sf"), lit(0L)).as("sf"))
+      case None => deg0.select(col("s"), col("od"), lit(1L).as("sf"))
+    }).localCheckpoint() // eager: joined every iteration
     // deg's key set IS the node set (no-dangling precondition): carry
     // out-degree with the rank vector so the loop joins ranks once.
-    var ranks = deg.select(col("s").as("node"), lit(scale).as("rank"), col("od"))
+    var ranks = deg.select(col("s").as("node"),
+      (lit(scale) * col("sf")).as("rank"), col("od"))
     val n = ranks.count()
     require(85L * n * scale > 0 && n < Long.MaxValue / (100L * scale),
       s"pageRankInt overflow bound: n=$n nodes at scale=$scale")
@@ -147,7 +159,7 @@ object GraphOps {
       ranks = deg
         .join(contrib.withColumnRenamed("d", "s"), Seq("s"), "left")
         .select(col("s").as("node"),
-          (lit(teleport) +
+          (lit(teleport) * col("sf") +
             Sampling.ldiv(lit(85L) * coalesce(col("inmass"), lit(0L)), lit(100L)))
             .as("rank"),
           col("od"))
@@ -165,16 +177,15 @@ object GraphOps {
     * Montresor et al., "Distributed k-core decomposition", with a
     * synchronous whole-graph round instead of per-node messages).
     *
-    * Per round: one explode+hash-agg for degrees (shuffle by node) and
-    * two semi-joins to drop edges with a deleted endpoint (shuffle by
-    * endpoint; the survivor set is node-sized and AQE broadcasts it once
-    * it shrinks). Round count is the cascade depth — bounded by the
-    * graph's degeneracy ordering, tens of rounds on real graphs — and
-    * each round costs O(surviving edges), so total work is O(m · rounds)
-    * with rounds ≪ n. Convergence is detected from the edge count the
-    * lineage-cutting checkpoint materializes anyway (edge counts
-    * strictly decrease until the fixpoint): ONE job per round, the same
-    * discipline as [[connectedComponents]].
+    * Per round (since round 7, INCREMENTAL degree maintenance): the
+    * edge set is scanned map-side against the round's bad set but never
+    * rewritten — degrees live in a node-cardinality table and each
+    * round subtracts the edges survivors shared with the freshly peeled
+    * nodes, so round cost is one edge scan + node-table work instead of
+    * an edge-set rewrite. Round count is the cascade depth — bounded by
+    * the graph's degeneracy ordering, tens of rounds on real graphs.
+    * Convergence is the bad set coming up empty, checked BEFORE any
+    * join is paid; the peeled core materializes ONCE at the end.
     *
     * Returns (core edges canonicalized u<v, converged-within-maxIter).
     * `converged = false` still returns a well-defined result — exactly
