@@ -826,6 +826,90 @@ object CorpusQueries {
       ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS FIRST
       LIMIT 15"""))
 
+  // --- q132: robust per-source length outliers (median/MAD fence) -------
+  // The curation filter that survives heavy-tailed corpora: mean/stddev
+  // fences (q60's profile moments) are dragged by the very outliers they
+  // are supposed to catch, so production length filters use the MEDIAN
+  // and the MAD (median absolute deviation) instead. Everything here is
+  // computed on the (source, n_chars) HISTOGRAM: one aggregate pass over
+  // the corpus, then two window cumsums and two conditional-min rank
+  // picks (the q122 bounded-domain discipline — the deviation domain is
+  // bounded by the length domain) over |sources| x |distinct lengths|
+  // rows, independent of document count. Both medians and the fence stay
+  // in scaled-integer space (med_x2 = 2 x median, mad_x4 = 4 x MAD, so
+  // even-count half-values are exact integers), and the 3-MAD rule
+  // |x - med| > 3 x MAD is compared as 2*|2x - med_x2| > 3*mad_x4 — no
+  // doubles anywhere, so Spark and the oracle agree bit-for-bit. At
+  // 100 TB the only corpus-sized work is the first map-side-combined
+  // histogram aggregate; med/mad are broadcast back onto the histogram,
+  // never onto the rows.
+  private val q132 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = docs(spark, dir)
+        .groupBy(col("source"), col("n_chars").cast("long").as("x"))
+        .agg(count(lit(1)).as("c"))
+      def ranked(hist: DataFrame, v: String) = {
+        val wc = Window.partitionBy(col("source")).orderBy(col(v).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      }
+      // 2 x median = value at rank ceil(n/2) + value at rank floor(n/2)+1
+      // (equal ranks when n is odd, so the middle value counts twice).
+      def med2(hist: DataFrame, v: String, out: String) =
+        ranked(hist, v).groupBy(col("source"), col("n"))
+          .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
+            + min(when(col("cum") >= expr("n div 2 + 1"), col(v)))).as(out))
+      val med = med2(h, "x", "med_x2")
+        .select(col("source"), col("n").as("n_docs"), col("med_x2"))
+      val dev = h.join(broadcast(med.select(col("source"), col("med_x2"))), "source")
+        .groupBy(col("source"), abs(lit(2) * col("x") - col("med_x2")).as("d2"))
+        .agg(sum(col("c")).as("c"))
+      val mad = med2(dev, "d2", "mad_x4").select(col("source"), col("mad_x4"))
+      med.join(broadcast(mad), "source").join(dev, "source")
+        .groupBy(col("source"), col("n_docs"), col("med_x2"), col("mad_x4"))
+        .agg(coalesce(sum(when(lit(2) * col("d2") > lit(3) * col("mad_x4"),
+            col("c"))), lit(0L)).cast("long").as("n_outliers"))
+        .orderBy(col("source").asc)
+    },
+    Some("""
+      WITH h AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT source, x, c,
+               sum(c) OVER (PARTITION BY source ORDER BY x ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM h),
+      med AS (
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN x END)
+               + min(CASE WHEN cum >= n // 2 + 1 THEN x END) AS med_x2
+        FROM cum GROUP BY source, n),
+      dev AS (
+        SELECT h.source, abs(2 * h.x - m.med_x2) AS d2,
+               CAST(sum(h.c) AS BIGINT) AS c
+        FROM h JOIN med m ON h.source = m.source GROUP BY 1, 2),
+      dcum AS (
+        SELECT source, d2, c,
+               sum(c) OVER (PARTITION BY source ORDER BY d2 ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM dev),
+      mad AS (
+        SELECT source,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN d2 END)
+               + min(CASE WHEN cum >= n // 2 + 1 THEN d2 END) AS mad_x4
+        FROM dcum GROUP BY source, n)
+      SELECT m.source, m.n_docs, m.med_x2, a.mad_x4,
+             CAST(COALESCE(sum(CASE WHEN 2 * d.d2 > 3 * a.mad_x4
+                                    THEN d.c END), 0) AS BIGINT) AS n_outliers
+      FROM med m JOIN mad a ON m.source = a.source
+      JOIN dev d ON d.source = m.source
+      GROUP BY 1, 2, 3, 4 ORDER BY m.source ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -838,5 +922,6 @@ object CorpusQueries {
     "q89_bigram_lm" -> q89,
     "q91_bm25_topk" -> q91,
     "q92_shard_assign" -> q92,
-    "q104_hybrid_rrf" -> q104)
+    "q104_hybrid_rrf" -> q104,
+    "q132_robust_outliers" -> q132)
 }

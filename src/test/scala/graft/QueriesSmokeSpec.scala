@@ -75,6 +75,29 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q132 histogram median/MAD equals the brute-force definition") {
+    val rows = Queries.queries("q132_robust_outliers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    def med2(sorted: Seq[Long]): Long = {
+      val n = sorted.length
+      sorted((n + 1) / 2 - 1) + sorted(n / 2)
+    }
+    rows.foreach { r =>
+      val xs = docs(r.getAs[String]("source"))
+      val m2 = med2(xs)
+      assert(r.getAs[Long]("med_x2") == m2)
+      val dev = xs.map(x => math.abs(2 * x - m2)).sorted
+      val m4 = med2(dev)
+      assert(r.getAs[Long]("mad_x4") == m4)
+      assert(r.getAs[Long]("n_outliers") == dev.count(d => 2 * d > 3 * m4))
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+    }
+  }
+
   test("q45+q47 leave no pinned storage in a plain session") {
     // the r4 verdict's persist-leak regression guard: the decontamination
     // core must not hand a third-party caller pinned cache entries
