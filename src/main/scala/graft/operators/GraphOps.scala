@@ -168,93 +168,153 @@ object GraphOps {
     ranks.select(col("node"), col("rank"))
   }
 
-  /** k-core extraction by ITERATIVE PEELING: repeatedly delete every
-    * node of degree < k (and its edges) until none remains — the unique
-    * maximal subgraph with all degrees ≥ k. The curation workhorse for
-    * graph-shaped corpora: spam/boilerplate link farms live in the
-    * shallow shells, dense communities in the deep cores (Seidman 1983;
-    * the distributed formulation is the Pregel-style peeling of
-    * Montresor et al., "Distributed k-core decomposition", with a
-    * synchronous whole-graph round instead of per-node messages).
+  /** Distinct undirected co-occurrence pairs (u < v): two items are
+    * linked when they appear under the same group key (same order, same
+    * document, same session). The naive form is the GROUP-KEYED
+    * self-join `a JOIN b ON a.g = b.g AND a.item < b.item`; this
+    * instead aggregates each group's distinct item set ONCE
+    * (map-side-combined collect_set) and explodes the i<j pairs
+    * map-side from the sorted array -- one shuffle of the input plus
+    * one shuffle to dedup the pair stream, with no join. Pair count is
+    * sum(|group|^2) either way -- quadratic in the largest group -- so
+    * the group cardinality (orders: a few items; sessions: bounded by
+    * activity) is the scale contract, exactly as for the self-join.
     *
-    * Per round (since round 7, INCREMENTAL degree maintenance): the
-    * edge set is scanned map-side against the round's bad set but never
-    * rewritten — degrees live in a node-cardinality table and each
-    * round subtracts the edges survivors shared with the freshly peeled
-    * nodes, so round cost is one edge scan + node-table work instead of
-    * an edge-set rewrite. Round count is the cascade depth — bounded by
-    * the graph's degeneracy ordering, tens of rounds on real graphs.
-    * Convergence is the bad set coming up empty, checked BEFORE any
-    * join is paid; the peeled core materializes ONCE at the end.
+    * Reference analog: the co-purchase graph queries derive edges this
+    * way from lineitem (see q87/q112/q116).
+    */
+  def coOccurrencePairs(df: DataFrame, group: String, item: String)
+      : DataFrame =
+    coOccurrenceRaw(df, group, item).distinct()
+
+  /** Co-occurrence pairs WITH multiplicity: (u, v, m) where m = number
+    * of distinct groups containing both items. Same one-aggregate
+    * derivation as [[coOccurrencePairs]]; the dedup shuffle becomes a
+    * count aggregate (map-side combined).
+    */
+  def coOccurrenceCounts(df: DataFrame, group: String, item: String)
+      : DataFrame =
+    coOccurrenceRaw(df, group, item)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("m"))
+
+  // one row per (group, unordered item pair): each group's distinct
+  // item set is aggregated once and the i<j pairs explode map-side
+  private def coOccurrenceRaw(df: DataFrame, group: String, item: String)
+      : DataFrame = {
+    df.groupBy(col(group))
+      .agg(sort_array(collect_set(col(item))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"), explode(slice(col("ps"), col("i") + 2,
+        greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("v"))
+  }
+
+  /** FUSED multi-k k-core peeling: repeatedly delete every node of
+    * degree < k (and its edges) until none remains -- the unique
+    * maximal subgraph with all degrees >= k (Seidman 1983; the
+    * distributed formulation is the synchronous-round peeling of
+    * Montresor et al., "Distributed k-core decomposition"). The
+    * curation workhorse for graph-shaped corpora: spam/boilerplate
+    * link farms live in the shallow shells, dense communities in the
+    * deep cores.
     *
-    * Returns (core edges canonicalized u<v, converged-within-maxIter).
-    * `converged = false` still returns a well-defined result — exactly
-    * `maxIter` peeling rounds, the fixed-R semantics a SQL oracle can
-    * replay by unrolling R rounds.
+    * All requested k values cascade in ONE tagged peel: the degree
+    * table carries a k column, every round computes each k's bad set,
+    * routes decrements through a shared adjacency table, and updates
+    * all k's degrees in a single materialization. Wall-clock is
+    * max-cascade-depth rounds instead of sum-of-per-k rounds -- round
+    * count is what dominates iterative graph work on a cluster (each
+    * round is one small shuffle; the latency is the scheduling, not
+    * the data). The edge set is NEVER rewritten: degrees live in the
+    * (k, n) table, decrements are one join of the adjacency table
+    * against the round's bad set. Every k starts from the FULL graph
+    * -- for converged ks that is indistinguishable from nested peeling
+    * (cores are nested), and in the round-capped non-converged regime
+    * it is exactly the semantics a SQL oracle replays by unrolling R
+    * rounds from the original edge set.
+    *
+    * Returns (final degree table (k, n, d) -- one row per node never
+    * peeled for that k, d = its count of surviving neighbors -- and a
+    * per-k converged flag). Core stats follow without touching edges
+    * again: n_edges = sum(d)/2, core nodes are the d > 0 rows (a d = 0
+    * survivor lost all neighbors in the final capped round and sits in
+    * no surviving edge). `converged = false` still returns a
+    * well-defined result -- exactly `maxIter` peeling rounds.
+    */
+  def kCoreDegrees(pairs: DataFrame, a: String, b: String, ks: Seq[Int],
+                   maxIter: Int = 12)
+      : (DataFrame, Map[Int, Boolean]) = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list: $ks")
+    val e = pairs.filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .distinct()
+      .localCheckpoint() // eager: read twice by the adjacency build
+    // Adjacency as (n, neighbor array): per round the decrement join
+    // scans NODE-count rows instead of 2x edge-count rows. Arrays are
+    // per-node degree-sized -- the same sum(deg) footprint as the edge
+    // set itself, so no new skew exposure beyond what the degree table
+    // already commits to.
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionByName(e.select(col("v").as("n"), col("u").as("nb")))
+      .groupBy(col("n")).agg(collect_list(col("nb")).as("nbs"))
+      .localCheckpoint() // eager: re-read every round
+    val kArr = array(ks.map(k => lit(k.toLong)): _*)
+    var deg = adj.select(col("n"), size(col("nbs")).cast("long").as("d"))
+      .crossJoin(e.sparkSession.range(0, ks.length).toDF("ki"))
+      .select(element_at(kArr, col("ki").cast("int") + 1).as("k"),
+        col("n"), col("d"))
+      .localCheckpoint()
+    val converged = scala.collection.mutable.Map(ks.map(_ -> false): _*)
+    var done = 0
+    var live = true
+    while (live && done < maxIter) {
+      // convergence reads the CACHED degree table -- checked before any
+      // round work is paid; a k whose bad set is empty has hit its
+      // fixpoint (its rows no-op through every later round)
+      val badCounts = deg.filter(col("d") < col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ks.foreach { k =>
+        if (badCounts.getOrElse(k.toLong, 0L) == 0L) converged(k) = true
+      }
+      live = badCounts.values.sum > 0L
+      if (live) {
+        val bad = deg.filter(col("d") < col("k")).select(col("k"), col("n"))
+        // decrements to ALIVE endpoints of edges that just lost their
+        // other endpoint; decrements landing on this round's own bad
+        // nodes are dropped with them by the anti-join (both-bad edges
+        // self-cancel). AQE broadcasts the bad side when small and
+        // falls back to a shuffle join when a round peels en masse.
+        val dec = adj.join(bad, Seq("n"))
+          .select(col("k"), explode(col("nbs")).as("n"))
+          .groupBy(col("k"), col("n")).agg(count(lit(1)).as("cut"))
+        deg = deg.join(bad, Seq("k", "n"), "left_anti")
+          .join(dec, Seq("k", "n"), "left")
+          .select(col("k"), col("n"),
+            (col("d") - coalesce(col("cut"), lit(0L))).as("d"))
+          .localCheckpoint() // eager: ONE materialization per round
+        done += 1
+      }
+    }
+    (deg, converged.toMap)
+  }
+
+  /** Single-k core EDGE SET (canonicalized u < v) + converged flag --
+    * the edge-materializing wrapper over [[kCoreDegrees]]: an edge
+    * survives iff both endpoints were never peeled.
     */
   def kCore(pairs: DataFrame, a: String, b: String, k: Int,
             maxIter: Int = 12): (DataFrame, Boolean) = {
-    var e = pairs.filter(col(a) =!= col(b))
+    val e = pairs.filter(col(a) =!= col(b))
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .distinct()
-      .localCheckpoint() // eager: the loop re-reads it
-    // INCREMENTAL degree maintenance — the peel's big-O insight: a
-    // round removes only the current below-k nodes (the cascade
-    // trickles: thousands of nodes against millions of edges), so the
-    // EDGE SET IS NEVER REWRITTEN inside the loop. Degrees live in a
-    // node-cardinality table; each round subtracts, from the survivors,
-    // the edges they shared with this round's bad set (two joins of the
-    // cached edge set against the tiny bad set — broadcast hint when it
-    // is provably small, so the scan is map-side with zero edge
-    // shuffle), and the peeled core materializes ONCE at the end. The
-    // previous form recomputed the degree aggregate from — and
-    // checkpoint-rewrote — the full edge set every round: at sf1 that
-    // put q112 at 73 s (12 x (17M-row explode + 9M-row rewrite) per
-    // k); with this form the whole query times 38 s, most of it the
-    // shared co-purchase edge build.
-    val broadcastBadMax = 100000L
-    var deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .localCheckpoint() // eager: node-sized, rewritten (tiny) per round
-    var removed = e.sparkSession.emptyDataFrame
-    var anyRemoved = false
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val bad = deg.filter(col("d") < k).select(col("n")).localCheckpoint()
-      val nBad = bad.count()
-      if (nBad == 0L) {
-        converged = true // fixpoint: nothing below k remains
-      } else {
-        val badSide = if (nBad <= broadcastBadMax) broadcast(bad) else bad
-        // decrements to ALIVE endpoints of edges that just lost their
-        // other endpoint; decrements landing on this round's own bad
-        // nodes are dropped with them (both-bad edges self-cancel)
-        val dec = e.join(badSide.withColumnRenamed("n", "u"), Seq("u"))
-          .select(col("v").as("n"))
-          .unionByName(e.join(badSide.withColumnRenamed("n", "v"), Seq("v"))
-            .select(col("u").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("cut"))
-        deg = deg
-          .join(badSide, Seq("n"), "left_anti")
-          .join(dec, Seq("n"), "left")
-          .select(col("n"), (col("d") - coalesce(col("cut"), lit(0L))).as("d"))
-          .localCheckpoint() // eager: node-sized
-        removed = if (anyRemoved) removed.unionByName(bad).localCheckpoint()
-          else bad
-        anyRemoved = true
-      }
-      i += 1
-    }
-    // ONE edge materialization for the whole peel (AQE broadcasts the
-    // removed set when small; for sparse graphs that peel away almost
-    // everything it falls back to a key-only shuffle join)
-    val core = if (!anyRemoved) e else e
-      .join(removed.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
-      .join(removed.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+    val (deg, conv) = kCoreDegrees(pairs, a, b, Seq(k), maxIter)
+    val surv = deg.select(col("n"))
+    val core = e
+      .join(surv.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(surv.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
       .select(col("u"), col("v")) // USING-joins move the key first; re-pin
       .localCheckpoint() // eager: callers fan out over the core
-    (core, converged)
+    (core, conv(k))
   }
 
   /** Exact triangle count by DEGREE ORIENTATION (the classic
@@ -293,6 +353,13 @@ object GraphOps {
     val oriented = toLower.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
+      // Pin the checkpoint's parallelism: the wedge join AMPLIFIES
+      // (input m rows, output Σ outdeg² rows), which AQE cannot see
+      // when it coalesces by INPUT size — a ~20 MB oriented table
+      // otherwise collapses to one partition and the wedge stream
+      // builds serially on a single task (4x the whole query at
+      // sf0.1). Hash-by-s also co-locates the out-degree aggregate.
+      .repartition(col("s"))
       .localCheckpoint(true) // sole pass over `e`; reused 4x below
     // The Σ outdeg² wedge stream is built ONCE, only for the closing
     // join; its cardinality is Σ_m indeg(m)·outdeg(m), a degree-table
