@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.operators.{GraphOps, Selection}
+import graft.operators.{GraphOps, Sampling, Selection}
 
 /** Analytics tier (q116-q122): graph distances, sort-free exact
   * selection, reshape (pivot/unpivot), ntile segmentation, CDC snapshot
@@ -578,6 +578,77 @@ object AnalyticsQueries {
       GROUP BY 1 ORDER BY bucket ASC"""
     })
 
+  // --- q133: association rules over co-purchase baskets -----------------
+  // Market-basket mining (Agrawal-Srikant): for every directed rule
+  // ante → cons emit support m (baskets containing both), confidence
+  // m/n_ante, and lift m·N/(n_ante·n_cons). All ratios are FLOOR-SCALED
+  // integers (ppm) so Spark and the oracle agree bit-for-bit: conf_ppm
+  // = (m·1e6) div n_ante, and lift_ppm = (conf_ppm·N) div n_cons — the
+  // two-step floor keeps every intermediate ≤ 1e6·N, overflow-safe to
+  // ~9e12 baskets (vs m·N·1e6 in one step which overflows at ~1e7).
+  // Floor-of-floor differs from floor-of-product by at most 1 ppm, and
+  // BOTH sides compute the identical expression, so the comparison is
+  // exact, not approximately-close.
+  //
+  // Scale shape: the basket-pair stream comes from
+  // GraphOps.coOccurrenceCounts (one set aggregate + map-side i<j
+  // explode — no self-join); item supports are one groupBy over the
+  // distinct (basket, item) pairs; the rule table is 2·|pairs| rows
+  // joined against the |items|-sized support table (AQE broadcasts it
+  // when small, falls back to a key shuffle when the catalog is huge).
+  // The min-support filter prunes BEFORE the join. Top-k serves via
+  // one bounded sort.
+  private val RuleMinSupport = 3
+  private val q133 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val items = li.distinct().groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val nBaskets = li.select(col("o")).distinct()
+        .agg(count(lit(1)).as("nb"))
+      val pairs = GraphOps.coOccurrenceCounts(li, "o", "p")
+        .filter(col("m") >= RuleMinSupport)
+      val rules = pairs.select(col("u").as("ante"), col("v").as("cons"), col("m"))
+        .unionByName(pairs.select(col("v").as("ante"), col("u").as("cons"), col("m")))
+      rules
+        .join(items.select(col("p").as("ante"), col("n").as("n_ante")), Seq("ante"))
+        .join(items.select(col("p").as("cons"), col("n").as("n_cons")), Seq("cons"))
+        .crossJoin(broadcast(nBaskets)) // single-row broadcast
+        .withColumn("conf_ppm",
+          Sampling.ldiv(col("m") * lit(1000000L), col("n_ante")))
+        .withColumn("lift_ppm",
+          Sampling.ldiv(col("conf_ppm") * col("nb"), col("n_cons")))
+        .select(col("ante"), col("cons"), col("m"), col("n_ante"),
+          col("n_cons"), col("conf_ppm"), col("lift_ppm"))
+        .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+          col("ante").asc, col("cons").asc)
+        .limit(15)
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      items AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM li),
+      pairs AS (
+        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS m
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= $RuleMinSupport),
+      rules AS (
+        SELECT u AS ante, v AS cons, m FROM pairs
+        UNION ALL
+        SELECT v AS ante, u AS cons, m FROM pairs),
+      scored AS (
+        SELECT r.ante, r.cons, r.m, ia.n AS n_ante, ic.n AS n_cons,
+               (r.m * 1000000) // ia.n AS conf_ppm
+        FROM rules r
+        JOIN items ia ON r.ante = ia.p
+        JOIN items ic ON r.cons = ic.p)
+      SELECT ante, cons, m, n_ante, n_cons, conf_ppm,
+             (conf_ppm * (SELECT nb FROM nb)) // n_cons AS lift_ppm
+      FROM scored
+      ORDER BY conf_ppm DESC NULLS LAST, lift_ppm DESC NULLS LAST,
+               ante ASC NULLS FIRST, cons ASC NULLS FIRST
+      LIMIT 15"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -588,5 +659,6 @@ object AnalyticsQueries {
     "q122_group_quantiles" -> q122,
     "q125_topk_group" -> q125,
     "q128_fk_audit" -> q128,
-    "q130_equidepth" -> q130)
+    "q130_equidepth" -> q130,
+    "q133_assoc_rules" -> q133)
 }

@@ -910,6 +910,58 @@ object CorpusQueries {
       JOIN dev d ON d.source = m.source
       GROUP BY 1, 2, 3, 4 ORDER BY m.source ASC"""))
 
+  // --- q134: next-merge candidates (one BPE training round) -------------
+  // "What would the tokenizer learn next?" — run the fixture BPE encoder
+  // over the corpus vocabulary, then count ADJACENT SYMBOL PAIRS of the
+  // fixpoint segmentations weighted by corpus word frequency. That is
+  // exactly one round of BPE training (Sennrich et al. 2016 §3): the
+  // top pair is the merge a tokenizer trained on this corpus would add
+  // next. By the fixpoint property no emitted pair is already in the
+  // merge table — the candidate set is automatically disjoint from the
+  // learned vocabulary.
+  //
+  // Scale shape: the encoder runs over DISTINCT words only (vocabulary
+  // ≪ corpus; the q24 discipline), as a codegen'd native expression —
+  // pair explosion is map-side (sum |segments| rows per word, bounded
+  // by word length), and the only corpus-sized work is the word-count
+  // aggregate. n_occ sums freq × in-word occurrences (training counts
+  // occurrences, not words); n_words is the distinct-word support.
+  private val q134 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val pairs = words
+        .withColumn("s", functions.Bpe.segmentsCol(col("w")))
+        .filter(size(col("s")) >= 2)
+        .select(col("w"), col("c"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+             i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"""))
+          .as("pr"))
+        .select(col("w"), col("c"), col("pr.lhs"), col("pr.rhs"))
+      pairs.groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("c")).as("n_occ"),
+          count_distinct(col("w")).as("n_words"))
+        .orderBy(col("n_occ").desc, col("lhs").asc, col("rhs").asc)
+        .limit(12)
+    },
+    Some(s"""
+      WITH RECURSIVE words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1),
+      ${functions.Bpe.oracleSegCte("words")},
+      pairs AS (
+        SELECT w, s[i] AS lhs, s[i + 1] AS rhs
+        FROM (SELECT w, s, unnest(range(1, len(s))) AS i
+              FROM bpe_seg WHERE len(s) >= 2))
+      SELECT p.lhs, p.rhs, CAST(sum(wc.c) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT p.w) AS BIGINT) AS n_words
+      FROM pairs p JOIN wc ON p.w = wc.w
+      GROUP BY 1, 2
+      ORDER BY n_occ DESC NULLS LAST, lhs ASC NULLS FIRST,
+               rhs ASC NULLS FIRST
+      LIMIT 12"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -923,5 +975,6 @@ object CorpusQueries {
     "q91_bm25_topk" -> q91,
     "q92_shard_assign" -> q92,
     "q104_hybrid_rrf" -> q104,
-    "q132_robust_outliers" -> q132)
+    "q132_robust_outliers" -> q132,
+    "q134_bpe_next_merges" -> q134)
 }

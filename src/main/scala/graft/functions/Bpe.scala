@@ -81,6 +81,19 @@ object Bpe {
       graft.plans.BpeCountLong(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(word)))
 
+  /** Static entry point for generated Java: the fixpoint segmentation
+    * as a Catalyst array value. */
+  def segmentsData(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      segment(s.toString).map(w => UTF8String.fromString(w): Any).toArray)
+
+  /** `bpe_segments(word): ARRAY<STRING>` as a codegen'd native
+    * expression. */
+  def segmentsCol(word: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BpeSegmentsArray(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(word)))
+
   /** DuckDB literal list of merge keys ('lhs|rhs' at list position
     * rank+1) — the oracle's rank lookup is
     * `NULLIF(list_position(<this>, a || '|' || b), 0)` (DuckDB's
@@ -111,6 +124,36 @@ object Bpe {
           WHERE list_min(rk) IS NOT NULL) g),
       bpe AS (
         SELECT w, CAST(len(s) AS BIGINT) AS n_bpe
+        FROM bpe_step
+        WHERE list_min(list_transform(range(1, len(s)),
+                i -> NULLIF(list_position($ml, s[i] || '|' || s[i+1]), 0))) IS NULL)"""
+  }
+
+  /** Like [[oracleCte]] but yields the full fixpoint SEGMENTATION
+    * `bpe_seg(w, s LIST<VARCHAR>)` instead of just its length — for
+    * oracles that need the symbol stream itself (e.g. q134's
+    * next-merge-candidate counts). Interpolate after `WITH RECURSIVE`;
+    * do not combine with [[oracleCte]] in one query (both define
+    * `bpe_step`). */
+  def oracleSegCte(wordsCte: String): String = {
+    val ml = sqlMergeList
+    s"""bpe_step AS (
+        SELECT w, list_transform(range(1, length(w) + 1),
+                 i -> w[i:i]) AS s
+        FROM (SELECT DISTINCT w FROM $wordsCte)
+        UNION ALL
+        SELECT w,
+               list_concat(list_concat(s[1:p-1], [s[p] || s[p+1]]), s[p+2:]) AS s
+        FROM (
+          SELECT w, s,
+                 list_position(rk, list_min(rk)) AS p
+          FROM (SELECT w, s,
+                       list_transform(range(1, len(s)),
+                         i -> NULLIF(list_position($ml, s[i] || '|' || s[i+1]), 0)) AS rk
+                FROM bpe_step) h
+          WHERE list_min(rk) IS NOT NULL) g),
+      bpe_seg AS (
+        SELECT w, s
         FROM bpe_step
         WHERE list_min(list_transform(range(1, len(s)),
                 i -> NULLIF(list_position($ml, s[i] || '|' || s[i+1]), 0))) IS NULL)"""

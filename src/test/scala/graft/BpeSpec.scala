@@ -53,4 +53,15 @@ class BpeSpec extends SparkSpec {
     assert(withNull.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
       == Set(1L, -1L), "null in -> null out")
   }
+
+  test("segments expression matches the kernel, null-safe") {
+    val vocab = Seq("spark", "thin", "batch", "zzz", "a", "grouping")
+    val got = vocab.toDF("w")
+      .select(col("w"), Bpe.segmentsCol(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    vocab.foreach(w => assert(got(w) == Bpe.segment(w), s"word $w"))
+    val withNull = Seq(Some("spark"), None).toDF("w")
+      .select(Bpe.segmentsCol(col("w")).as("s")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1, "null in -> null out")
+  }
 }

@@ -98,6 +98,55 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q133 rules match the brute-force basket definition") {
+    val rows = Queries.queries("q133_assoc_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+      .distinct.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val nB = baskets.size.toLong
+    val nItem = baskets.flatten.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    rows.foreach { r =>
+      val (a, c, m) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"),
+        r.getAs[Long]("m"))
+      val both = baskets.count(b => b(a) && b(c)).toLong
+      assert(m == both && m >= 3)
+      assert(r.getAs[Long]("n_ante") == nItem(a))
+      assert(r.getAs[Long]("n_cons") == nItem(c))
+      val conf = m * 1000000L / nItem(a)
+      assert(r.getAs[Long]("conf_ppm") == conf)
+      assert(r.getAs[Long]("lift_ppm") == conf * nB / nItem(c))
+    }
+  }
+
+  test("q134 pair counts match one brute-force BPE training round") {
+    val rows = Queries.queries("q134_bpe_next_merges")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wc = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val occ = collection.mutable.Map.empty[(String, String), Long]
+    val sup = collection.mutable.Map.empty[(String, String), Set[String]]
+    wc.foreach { case (w, c) =>
+      val s = functions.Bpe.segment(w)
+      s.indices.dropRight(1).foreach { i =>
+        val k = (s(i), s(i + 1))
+        occ(k) = occ.getOrElse(k, 0L) + c
+        sup(k) = sup.getOrElse(k, Set.empty) + w
+      }
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lhs"), r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("n_occ") == occ(k), s"occ for $k")
+      assert(r.getAs[Long]("n_words") == sup(k).size.toLong, s"words for $k")
+      // no candidate may already be a learned merge (fixpoint property)
+      assert(!functions.Bpe.Merges.contains(k), s"$k already merged")
+    }
+    assert(rows.map(_.getAs[Long]("n_occ")).toSeq ==
+      rows.map(_.getAs[Long]("n_occ")).sortBy(-_).toSeq)
+  }
+
   test("q45+q47 leave no pinned storage in a plain session") {
     // the r4 verdict's persist-leak regression guard: the decontamination
     // core must not hand a third-party caller pinned cache entries
