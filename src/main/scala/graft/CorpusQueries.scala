@@ -962,6 +962,131 @@ object CorpusQueries {
                rhs ASC NULLS FIRST
       LIMIT 12"""))
 
+  // --- q135: deterministic train/val/test split ---------------------------
+  // The split every training pipeline needs, done the way that stays
+  // STABLE as the corpus grows: each document's assignment is a pure
+  // hash threshold (bucket = md5-hash % 1000; <850 train, <925 val,
+  // else test), so adding documents never reassigns existing ones —
+  // unlike rank/percentile splits, which reshuffle the boundary on
+  // every ingest. The hash is salted ('split|' prefix) so assignment is
+  // independent of any other hash use of doc_id in the pipeline.
+  // Reported per (source, split): doc/char totals plus the realized
+  // fraction in ppm — integer-exact, so the oracle comparison is
+  // bit-for-bit. Everything is one map pass + one aggregate; no joins,
+  // no windows. frac_ppm uses the per-source total via a window over
+  // |sources|x3 aggregated rows, not over documents.
+  private val q135 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = pmod(Kmv.hash60(concat(lit("split|"), col("doc_id"))),
+        lit(1000L))
+      docs(spark, dir)
+        .select(col("source"), col("n_chars").cast("long").as("nc"),
+          when(bucket < 850, lit("train"))
+            .when(bucket < 925, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
+        .withColumn("frac_ppm", Sampling.ldiv(col("n_docs") * lit(1000000L),
+          sum(col("n_docs")).over(Window.partitionBy(col("source")))))
+        .orderBy(col("source").asc, col("split").asc)
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS nc,
+               CASE WHEN b < 850 THEN 'train'
+                    WHEN b < 925 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT source, n_chars,
+                     CAST(('0x' || substr(md5('split|' || doc_id), 1, 15))
+                       AS BIGINT) % 1000 AS b
+              FROM documents)),
+      agg AS (
+        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nc) AS BIGINT) AS n_chars
+        FROM d GROUP BY 1, 2)
+      SELECT source, split, n_docs, n_chars,
+             (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+               AS frac_ppm
+      FROM agg
+      ORDER BY source ASC NULLS FIRST, split ASC NULLS FIRST"""))
+
+  // --- q136: exact phrase search over positional postings ----------------
+  // Retrieval beyond bag-of-words (q80/q91): find EXACT phrase
+  // occurrences using the positional-postings discipline every search
+  // engine uses. The corpus explodes once into (doc, pos, term)
+  // postings; a phrase of length k matches at (doc, start) iff all k
+  // (offset, term) constraints hit — computed as ONE equi-join of the
+  // postings against the tiny (phrase, offset, term) constraint table
+  // (each posting row proposes start = pos - offset) plus ONE aggregate
+  // counting matched offsets per (phrase, doc, start). No per-phrase
+  // loop, no regex scan of the text, no self-join chain that would grow
+  // with k: cost is postings-that-match-any-phrase-term, independent of
+  // phrase count beyond the constraint table size. Positions are unique
+  // per (doc, pos), so count(*) = k is exact iff every offset matched —
+  // repeated words in a phrase need no special casing.
+  // Zero-hit phrases stay visible via the left join from the catalog.
+  private val Phrases: Seq[(String, Seq[String])] = Seq(
+    ("fast table", Seq("fast", "table")),
+    ("the fast scan", Seq("the", "fast", "scan")),
+    ("group value sort", Seq("group", "value", "sort")),
+    ("table table", Seq("table", "table")))
+  private val q136 = Q(
+    (spark, dir) => {
+      val postings = docs(spark, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+          .as(Seq("pos", "term")))
+      val constraints = spark.createDataFrame(
+        Phrases.flatMap { case (p, ws) =>
+          ws.zipWithIndex.map { case (w, i) => (p, i.toLong, w) }
+        }).toDF("phrase", "off", "term")
+      val catalog = spark.createDataFrame(
+        Phrases.map { case (p, ws) => (p, ws.length.toLong) })
+        .toDF("phrase", "k")
+      val hits = postings.join(broadcast(constraints), Seq("term"))
+        .select(col("phrase"), col("doc_id"),
+          (col("pos") - col("off")).as("start"))
+        .groupBy(col("phrase"), col("doc_id"), col("start"))
+        .agg(count(lit(1)).as("nmatch"))
+        .join(broadcast(catalog), Seq("phrase"))
+        .filter(col("nmatch") === col("k"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_hits"),
+          count_distinct(col("doc_id")).as("n_docs"))
+      broadcast(catalog).join(hits, Seq("phrase"), "left")
+        .select(col("phrase"), col("k"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("phrase").asc)
+    },
+    Some {
+      val cvals = Phrases.flatMap { case (p, ws) =>
+        ws.zipWithIndex.map { case (w, i) => s"('$p', $i, '$w')" }
+      }.mkString(", ")
+      val kvals = Phrases.map { case (p, ws) => s"('$p', ${ws.length})" }
+        .mkString(", ")
+      s"""
+      WITH postings AS (
+        SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      constraints(phrase, off, term) AS (VALUES $cvals),
+      catalog(phrase, k) AS (VALUES $kvals),
+      hits AS (
+        SELECT h.phrase, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT p.doc_id, c.phrase, p.pos - c.off AS start,
+                 count(*) AS nmatch
+          FROM postings p JOIN constraints c ON p.term = c.term
+          GROUP BY 1, 2, 3) h
+        JOIN catalog ON h.phrase = catalog.phrase AND h.nmatch = catalog.k
+        GROUP BY 1)
+      SELECT c.phrase, CAST(c.k AS BIGINT) AS k,
+             COALESCE(n_hits, 0) AS n_hits, COALESCE(n_docs, 0) AS n_docs
+      FROM catalog c LEFT JOIN hits ON c.phrase = hits.phrase
+      ORDER BY c.phrase ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -976,5 +1101,7 @@ object CorpusQueries {
     "q92_shard_assign" -> q92,
     "q104_hybrid_rrf" -> q104,
     "q132_robust_outliers" -> q132,
-    "q134_bpe_next_merges" -> q134)
+    "q134_bpe_next_merges" -> q134,
+    "q135_dataset_split" -> q135,
+    "q136_phrase_search" -> q136)
 }

@@ -147,6 +147,40 @@ class QueriesSmokeSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_occ")).sortBy(-_).toSeq)
   }
 
+  test("q135 split assignment is a pure stable hash threshold") {
+    val rows = Queries.queries("q135_dataset_split")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("frac_ppm")).sum <= 1000000L)
+      assert(rs.map(_.getAs[String]("split")).toSet
+        .subsetOf(Set("train", "val", "test")))
+    }
+    // stability: running twice yields identical assignment counts
+    val again = Queries.queries("q135_dataset_split")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q136 phrase hits match brute-force sliding windows") {
+    val rows = Queries.queries("q136_phrase_search")(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getString(1).split(" ", -1).toSeq)
+    rows.foreach { r =>
+      val ws = r.getAs[String]("phrase").split(" ").toSeq
+      var hits = 0L
+      var docsWith = 0L
+      texts.foreach { case (_, toks) =>
+        val n = toks.sliding(ws.length).count(_ == ws)
+        hits += n
+        if (n > 0) docsWith += 1
+      }
+      assert(r.getAs[Long]("n_hits") == hits, s"hits for '${ws.mkString(" ")}'")
+      assert(r.getAs[Long]("n_docs") == docsWith)
+      assert(r.getAs[Long]("k") == ws.length.toLong)
+    }
+  }
+
   test("q45+q47 leave no pinned storage in a plain session") {
     // the r4 verdict's persist-leak regression guard: the decontamination
     // core must not hand a third-party caller pinned cache entries
