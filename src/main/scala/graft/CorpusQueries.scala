@@ -22,7 +22,7 @@ object CorpusQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     if (d.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) d
-    else d.repartition(col("doc_id"))
+    else d.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   private def mgTerms(term: Column, k: Int): Column =

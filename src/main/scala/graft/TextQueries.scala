@@ -32,7 +32,7 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     if (d.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) d
-    else d.repartition(col("doc_id"))
+    else d.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   private val shingleSqlCte =
@@ -445,22 +445,22 @@ object TextQueries {
   private val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val q24 = Q(
     (spark, dir) => {
-      val d = docs(spark, dir)
-      val base = d
+      // all three token accountings ride ONE map-side projection + ONE
+      // aggregate: whitespace and regex counts are plain expressions,
+      // and the BPE total is the document-level bpe_count_text native
+      // expression (per-word encode amortized by the tokenizer-style
+      // word memo in Bpe.count — the distinct-vocabulary dedup happens
+      // in the memo instead of a broadcast join, saving the explode,
+      // the distinct, and the join stages)
+      docs(spark, dir)
         .select(col("source"),
           size(TextOps.tokens(col("text"))).as("ws"),
-          size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).as("re"))
+          size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).as("re"),
+          functions.Bpe.countTextCol(col("text")).as("nb"))
         .groupBy(col("source"))
-        .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
-      val words = d
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      val vocab = words.select(col("w")).distinct()
-        .withColumn("nb", functions.Bpe.countCol(col("w")))
-      val bpe = words.join(broadcast(vocab), Seq("w"))
-        .groupBy(col("source"))
-        .agg(sum(col("c") * col("nb")).as("bpe_tokens"))
-      base.join(bpe, Seq("source")).orderBy(col("source"))
+        .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"),
+          sum(col("nb")).as("bpe_tokens"))
+        .orderBy(col("source"))
     },
     Some(s"""
       WITH RECURSIVE words AS (
@@ -875,28 +875,37 @@ object TextQueries {
         .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       // re-grounded on REAL BPE tokens (round 7): packing budgets are
-      // tokenizer budgets — n_tokens is the per-doc sum of fixture-BPE
-      // symbol counts, via the distinct-vocabulary broadcast (see q24)
-      val wrd = docs(spark, dir).select(col("source"), col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("w"))
-      val vocab = wrd.select(col("w")).distinct()
-        .withColumn("nb", functions.Bpe.countCol(col("w")))
-      val t = wrd.join(broadcast(vocab), Seq("w"))
-        .groupBy(col("source"), col("doc_id"))
-        .agg(sum(col("nb")).as("n_tokens"))
+      // tokenizer budgets — n_tokens comes from the document-level
+      // bpe_count_text native expression: ONE compiled call per doc
+      // (split + memoized per-word encode + sum), the same stage shape
+      // as a whitespace count. The distinct-vocabulary BROADCAST
+      // alternative (q24) pays 4 extra stages, and a transform/
+      // aggregate HOF pays lambda dispatch + boxing per token — both
+      // measured slower here. Raw table, no spread gate: the window's
+      // own (source, shard) exchange redistributes right after the
+      // scan, so a pre-repartition would only add a stage.
+      val t = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          functions.Bpe.countTextCol(col("text")).as("n_tokens"))
         .withColumn("shard", pmod(col("doc_id"), lit(S)))
       val c = t.withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("seq_a", expr(s"cb div $B"))
         .withColumn("seq_b", expr(s"(cb + n_tokens - 1) div $B"))
-      val seqs = c.groupBy(col("source"), col("shard"))
-        .agg(sum(col("n_tokens")).as("st"))
+      // ONE aggregation chain: shard-level rollup is CO-PARTITIONED
+      // with the window (same (source, shard) clustering — no exchange
+      // between them), then a source-level rollup. The former
+      // two-branch form scanned + windowed the corpus twice and paid a
+      // join to glue the branches back — 2x the stages for the same
+      // numbers.
+      c.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("nd"),
+          sum(col("n_tokens")).as("st"),
+          sum(when(col("seq_b") > col("seq_a"), 1L).otherwise(0L)).as("ns"))
         .groupBy(col("source"))
-        .agg(sum(expr(s"(st + ${B - 1}) div $B")).as("n_seqs"),
-          sum(col("st")).as("total_tokens"))
-      val split = c.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("seq_b") > col("seq_a"), 1L).otherwise(0L)).as("n_split_docs"))
-      seqs.join(split, Seq("source"))
+        .agg(sum(col("nd")).as("n_docs"),
+          sum(col("st")).as("total_tokens"),
+          sum(expr(s"(st + ${B - 1}) div $B")).as("n_seqs"),
+          sum(col("ns")).as("n_split_docs"))
         .select(col("source"), col("n_docs"), col("total_tokens"),
           col("n_seqs"), col("n_split_docs"),
           (col("total_tokens").cast("double") / (col("n_seqs") * B))
@@ -1182,7 +1191,11 @@ object TextQueries {
   private val BloomWords = 32
   private val q82 = Q(
     (spark, dir) => {
-      val d = docs(spark, dir)
+      // raw table, no spread gate: both branches reduce immediately
+      // into sketch-sized aggregates (bloom array, distinct h60), so a
+      // pre-repartition of the text bodies costs an exchange and buys
+      // no parallel CPU worth having
+      val d = Tables.documents(spark, dir)
       val hist = d.filter(col("doc_id") % 2 === 0)
       val inc = d.filter(col("doc_id") % 3 === 0)
       val bloom = Bloom.build(hist.select(col("text")), "text", BloomWords)

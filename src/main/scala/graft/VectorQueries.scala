@@ -33,6 +33,13 @@ object VectorQueries {
     val e = Tables.embeddings(spark, dir)
     val spread =
       if (e.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) e
+      // NOTE: repartition(col) without a pinned count on purpose — the
+      // vector tier is dominated by ITERATIVE jobs (Lloyd rounds, probe
+      // loops) over a small quantized table, and AQE right-sizing the
+      // partition count keeps per-iteration task overhead proportional
+      // to the data; pinning 32 here measured 1.7-2x slower across
+      // q40/q54/q113/q115. The text tier pins the count instead (per-row
+      // CPU there is heavy and single-task collapse serializes it).
       else e.repartition(col("vec_id"))
     spread
       .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))

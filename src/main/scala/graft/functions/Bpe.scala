@@ -71,9 +71,46 @@ object Bpe {
     s
   }
 
+  // Word-level memo — the same trick production tokenizers use: the
+  // corpus vocabulary is tiny relative to occurrences (Heaps' law), so
+  // encoding each distinct word once and hash-probing every other
+  // occurrence removes ~all encode CPU from the hot path. Bounded so a
+  // pathological unbounded vocabulary (random strings) degrades to
+  // plain encoding instead of eating the executor heap; thread-safe
+  // and value-deterministic (pure function), so concurrent tasks can
+  // share it freely.
+  private val MemoCap = 1 << 20
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def countMemo(w: String): Long = {
+    val cached = memo.get(w)
+    if (cached ne null) cached.longValue()
+    else {
+      val v = countSymbols(w).toLong
+      if (memo.size < MemoCap) memo.put(w, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
   /** Static entry point for generated Java (whole-stage codegen calls
     * this via the object's static forwarder). */
-  def count(s: UTF8String): Long = countSymbols(s.toString).toLong
+  def count(s: UTF8String): Long = countMemo(s.toString)
+
+  /** Whole-text total: split on single spaces and sum the per-word
+    * counts, all in compiled code — the per-token hot path for
+    * document-level budgets (one call per DOCUMENT instead of a
+    * higher-order transform+aggregate per token, which pays lambda
+    * dispatch + boxing per element). Same tokenization contract as
+    * TextOps.tokens (split(text, " ") keeping empties; empty words
+    * count 0 symbols). */
+  def countText(s: UTF8String): Long = {
+    val words = s.toString.split(" ", -1)
+    var total = 0L
+    var i = 0
+    while (i < words.length) { total += countMemo(words(i)); i += 1 }
+    total
+  }
 
   /** `bpe_count(word): BIGINT` as a codegen'd native expression. */
   def countCol(word: Column): Column =
@@ -86,6 +123,13 @@ object Bpe {
   def segmentsData(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       segment(s.toString).map(w => UTF8String.fromString(w): Any).toArray)
+
+  /** `bpe_count_text(text): BIGINT` as a codegen'd native expression —
+    * document-level sum of per-word symbol counts. */
+  def countTextCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BpeCountTextLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** `bpe_segments(word): ARRAY<STRING>` as a codegen'd native
     * expression. */
