@@ -1087,6 +1087,126 @@ object CorpusQueries {
       ORDER BY c.phrase ASC NULLS FIRST"""
     })
 
+  // --- q139: DSIR-style contrastive importance weights ------------------
+  // Data selection via importance resampling (Xie et al. 2023, DSIR):
+  // rank candidate documents by how target-like their unigram profile
+  // is. The float form sums log(p_tgt(w)/p_raw(w)); cross-engine float
+  // drift would break the oracle hash, so the score here is the
+  // INTEGER-EXACT cross-product form of the same comparison:
+  //   score(doc) = sum_w c_doc(w) * (t(w) * N_raw - r(w) * N_tgt)
+  // (t/r = corpus counts of w in target/raw, N_* their totals) — the
+  // sign of each term matches the sign of the probability-ratio log, so
+  // the ranking is the DSIR ranking under a first-order expansion, and
+  // every intermediate is a BIGINT. Long envelope: |term| <=
+  // c * N_tgt * N_raw; at sf1 (15M tokens) the doc sum stays < 2^59 —
+  // past that, rescale t/r to per-million frequencies first.
+  //
+  // 100 TB posture: vocab stats are ONE token-shuffle groupBy; scoring
+  // joins doc-word counts to vocab stats on the word key (hash join,
+  // both sides already reduced), then folds per doc. No broadcast of the
+  // unbounded vocabulary, no driver loop. Totals ride a 1-row broadcast.
+  private val TgtSrc = "src0"
+  private val DsirK = 15
+  private val q139 = Q(
+    (spark, dir) => {
+      val tok = docs(spark, dir).select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(
+        sum(when(col("source") === TgtSrc, 1L).otherwise(0L)).as("t"),
+        sum(when(col("source") =!= TgtSrc, 1L).otherwise(0L)).as("r"))
+      val tot = vocab.agg(sum(col("t")).as("nt"), sum(col("r")).as("nr"))
+      val dw = tok.filter(col("source") =!= TgtSrc)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val scored = dw.join(vocab, Seq("w")).crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * (col("t") * col("nr") - col("r") * col("nt")))
+          .as("score"))
+      scored
+        .join(docs(spark, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(col("score").desc_nulls_last, col("doc_id").asc)
+        .limit(DsirK)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w,
+               CAST(sum(CASE WHEN source = '$TgtSrc' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN source <> '$TgtSrc' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS nt,
+                     CAST(sum(r) AS BIGINT) AS nr FROM vocab),
+      dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+             FROM tok WHERE source <> '$TgtSrc' GROUP BY 1, 2),
+      scored AS (
+        SELECT dw.doc_id,
+               CAST(sum(dw.c * (v.t * tot.nr - v.r * tot.nt)) AS BIGINT) AS score
+        FROM dw JOIN vocab v ON dw.w = v.w CROSS JOIN tot
+        GROUP BY 1)
+      SELECT s.doc_id, d.source, s.score
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      ORDER BY s.score DESC NULLS LAST, s.doc_id ASC
+      LIMIT $DsirK"""))
+
+  // --- q141: dedup growth curve (corpus saturation by ingest decile) ----
+  // "How fast does new data stop being new?" — the scaling-law question
+  // a 100 TB crawl asks before paying for the next crawl. Docs are
+  // binned into 10 ingest deciles by doc_id (the ingest order); a
+  // content hash is NEW in the decile of its first occurrence. The
+  // curve reports per-decile doc counts, first-seen counts, the running
+  // unique total, and the duplicate rate (one final division).
+  //
+  // 100 TB posture: two hash-keyed aggregations (per-decile counts and
+  // min-doc-per-hash), both map-side combinable; the only window runs
+  // over EXACTLY 10 rows regardless of corpus size, and the max-doc-id
+  // scalar rides a 1-row broadcast.
+  private val q141 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val mx = d.agg(max(col("doc_id")).as("mx"))
+      val dec = (id: Column, m: Column) => Sampling.ldiv(id * 10L, m + 1L)
+      val per = d.crossJoin(broadcast(mx))
+        .groupBy(dec(col("doc_id"), col("mx")).as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+      val news = d.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(mx))
+        .groupBy(dec(col("fd"), col("mx")).as("decile"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.join(news, Seq("decile"), "left")
+        .select(col("decile"), col("n_docs"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_unique", sum(col("n_new")).over(w))
+        .withColumn("dup_pct",
+          (col("n_docs") - col("n_new")).cast("double") / col("n_docs"))
+        .orderBy(col("decile").asc)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      mx AS (SELECT max(doc_id) AS mx FROM d),
+      per AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM d CROSS JOIN mx GROUP BY 1),
+      firsts AS (SELECT h, min(doc_id) AS fd FROM d GROUP BY 1),
+      news AS (SELECT (fd * 10) // (mx + 1) AS decile,
+                      CAST(count(*) AS BIGINT) AS n_new
+               FROM firsts CROSS JOIN mx GROUP BY 1)
+      SELECT per.decile, per.n_docs,
+             COALESCE(news.n_new, 0) AS n_new,
+             CAST(sum(COALESCE(news.n_new, 0)) OVER (
+               ORDER BY per.decile ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_unique,
+             CAST(per.n_docs - COALESCE(news.n_new, 0) AS DOUBLE) / per.n_docs
+               AS dup_pct
+      FROM per LEFT JOIN news ON per.decile = news.decile
+      ORDER BY per.decile ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -1103,5 +1223,7 @@ object CorpusQueries {
     "q132_robust_outliers" -> q132,
     "q134_bpe_next_merges" -> q134,
     "q135_dataset_split" -> q135,
-    "q136_phrase_search" -> q136)
+    "q136_phrase_search" -> q136,
+    "q139_importance_weights" -> q139,
+    "q141_growth_curve" -> q141)
 }
