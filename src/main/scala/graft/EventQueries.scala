@@ -1204,6 +1204,73 @@ object EventQueries {
       ORDER BY rank DESC NULLS LAST, node ASC NULLS FIRST
       LIMIT 20"""))
 
+  // --- q140: exponential moving average, integer-exact ------------------
+  // The smoothing every metrics dashboard ships; floats make it
+  // layout-dependent, so this is the EXACT finite-window form: with
+  // decay 1/2 over the last W=16 observations,
+  //   ema_n = (sum_j x_{n-j} * 2^(W-1-j)) / (sum_j 2^(W-1-j))
+  // — numerator and denominator are BIGINTs built from W row-based lags
+  // over ONE window pass (missing lags at a series head contribute 0 to
+  // both), and the single final division is the only double. Weights
+  // beyond lag 15 are < 2^-16 of the total — the same tail the float
+  // recurrence forgets. Long envelope: 2^15 * W * max|x_cents| < 2^63
+  // for any realistic cents scale.
+  //
+  // 100 TB posture: the scan folds to (series, day) grain first, then
+  // one shuffle on the series key and one per-series sort serve all 16
+  // lag expressions (a single WindowExec — lags share the frame). No
+  // self-join fan-out, no collect_list materialization. The streaming
+  // twin (streaming/EmaStream) folds the same weights from a 16-slot
+  // ring buffer per key.
+  private val EmaW = streaming.EmaStream.Window
+  private val q140 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val num = (0 until EmaW).map { j =>
+        coalesce(lag(col("x"), j).over(w), lit(0L)) * lit(1L << (EmaW - 1 - j))
+      }.reduce(_ + _)
+      val den = (0 until EmaW).map { j =>
+        when(lag(col("x"), j).over(w).isNotNull, lit(1L << (EmaW - 1 - j)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      daily
+        .withColumn("ema_num", num)
+        .withColumn("ema_den", den)
+        .withColumn("ema_cents",
+          col("ema_num").cast("double") / col("ema_den"))
+        .select(col("event_type"), col("day"), col("x").as("x_cents"),
+          col("ema_num"), col("ema_den"), col("ema_cents"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some {
+      val num = (0 until EmaW).map { j =>
+        s"COALESCE(lag(x, $j) OVER w, 0) * ${1L << (EmaW - 1 - j)}"
+      }.mkString(" + ")
+      val den = (0 until EmaW).map { j =>
+        s"CASE WHEN lag(x, $j) OVER w IS NOT NULL THEN ${1L << (EmaW - 1 - j)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        FROM ev GROUP BY 1, 2),
+      e AS (
+        SELECT event_type, day, x,
+               CAST($num AS BIGINT) AS ema_num,
+               CAST($den AS BIGINT) AS ema_den
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC NULLS FIRST))
+      SELECT event_type, day, x AS x_cents, ema_num, ema_den,
+             CAST(ema_num AS DOUBLE) / ema_den AS ema_cents
+      FROM e
+      ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1228,7 +1295,8 @@ object EventQueries {
     "q126_top_paths" -> q126,
     "q127_debounce" -> q127,
     "q129_window_kmv" -> q129,
-    "q131_ppr" -> q131)
+    "q131_ppr" -> q131,
+    "q140_ema" -> q140)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
