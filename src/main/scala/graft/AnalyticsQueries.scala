@@ -649,6 +649,70 @@ object AnalyticsQueries {
                ante ASC NULLS FIRST, cons ASC NULLS FIRST
       LIMIT 15"""))
 
+  // --- q137: label-propagation communities over the co-purchase graph ---
+  // Community detection (Raghavan et al. 2007) — the "what sells
+  // together as a THEME" question that k-core (density) and components
+  // (reachability) don't answer. GraphOps.labelPropagate runs R=4
+  // synchronous majority-vote rounds, ties to the smallest label
+  // (deterministic, layout-independent); the oracle unrolls the same
+  // rounds as generated CTEs (round 1 is the folded min-neighbor init —
+  // distinct neighbors hold distinct id-labels, so majority-with-min-tie
+  // degenerates to min). Edges are SPARSIFIED to multiplicity >= 2
+  // (co-purchased in at least two orders): the raw co-occurrence graph
+  // is a near-clique where LPA collapses to 2 blobs; repeat-signal
+  // edges carry the actual affinity (349 communities vs 2 at sf0.01) —
+  // the same backbone-extraction step a production pipeline applies
+  // before any community pass. Output: the 20 largest communities.
+  //
+  // 100 TB posture: per round one edges⋈labels shuffle join + two hash
+  // aggs (vote counts, packed-struct argmax) — the Pregel superstep
+  // shape with a constant round count; no window, no per-node sort, no
+  // driver loop beyond R=4. The multiplicity filter also shrinks every
+  // round's join input by ~30x before the loop starts.
+  private val LpRounds = 4
+  private val LpK = 20
+  private val LpMinM = 2
+
+  private def labelPropOracle: String = {
+    val rounds = (2 to LpRounds).map { i =>
+      s"""v$i AS MATERIALIZED (
+            SELECT e.t AS node, l.lbl, count(*) AS c
+            FROM e JOIN l${i - 1} l ON e.s = l.node GROUP BY 1, 2),
+          l$i AS MATERIALIZED (
+            SELECT node, lbl FROM v$i
+            QUALIFY row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lbl ASC) = 1)"""
+    }.mkString(",\n          ")
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      p AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= $LpMinM),
+      e AS MATERIALIZED (SELECT u AS s, v AS t FROM p
+           UNION ALL SELECT v AS s, u AS t FROM p),
+      l1 AS MATERIALIZED (SELECT t AS node, min(s) AS lbl FROM e GROUP BY 1),
+      $rounds
+      SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+      FROM l$LpRounds
+      GROUP BY 1
+      ORDER BY size DESC NULLS LAST, community ASC
+      LIMIT $LpK"""
+  }
+
+  private val q137 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = GraphOps.coOccurrenceCounts(li, "o", "p")
+        .filter(col("m") >= LpMinM)
+      GraphOps.labelPropagate(pairs, "u", "v", iters = LpRounds)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc_nulls_last, col("community").asc)
+        .limit(LpK)
+    },
+    Some(labelPropOracle))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -660,5 +724,6 @@ object AnalyticsQueries {
     "q125_topk_group" -> q125,
     "q128_fk_audit" -> q128,
     "q130_equidepth" -> q130,
-    "q133_assoc_rules" -> q133)
+    "q133_assoc_rules" -> q133,
+    "q137_label_prop" -> q137)
 }

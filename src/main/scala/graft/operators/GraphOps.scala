@@ -385,6 +385,57 @@ object GraphOps {
     nEdges.crossJoin(nWedges).crossJoin(tri).crossJoin(maxOut)
   }
 
+  /** Synchronous majority label propagation (Raghavan et al. 2007) with
+    * a FIXED round count — community detection, the modularity-shaped
+    * sibling of [[connectedComponents]] (min-label propagation finds
+    * components; MAJORITY voting finds dense regions inside one
+    * component). Every node starts labeled with its own id; each round,
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — a total deterministic
+    * order, so the result is layout-independent and a SQL oracle can
+    * replay the rounds as unrolled CTEs (the q76/q112/q116 fixed-R
+    * discipline). Synchronous update (not the paper's asynchronous
+    * sweep) is the only variant with an engine-independent result; its
+    * known oscillation modes on bipartite structures are bounded by the
+    * fixed round count — the caller sees exactly R rounds, converged or
+    * not.
+    *
+    * Round 1 folds the init: labels are node ids, so distinct neighbors
+    * vote with distinct labels and majority-with-min-tie degenerates to
+    * min(neighbor) — one aggregate over the edge list, no join.
+    *
+    * Scale shape: per round, one shuffle join (edges ⋈ labels on src) +
+    * two hash aggregates (vote counts, then per-node argmax via a
+    * packed struct min — no window, no per-node sort). Lineage cut with
+    * a lazy localCheckpoint materialized by the next round's job.
+    *
+    * Input: one row per undirected edge (a, b); self-loops dropped,
+    * duplicates deduped. Output: (node, lbl) for every node in an edge.
+    */
+  def labelPropagate(pairs: DataFrame, a: String, b: String,
+                     iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"labelPropagate needs >= 1 round, got $iters")
+    val p = pairs.filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .distinct()
+    val e = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("s"), col("v").as("t"))
+      .localCheckpoint() // eager: re-read every round
+    var labels = e.groupBy(col("t").as("node")).agg(min(col("s")).as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 2 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("s"), col("lbl")), Seq("s"))
+        .groupBy(col("t"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("t").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint(false) // lazy: materialized by the next round
+    }
+    labels
+  }
+
   /** Hops fit in 20 bits of the packed SSSP label; distances take the
     * rest. maxIter (and therefore hops) must stay far below 2^20. */
   val HopPack: Long = 1L << 20

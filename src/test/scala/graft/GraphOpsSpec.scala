@@ -88,4 +88,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(cut.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((2L, 3L), (3L, 4L), (4L, 5L)))
   }
+
+  test("labelPropagate: two triangles over a bridge resolve to two communities") {
+    // triangles {1,2,3} and {10,11,12} joined by the bridge 3-10, with a
+    // duplicate and a self-loop to prove canonicalization. Synchronous
+    // majority voting (ties -> min) settles by round 3: the left
+    // triangle on label 1, the right on label 3 (hand-replayable).
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (3L, 1L), (5L, 5L))
+    val got = GraphOps.labelPropagate(g.toDF("u", "v"), "u", "v", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagate round 1 is the folded min-neighbor init") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L))
+    val got = GraphOps.labelPropagate(g.toDF("u", "v"), "u", "v", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 3L))
+  }
 }
