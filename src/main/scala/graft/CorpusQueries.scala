@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
+import graft.functions.MultiMatch
 import graft.operators.{Kmv, Sampling, TextOps, VectorOps}
 import graft.plans.MisraGriesTerms
 
@@ -1151,6 +1152,67 @@ object CorpusQueries {
       ORDER BY s.score DESC NULLS LAST, s.doc_id ASC
       LIMIT $DsirK"""))
 
+  // --- q138: blocklist filtering via one Aho-Corasick scan --------------
+  // The C4/Gopher "bad words" pass as a first-class operator: every
+  // document is scanned ONCE against the whole phrase list by the
+  // multi_match_pack native expression (functions/MultiMatch — cached
+  // automaton, codegen'd, O(|text| + hits) per doc), and the per-source
+  // report rolls up exposure: docs flagged, total occurrences, worst
+  // single doc, and how many distinct phrases each doc tripped.
+  //
+  // The oracle replays counts with the replace-length formula, which
+  // counts NON-OVERLAPPING occurrences — exact here because every
+  // fixture phrase is border-free (no proper prefix = suffix, asserted
+  // at query build), so no phrase can overlap itself.
+  //
+  // 100 TB posture: map-only until the final per-source rollup; the
+  // per-pattern alternative pays |patterns| string passes per doc (or
+  // an exploded pattern⋈doc join) — at a C4-sized list that is 100s of
+  // scans per document vs this one.
+  private val Blocklist = Seq(
+    "fast table", "slow scan", "customer query", "big join",
+    "vector stream", "hash value", "group order", "spark data",
+    "dup", "the row")
+  private val q138 = Q(
+    (spark, dir) => {
+      require(Blocklist.forall(p => !MultiMatch.hasBorder(p)),
+        "blocklist phrases must be border-free for the replace-count oracle")
+      val packed = docs(spark, dir).select(col("source"),
+        MultiMatch.packCol(col("text"), Blocklist).as("pk"))
+      val per = packed.select(col("source"),
+        Sampling.ldiv(col("pk"), lit(MultiMatch.PackBase)).as("hits"),
+        pmod(col("pk"), lit(MultiMatch.PackBase)).as("np"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("hits")).as("total_hits"),
+          max(col("hits")).as("max_doc_hits"),
+          sum(col("np")).as("sum_distinct_patterns"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val occs = Blocklist.zipWithIndex.map { case (p, i) =>
+        s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS o$i"
+      }.mkString(",\n               ")
+      val hits = Blocklist.indices.map(i => s"o$i").mkString(" + ")
+      val np = Blocklist.indices
+        .map(i => s"CASE WHEN o$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH per AS (
+        SELECT source,
+               $occs
+        FROM documents),
+      d AS (SELECT source, $hits AS hits, $np AS np FROM per)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+             CAST(sum(hits) AS BIGINT) AS total_hits,
+             CAST(max(hits) AS BIGINT) AS max_doc_hits,
+             CAST(sum(np) AS BIGINT) AS sum_distinct_patterns
+      FROM d GROUP BY 1
+      ORDER BY source ASC NULLS FIRST"""
+    })
+
   // --- q141: dedup growth curve (corpus saturation by ingest decile) ----
   // "How fast does new data stop being new?" — the scaling-law question
   // a 100 TB crawl asks before paying for the next crawl. Docs are
@@ -1224,6 +1286,7 @@ object CorpusQueries {
     "q134_bpe_next_merges" -> q134,
     "q135_dataset_split" -> q135,
     "q136_phrase_search" -> q136,
+    "q138_blocklist" -> q138,
     "q139_importance_weights" -> q139,
     "q141_growth_curve" -> q141)
 }
