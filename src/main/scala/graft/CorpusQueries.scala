@@ -1269,6 +1269,86 @@ object CorpusQueries {
       FROM per LEFT JOIN news ON per.decile = news.decile
       ORDER BY per.decile ASC NULLS FIRST"""))
 
+  // --- q143: consistent-hash resharding audit ---------------------------
+  // q92 assigns shards by plain hash-mod — rebalancing under mod moves
+  // ~(S-1)/S of ALL keys when S changes. The production fix is a
+  // consistent-hash ring (Karger et al. 1997) with virtual nodes: only
+  // keys whose ring successor lands on the NEW shard's vnodes move.
+  // This query materializes the before/after assignment for growing
+  // 4 -> 5 shards and reports the (old_shard, new_shard) movement
+  // matrix — the audit a re-sharding migration plan is built from.
+  // Every hash is the md5-derived hash60 (engine-identical); successor
+  // resolution is min-point-above with wrap-to-global-min, replayed
+  // literally in the oracle from THE SAME generated vnode key list.
+  //
+  // 100 TB posture: the ring is S x V rows — broadcast by construction;
+  // assignment is one map pass per doc over the broadcast ring (min of
+  // 40 comparisons), then the matrix is one tiny groupBy. No shuffle
+  // touches the corpus beyond the final count agg.
+  private val ChOldShards = 4
+  private val ChNewShards = 5
+  private val ChVnodes = 8
+  private def chKeys(shards: Int): Seq[(Long, String)] =
+    for { s <- 0L until shards.toLong; j <- 0 until ChVnodes }
+      yield (s, s"ring|$s#$j")
+  private val q143 = Q(
+    (spark, dir) => {
+      val ring = spark.createDataFrame(chKeys(ChNewShards))
+        .toDF("shard", "key")
+        .select(col("shard"), Kmv.hash60(col("key")).as("ph"))
+      val d = docs(spark, dir).select(col("doc_id"),
+        Kmv.hash60(concat(lit("ch|"), col("doc_id").cast("string"))).as("dh"))
+      def assign(r: DataFrame, name: String): DataFrame = {
+        val glob = r.agg(min(col("ph")).as("gph"))
+        d.crossJoin(broadcast(r))
+          .groupBy(col("doc_id"), col("dh"))
+          .agg(min(when(col("ph") >= col("dh"), col("ph"))).as("sph"))
+          .crossJoin(broadcast(glob))
+          .select(col("doc_id"), coalesce(col("sph"), col("gph")).as("ph"))
+          .join(broadcast(r), Seq("ph"))
+          .select(col("doc_id"), col("shard").as(name))
+      }
+      val before = assign(ring.filter(col("shard") < ChOldShards), "old_shard")
+      val after = assign(ring, "new_shard")
+      before.join(after, Seq("doc_id"))
+        .groupBy(col("old_shard"), col("new_shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("moved", col("old_shard") =!= col("new_shard"))
+        .orderBy(col("old_shard"), col("new_shard"))
+    },
+    Some {
+      val vals = chKeys(ChNewShards)
+        .map { case (s, k) => s"($s, '$k')" }.mkString(", ")
+      s"""
+      WITH ringall(shard, key) AS (VALUES $vals),
+      ring AS (SELECT CAST(shard AS BIGINT) AS shard,
+                      CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS ph
+               FROM ringall),
+      d AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5('ch|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS dh
+            FROM documents),
+      oldr AS (SELECT * FROM ring WHERE shard < $ChOldShards),
+      bef AS (
+        SELECT d.doc_id,
+               COALESCE(min(CASE WHEN r.ph >= d.dh THEN r.ph END),
+                        (SELECT min(ph) FROM oldr)) AS ph
+        FROM d CROSS JOIN oldr r GROUP BY 1),
+      aft AS (
+        SELECT d.doc_id,
+               COALESCE(min(CASE WHEN r.ph >= d.dh THEN r.ph END),
+                        (SELECT min(ph) FROM ring)) AS ph
+        FROM d CROSS JOIN ring r GROUP BY 1)
+      SELECT ro.shard AS old_shard, rn.shard AS new_shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             ro.shard <> rn.shard AS moved
+      FROM bef JOIN aft ON bef.doc_id = aft.doc_id
+      JOIN oldr ro ON bef.ph = ro.ph
+      JOIN ring rn ON aft.ph = rn.ph
+      GROUP BY 1, 2, 4
+      ORDER BY old_shard ASC, new_shard ASC"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -1288,5 +1368,6 @@ object CorpusQueries {
     "q136_phrase_search" -> q136,
     "q138_blocklist" -> q138,
     "q139_importance_weights" -> q139,
-    "q141_growth_curve" -> q141)
+    "q141_growth_curve" -> q141,
+    "q143_consistent_hash" -> q143)
 }

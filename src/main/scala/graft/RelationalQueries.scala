@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Exact, Locale}
-import graft.operators.{Layout, Relational}
+import graft.operators.{Layout, Relational, Sampling}
 
 /** Reference operator inventory (SURVEY.md §2) re-expressed over the
   * driver testdata, one oracle-checked query per operator family.
@@ -983,6 +983,88 @@ object RelationalQueries {
              END AS intercept_dollars
       FROM m ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  // --- TS3: Theil-Sen robust trend (median of pairwise slopes) ----------
+  // q98's OLS slope chases outliers (one bad month drags the fit); the
+  // robust estimator every monitoring stack reaches for next is
+  // Theil-Sen (Theil 1950, Sen 1968): the MEDIAN of all pairwise
+  // slopes, 29% breakdown point. Slopes are integer-exact: ppm-scaled
+  // integer division — Spark's `div` and DuckDB's `//` both truncate
+  // toward zero (verified on negative operands; a floor emulation here
+  // was off by one on every negative slope) — and the median is the
+  // exact lower-median VALUE at rank (m+1) div 2 (deterministic under
+  // ties: equal values swap positions, the selected value doesn't
+  // change).
+  //
+  // 100 TB posture: the corpus folds to (series, month) FIRST — the
+  // pairwise self-join is months², bounded by the CALENDAR (84 points
+  // -> ~3.5k pairs per series), not by the data; its shuffle key is the
+  // series, and the median window partitions per series over those
+  // bounded pair sets.
+  private val TsPpm = 1000000L
+  private val q142 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("yd"))
+        .groupBy(col("l_returnflag"), col("x"))
+        .agg(sum(col("yd")).as("y"))
+        .localCheckpoint() // eager: self-joined + counted below
+      val a = monthly.select(col("l_returnflag"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = monthly.select(col("l_returnflag"), col("x").as("x2"),
+        col("y").as("y2"))
+      val dy = (col("y2") - col("y1")) * lit(TsPpm)
+      val dx = col("x2") - col("x1")
+      val pairs = a.join(b, Seq("l_returnflag"))
+        .filter(col("x2") > col("x1"))
+        .select(col("l_returnflag"),
+          Sampling.ldiv(dy, dx).as("s"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("s"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val med = pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(byFlag))
+        .filter(col("rn") === Sampling.ldiv(col("m") + 1L, lit(2L)))
+        .select(col("l_returnflag"), col("m").as("n_pairs"),
+          col("s").as("ts_slope_ppm"))
+      val months = monthly.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_months"))
+      months.join(med, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_months"), col("n_pairs"),
+          col("ts_slope_ppm"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT l_returnflag,
+               CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS x,
+               CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.l_returnflag, ((b.y - a.y) * $TsPpm) // (b.x - a.x) AS s
+        FROM monthly a JOIN monthly b
+          ON a.l_returnflag = b.l_returnflag AND b.x > a.x),
+      r AS (
+        SELECT l_returnflag, s,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY s ASC NULLS FIRST) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS m
+        FROM pairs),
+      med AS (
+        SELECT l_returnflag, CAST(m AS BIGINT) AS n_pairs,
+               CAST(s AS BIGINT) AS ts_slope_ppm
+        FROM r WHERE rn = (m + 1) // 2),
+      months AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_months
+        FROM monthly GROUP BY 1)
+      SELECT months.l_returnflag, n_months, n_pairs, ts_slope_ppm
+      FROM months JOIN med ON months.l_returnflag = med.l_returnflag
+      ORDER BY months.l_returnflag ASC NULLS FIRST"""))
+
   // --- key-skew diagnostics ----------------------------------------------
   // The other half of q93's join pre-flight: BEFORE committing a
   // shuffle strategy, measure how concentrated each candidate key is.
@@ -1188,6 +1270,7 @@ object RelationalQueries {
     "q88_fuzzy_block" -> q88,
     "q93_cms_join_size" -> q93,
     "q98_series_trend" -> q98,
+    "q142_theil_sen" -> q142,
     "q103_key_skew" -> q103,
     "q106_set_ops" -> q106,
     "q107_fuzzy_refine" -> q107)

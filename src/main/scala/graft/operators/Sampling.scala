@@ -30,11 +30,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object Sampling {
 
-  /** Exact floor division of two BIGINT columns (`a div b`). `a / b` in
-    * the Column API is DOUBLE division — above 2^53 the mantissa drops
-    * low bits and the quotient is silently wrong, which breaks the
-    * integer-exactness contract. Positive operands only in our uses, so
-    * truncation == floor on both engines (DuckDB `//`). */
+  /** Exact integer division of two BIGINT columns (`a div b`). `a / b`
+    * in the Column API is DOUBLE division — above 2^53 the mantissa
+    * drops low bits and the quotient is silently wrong, which breaks
+    * the integer-exactness contract. Spark's `div` and DuckDB's `//`
+    * BOTH truncate toward zero (verified on negative operands:
+    * -7 // 2 = -3 in DuckDB), so the twin is exact for ANY sign —
+    * q142's negative Theil-Sen slopes rely on this. */
   def ldiv(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
