@@ -179,9 +179,77 @@ object MultimodalQueries {
       FROM f GROUP BY 1, 2
       ORDER BY source ASC NULLS FIRST, channels ASC NULLS FIRST"""))
 
+  // --- q144: aspect-ratio bucketing for image batch assembly -------------
+  // The image-side q56: diffusion/vision training groups images into
+  // ASPECT buckets so a batch shares one canvas (SDXL-style aspect
+  // bucketing) — padding waste is the metric. Payloads are fabricated
+  // and parsed back exactly as q68 (the dims used downstream are the
+  // ones the native image_dims_long expression DECODED from bytes, so
+  // the oracle hash still proves the container round-trip); the aspect
+  // ratio is integer ppm (one truncating div, matching `//`), buckets
+  // are fixed thresholds, and batches of 16 per (source, bucket) are
+  // pure count arithmetic.
+  //
+  // 100 TB posture: decode + bucket is one codegen'd map pass; the
+  // rollup is a tiny (source, bucket) agg. No window, no shuffle of
+  // payload bytes — the batch count needs only the bucket sizes.
+  private val ArBatch = 16L
+  private val q144 = Q(
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          (col("doc_id") % 640 + 1).as("w0"), (col("n_chars") % 480 + 1).as("h0"))
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0, unhex(lit("89504E47")))
+            .when(col("doc_id") % 2 === 0, Multimodal.pngPayload(col("w0"), col("h0")))
+            .otherwise(Multimodal.jpegPayload(col("w0"), col("h0"))))
+      val dims = d.withColumn("dims", Multimodal.imageDims(col("payload")))
+        .filter(col("dims").isNotNull) // non-images carry no aspect
+        .select(col("source"), Multimodal.dimsWidth(col("dims")).as("w"),
+          Multimodal.dimsHeight(col("dims")).as("h"))
+        .withColumn("ar_ppm", expr("(w * 1000000) div h"))
+        .withColumn("bucket",
+          when(col("ar_ppm") < 750000L, lit("portrait"))
+            .when(col("ar_ppm") <= 1333333L, lit("square"))
+            .otherwise(lit("landscape")))
+      dims.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("ar_ppm")).as("min_ar_ppm"),
+          max(col("ar_ppm")).as("max_ar_ppm"))
+        .withColumn("n_batches", expr(s"(n_images + ${ArBatch - 1}) div $ArBatch"))
+        .withColumn("pad_waste", col("n_batches") * ArBatch - col("n_images"))
+        .select(col("source"), col("bucket"), col("n_images"),
+          col("n_batches"), col("pad_waste"),
+          col("min_ar_ppm"), col("max_ar_ppm"))
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT source, doc_id % 640 + 1 AS w, n_chars % 480 + 1 AS h
+        FROM documents WHERE doc_id % 7 <> 0),
+      a AS (
+        SELECT source, (w * 1000000) // h AS ar_ppm,
+               CASE WHEN (w * 1000000) // h < 750000 THEN 'portrait'
+                    WHEN (w * 1000000) // h <= 1333333 THEN 'square'
+                    ELSE 'landscape' END AS bucket
+        FROM f),
+      g AS (
+        SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_images,
+               CAST(min(ar_ppm) AS BIGINT) AS min_ar_ppm,
+               CAST(max(ar_ppm) AS BIGINT) AS max_ar_ppm
+        FROM a GROUP BY 1, 2)
+      SELECT source, bucket, n_images,
+             (n_images + ${ArBatch - 1}) // $ArBatch AS n_batches,
+             ((n_images + ${ArBatch - 1}) // $ArBatch) * $ArBatch - n_images
+               AS pad_waste,
+             min_ar_ppm, max_ar_ppm
+      FROM g
+      ORDER BY source ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q31_multimodal_features" -> q31,
     "q65_frame_sample" -> q65,
     "q68_image_dims" -> q68,
-    "q70_audio_meta" -> q70)
+    "q70_audio_meta" -> q70,
+    "q144_aspect_buckets" -> q144)
 }
