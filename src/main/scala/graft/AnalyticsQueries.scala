@@ -713,6 +713,77 @@ object AnalyticsQueries {
     },
     Some(labelPropOracle))
 
+  // --- q145: link prediction by resource allocation ---------------------
+  // "Which parts are NOT yet co-purchased but should be?" — the
+  // recommendation question communities (q137) and rules (q133, which
+  // only rank EXISTING edges) don't answer. Score for a non-edge (x,y)
+  // is the Zhou-Lü-Zhang resource-allocation index Σ_c 1/deg(c) over
+  // common neighbors c, FLOOR-SCALED to picos (1e12 div deg) so Spark
+  // and the oracle agree bit-for-bit — the 1/deg weighting also means
+  // hub centers contribute the least, which is exactly why capping or
+  // dropping super-hubs at 100 TB loses almost no score mass.
+  //
+  // Scale shape: wedges explode from each center's adjacency SET
+  // (one set aggregate, then a map-side i<j explode — Σ deg²/2 rows,
+  // never a 3-way join); deg(c) = size of the same set, so no separate
+  // degree table or join; existing edges leave via one left_anti
+  // shuffle on (x,y); the candidate rollup is one groupBy. Hub blowup
+  // is governed by the same multiplicity sparsification as q137
+  // (m >= 2), the knob a 100 TB run would tighten first.
+  private val RaK = 15
+  private val q145 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = GraphOps.coOccurrenceCounts(li, "o", "p")
+        .filter(col("m") >= LpMinM)
+        .select(col("u"), col("v"))
+      val e = pairs.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(pairs.select(col("v").as("s"), col("u").as("t")))
+      val adj = e.groupBy(col("s"))
+        .agg(sort_array(collect_set(col("t"))).as("ts"))
+      val wedges = adj
+        .select(Sampling.ldiv(lit(1000000000000L),
+          size(col("ts")).cast("long")).as("w"), col("ts"))
+        .select(col("w"), posexplode(col("ts")).as(Seq("i", "x")), col("ts"))
+        .select(col("w"), col("x"),
+          explode(slice(col("ts"), col("i") + 2,
+            greatest(size(col("ts")) - col("i") - 1, lit(0)))).as("y"))
+      wedges
+        .join(pairs.withColumnRenamed("u", "x").withColumnRenamed("v", "y"),
+          Seq("x", "y"), "left_anti")
+        .groupBy(col("x").as("p1"), col("y").as("p2"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_score"))
+        .orderBy(col("ra_score").desc_nulls_last, col("cn").desc_nulls_last,
+          col("p1").asc, col("p2").asc)
+        .limit(RaK)
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (
+        SELECT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= $LpMinM),
+      e AS (SELECT u AS s, v AS t FROM pairs
+            UNION ALL SELECT v AS s, u AS t FROM pairs),
+      deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      wedges AS (
+        SELECT e1.s AS c, e1.t AS x, e2.t AS y
+        FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t),
+      cand AS (
+        SELECT w.x, w.y, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000000 // d.d) AS BIGINT) AS ra_score
+        FROM wedges w
+        JOIN deg d ON w.c = d.s
+        LEFT JOIN pairs p ON p.u = w.x AND p.v = w.y
+        WHERE p.u IS NULL
+        GROUP BY 1, 2)
+      SELECT x AS p1, y AS p2, cn, ra_score
+      FROM cand
+      ORDER BY ra_score DESC NULLS LAST, cn DESC NULLS LAST,
+               p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
+      LIMIT $RaK"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -725,5 +796,6 @@ object AnalyticsQueries {
     "q128_fk_audit" -> q128,
     "q130_equidepth" -> q130,
     "q133_assoc_rules" -> q133,
-    "q137_label_prop" -> q137)
+    "q137_label_prop" -> q137,
+    "q145_link_predict" -> q145)
 }

@@ -230,9 +230,85 @@ object WarehouseQueries {
     },
     Some(kcoreOracle))
 
+  // --- q146: MERGE upsert (Delta-style) as one full-outer join ----------
+  // The lakehouse MERGE INTO: a base per-customer snapshot (orders
+  // before the cut date) merged with a delta batch (orders on/after).
+  // WHEN NOT MATCHED → insert; WHEN MATCHED and the delta is all
+  // final-status ('F') → delete (account closed); WHEN MATCHED
+  // otherwise → update (additive); base-only rows → keep. The output is
+  // the per-action audit a MERGE commit log records: row count + exact
+  // cents checksum of each action's post-merge state.
+  //
+  // Scale shape: both sides reduce to per-key aggregates BEFORE the
+  // merge (map-side combine), then ONE full-outer hash join on the key
+  // — the same plan a Delta/Iceberg MERGE executes after file pruning;
+  // the swap-write sink (Pipeline.replaceTable) is the commit
+  // mechanism that makes it atomic. Money stays in split-long integer
+  // space (Exact.exactIntSum) end to end.
+  private val MergeCut = "1997-01-01"
+  private val q146 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir).select(
+        col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"),
+        Exact.quantize(col("o_totalprice").cast("double")).as("cents"),
+        col("o_orderstatus").as("st"))
+      val cut = lit(MergeCut).cast("date")
+      val base = o.filter(col("d") < cut).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_b"),
+          Exact.exactIntSum(col("cents")).as("b_cents"))
+      val delta = o.filter(col("d") >= cut).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_d"),
+          Exact.exactIntSum(col("cents")).as("d_cents"),
+          min(when(col("st") === "F", 1).otherwise(0)).as("all_final"))
+      val action = when(col("n_b").isNull, "insert")
+        .when(col("n_d").isNull, "keep")
+        .when(col("all_final") === 1, "delete")
+        .otherwise("update")
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .withColumn("action", action)
+        .withColumn("state_cents",
+          when(col("action") === "insert", col("d_cents"))
+            .when(col("action") === "update", col("b_cents") + col("d_cents"))
+            .otherwise(col("b_cents")))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("state_cents")).cast("long").as("cents_total"))
+        .orderBy(col("action").asc)
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st
+        FROM orders),
+      base AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(cents) AS BIGINT) AS b_cents
+        FROM o WHERE d < DATE '$MergeCut' GROUP BY 1),
+      delta AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_d,
+               CAST(sum(cents) AS BIGINT) AS d_cents,
+               min(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS all_final
+        FROM o WHERE d >= DATE '$MergeCut' GROUP BY 1),
+      m AS (
+        SELECT CASE WHEN b.o_custkey IS NULL THEN 'insert'
+                    WHEN dl.o_custkey IS NULL THEN 'keep'
+                    WHEN dl.all_final = 1 THEN 'delete'
+                    ELSE 'update' END AS action,
+               b.b_cents, dl.d_cents
+        FROM base b FULL OUTER JOIN delta dl ON b.o_custkey = dl.o_custkey)
+      SELECT action, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(CASE action
+                        WHEN 'insert' THEN d_cents
+                        WHEN 'update' THEN b_cents + d_cents
+                        ELSE b_cents END) AS BIGINT) AS cents_total
+      FROM m GROUP BY 1 ORDER BY action ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q109_scd2" -> q109,
     "q110_grouping_sets" -> q110,
     "q111_skyline" -> q111,
-    "q112_kcore" -> q112)
+    "q112_kcore" -> q112,
+    "q146_merge_upsert" -> q146)
 }
