@@ -784,6 +784,83 @@ object AnalyticsQueries {
                p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
       LIMIT $RaK"""))
 
+  // --- q147: higher moments (skewness / kurtosis) from exact power sums -
+  // Distribution-shape profiling per segment: beyond q36/q66's
+  // quantiles, the moment statistics a feature-store computes per
+  // column. The distributed discipline: accumulate RAW POWER SUMS
+  // Σx..Σx⁴ exactly in integer space (decimal(38,0) — x⁴ overflows
+  // BIGINT, and float power sums are catastrophically
+  // cancellation-prone), one map-side-combinable aggregate; then form
+  // the CENTRAL-moment numerators STILL IN INTEGERS:
+  //   T2 = nΣx² − (Σx)²          ( = n²·M2 )
+  //   T3 = n²Σx³ − 3nΣx²Σx + 2(Σx)³      ( = n³·M3 )
+  //   T4 = n³Σx⁴ − 4n²Σx³Σx + 6nΣx²(Σx)² − 3(Σx)⁴   ( = n⁴·M4 )
+  // The n-powers cancel in the scale-free statistics, so
+  //   g1 = √n·T3/(T2·√T2),  g2 = n·T4/T2² − 3
+  // touch floats only through cast, *, /, and sqrt — every one
+  // IEEE-correctly-rounded, hence bit-identical across engines (the
+  // naive μ-expansion in doubles drifts in the last ulps, observed
+  // against DuckDB; pow(x,1.5) is spelled x·√x for the same reason).
+  // Values are quantized at whole-dollar scale: (Σx)⁴ must stay inside
+  // decimal(38)/int128, which holds to ~300k rows/group at |x|≤1e4 —
+  // cent scale would overflow at ~1e3 rows. The oracle mirrors in
+  // HUGEINT.
+  private val q147 = Q(
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val d = cust.select(col("c_mktsegment").as("segment"),
+          Exact.quantize(col("c_acctbal").cast("double"), scale = 0)
+            .cast("decimal(38,0)").as("x"))
+      val sums = d.groupBy(col("segment")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val (n, s1, s2, s3, s4) =
+        (col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+      val t2 = n * s2 - s1 * s1
+      val t3 = n * n * s3 - lit(3) * n * s2 * s1 + lit(2) * s1 * s1 * s1
+      val t4 = n * n * n * s4 - lit(4) * n * n * s3 * s1 +
+        lit(6) * n * s2 * (s1 * s1) - lit(3) * (s1 * s1) * (s1 * s1)
+      val nd = n.cast("double")
+      val t2d = t2.cast("double")
+      sums.select(col("segment"), col("n").cast("long").as("n_cust"),
+          (s1.cast("double") / nd).as("mean_bal"),
+          (sqrt(nd) * t3.cast("double") / (t2d * sqrt(t2d))).as("skewness"),
+          (nd * t4.cast("double") / (t2d * t2d) - lit(3.0)).as("kurtosis"))
+        .orderBy(col("segment").asc)
+    },
+    Some("""
+      WITH d AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(round(c_acctbal) AS BIGINT) AS HUGEINT) AS x
+        FROM customer),
+      sums AS (
+        SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS s1, sum(x * x) AS s2,
+               sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+        FROM d GROUP BY 1),
+      t AS (
+        SELECT segment, n, s1,
+               n * s2 - s1 * s1 AS t2,
+               n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS t3,
+               n * n * n * s4 - 4 * n * n * s3 * s1
+                 + 6 * n * s2 * (s1 * s1) - 3 * (s1 * s1) * (s1 * s1) AS t4
+        FROM sums),
+      f AS (
+        SELECT segment, CAST(n AS BIGINT) AS n_cust,
+               CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+               CAST(t2 AS DOUBLE) AS t2d, CAST(t3 AS DOUBLE) AS t3d,
+               CAST(t4 AS DOUBLE) AS t4d
+        FROM t)
+      SELECT segment, n_cust,
+             s1d / nd AS mean_bal,
+             sqrt(nd) * t3d / (t2d * sqrt(t2d)) AS skewness,
+             nd * t4d / (t2d * t2d) - 3.0 AS kurtosis
+      FROM f
+      ORDER BY segment ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -797,5 +874,6 @@ object AnalyticsQueries {
     "q130_equidepth" -> q130,
     "q133_assoc_rules" -> q133,
     "q137_label_prop" -> q137,
-    "q145_link_predict" -> q145)
+    "q145_link_predict" -> q145,
+    "q147_group_moments" -> q147)
 }

@@ -1510,6 +1510,108 @@ object TextQueries {
       WHERE inter * $ContainDen >= n_a * $ContainNum
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
+  // --- q148: HyperLogLog distinct-5-gram estimate per source ------------
+  // The OTHER canonical distinct sketch next to q58's KMV, over the
+  // n-gram-diversity universe (distinct 5-grams ≈ how non-repetitive a
+  // source is): m=256 registers (p=8), register = leading-zero rank of
+  // the 52 bits left after the 8-bit index is peeled off the shared
+  // 60-bit gram hash (TextOps.gramHashes — one hash feeds q45/q90 AND
+  // this sketch). Determinism moves that make a float estimator
+  // oracle-exact: (1) the harmonic denominator Σ2^(−r) is held as the
+  // RATIONAL INTEGER S = Σ 2^(32−min(r,32)) (one BIGINT per source,
+  // ≤ 2^40 — exactly double-representable), so the raw path's only
+  // float op is a single division by the precomputed α·m²·2³²
+  // literal; (2) Flajolet's small-range branch (E ≤ 2.5m, V>0 →
+  // linear counting m·ln(m/V)) is implemented on BOTH sides with the
+  // identical expression — it is dormant at the oracle's gram
+  // cardinality (~1.3k ≫ 640), and its ln() is the one operation
+  // without a cross-engine bit guarantee, which is exactly why the
+  // raw path avoids ln by construction.
+  //
+  // Scale shape: grams fold to ≤256 register rows per source map-side
+  // (two cascaded hash aggregates — no distinct of the gram stream);
+  // registers merge by MAX, so the sketch is mergeable/streamable and
+  // the 100 TB path keeps ONLY 256 bytes per source. exact_distinct
+  // is the evaluation baseline, priced separately (the one distinct
+  // shuffle this query would NOT pay in production).
+  private val HllM = 256
+  private val HllAlphaC: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 4294967296.0
+  private val q148 = Q(
+    (spark, dir) => {
+      val g = Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(TextOps.gramHashes(TextOps.tokens(col("text")), 5))
+            .as("hv"))
+      val keyed = g.select(col("source"),
+        col("hv").bitwiseAND(lit(255L)).as("idx"),
+        shiftright(col("hv"), 8).as("w"))
+      val reg = keyed
+        .withColumn("rho",
+          when(col("w") === 0, lit(53))
+            .otherwise(lit(53) - length(conv(col("w"), 10, 2))))
+        .groupBy(col("source"), col("idx"))
+        .agg(max(col("rho")).as("r"))
+      val roll = reg.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))"))
+            .as("s_present"))
+        .withColumn("v_zero", lit(HllM) - col("n_filled"))
+        .withColumn("s_rational",
+          col("s_present") + col("v_zero") * lit(4294967296L))
+        .withColumn("est_raw",
+          lit(HllAlphaC) / col("s_rational").cast("double"))
+        .withColumn("est_hll",
+          when(col("v_zero") > 0 && col("est_raw") <= lit(2.5 * HllM),
+            lit(HllM.toDouble) *
+              log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+            .otherwise(col("est_raw")))
+      val exact = g.groupBy(col("source"))
+        .agg(countDistinct(col("hv")).as("exact_distinct"))
+      roll.join(exact, Seq("source"))
+        .select(col("source"), col("n_filled"), col("v_zero"),
+          col("s_rational"), col("est_hll"), col("exact_distinct"))
+        .orderBy(col("source").asc)
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM (
+          SELECT source, unnest(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4])) AS s
+          FROM (SELECT source, string_split(text, ' ') AS t
+                FROM documents))),
+      reg AS (
+        SELECT source, hv & 255 AS idx,
+               max(CASE WHEN hv >> 8 = 0 THEN 53
+                        ELSE 53 - length(bin(hv >> 8)) END) AS r
+        FROM g GROUP BY 1, 2),
+      roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_filled,
+               CAST(sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+                 AS BIGINT) AS s_present
+        FROM reg GROUP BY 1),
+      est AS (
+        SELECT source, n_filled,
+               CAST($HllM - n_filled AS BIGINT) AS v_zero,
+               CAST(s_present + ($HllM - n_filled) * 4294967296 AS BIGINT)
+                 AS s_rational,
+               $HllAlphaC / CAST(s_present + ($HllM - n_filled) * 4294967296
+                 AS DOUBLE) AS est_raw
+        FROM roll),
+      ex AS (
+        SELECT source, CAST(count(DISTINCT hv) AS BIGINT) AS exact_distinct
+        FROM g GROUP BY 1)
+      SELECT e.source, n_filled, v_zero, s_rational,
+             CASE WHEN v_zero > 0 AND est_raw <= ${2.5 * HllM}
+                  THEN ${HllM.toDouble} *
+                       ln(${HllM.toDouble} / CAST(v_zero AS DOUBLE))
+                  ELSE est_raw END AS est_hll,
+             exact_distinct
+      FROM est e JOIN ex ON e.source = ex.source
+      ORDER BY e.source ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1541,5 +1643,6 @@ object TextQueries {
     "q82_bloom_decontam" -> q82,
     "q90_dup_gram_coverage" -> q90,
     "q108_substring_dedup" -> q108,
-    "q114_containment" -> q114)
+    "q114_containment" -> q114,
+    "q148_hll_distinct" -> q148)
 }
