@@ -1271,6 +1271,66 @@ object EventQueries {
       ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
     })
 
+  // --- q149: exact distinct rollup via bitmap OR (Druid-style) ----------
+  // q123's rolling DAU re-scans events per window and q148/q58
+  // estimate; this is the third discipline: EXACT distinct that still
+  // ROLLS UP. Users fold into fixed 32-bit words (bucket = id>>5,
+  // bit = id&31) with the codegen'd `bit_or` aggregate — daily
+  // bitmaps are built once from raw events, and the weekly count
+  // derives by OR-merging the DAILY bitmaps, never touching raw data
+  // again (the Druid/materialized-rollup pattern; OR is the exact
+  // set-union homomorphism, the property count(DISTINCT) lacks). The
+  // oracle computes both grains with straight COUNT(DISTINCT), so the
+  // hash match PROVES the bitmap path exact, not approximately close.
+  //
+  // Scale shape: everything is (key, long-word) hash aggregates with
+  // map-side combine — no distinct shuffle of the raw event stream at
+  // the weekly grain. The contract is a DENSE integer id domain
+  // (rows-per-day ≤ max_id/32): at 100 TB you first dictionary-encode
+  // ids against the user dim (one broadcast/bucketed join), or chunk
+  // words into roaring-style containers; sparse 64-bit ids without a
+  // dictionary belong to q148's HLL instead.
+  private val q149 = Q(
+    (spark, dir) => {
+      val e = events(spark, dir)
+        .select(col("tus").cast("date").as("d"), col("user_id"))
+      val daily = e
+        .groupBy(date_trunc("week", col("d")).cast("date").as("wk"),
+          col("d"), shiftright(col("user_id"), 5).as("bucket"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id & 31 AS INT)))")
+          .as("w"))
+      val dau = daily.groupBy(col("wk"), col("d"))
+        .agg(sum(bit_count(col("w"))).as("dau"))
+      val byWeek = dau.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+      val wau = daily.groupBy(col("wk"), col("bucket"))
+        .agg(expr("bit_or(w)").as("ww"))
+        .groupBy(col("wk"))
+        .agg(sum(bit_count(col("ww"))).as("wau"))
+      byWeek.join(wau, Seq("wk"))
+        .select(col("wk"), col("n_days"), col("dau_sum"), col("wau"))
+        .orderBy(col("wk").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      e AS (SELECT CAST(tus AS DATE) AS d, user_id FROM ev),
+      dau AS (
+        SELECT date_trunc('week', d) AS wk, d,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY 1, 2),
+      byweek AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(dau) AS BIGINT) AS dau_sum
+        FROM dau GROUP BY 1),
+      wau AS (
+        SELECT date_trunc('week', d) AS wk,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM e GROUP BY 1)
+      SELECT b.wk, n_days, dau_sum, wau
+      FROM byweek b JOIN wau ON b.wk = wau.wk
+      ORDER BY b.wk ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1296,7 +1356,8 @@ object EventQueries {
     "q127_debounce" -> q127,
     "q129_window_kmv" -> q129,
     "q131_ppr" -> q131,
-    "q140_ema" -> q140)
+    "q140_ema" -> q140,
+    "q149_bitmap_distinct" -> q149)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

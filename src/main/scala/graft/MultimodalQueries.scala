@@ -246,10 +246,104 @@ object MultimodalQueries {
       FROM g
       ORDER BY source ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
 
+  // --- q150: perceptual-hash (dHash) image near-dup ----------------------
+  // The image-side q17/q18: near-duplicate IMAGE detection by 64-bit
+  // difference hash + banded LSH, with REAL pixel decode. Each doc
+  // fabricates a COMPLETE renderable 9×8 grayscale BMP (every 11th a
+  // truncated non-image) whose pixels derive from (class, variant)
+  // arithmetic — same class = same base image, variant perturbs ONE
+  // pixel, which moves ≤2 dHash bits. The engine decodes the pixels
+  // BACK out of the container bytes with the native bmp_dhash_long
+  // expression (spec-proven against javax.imageio in BmpDhashSpec);
+  // the oracle predicts the hash with pure arithmetic and never
+  // touches a byte, so the match proves encode→pixel-decode→hash
+  // round-trips exactly. Candidates come from 4×16-bit band equality
+  // (pigeonhole: hamming ≤3 guaranteed caught, =4 best-effort — LSH
+  // recall semantics, both sides identical), then the exact hamming
+  // filter.
+  //
+  // 100 TB posture: fabricate+decode+hash+band is ONE codegen'd map
+  // pass over payload bytes (no payload shuffle — only (id, 64-bit
+  // hash, 16-bit chunk) rows move); the band join is equi-key,
+  // skew-bounded by band cardinality; distinct over candidate pairs
+  // collapses the ≤4 duplicate discoveries of identical pairs.
+  private val DhashMaxHam = 4
+  private val q150 = Q(
+    (spark, dir) => {
+      val cls = col("doc_id") % 64
+      val v = expr("doc_id div 64") % 4
+      // squared-congruential pixel mixing: a LINEAR formula makes every
+      // class's dHash bits fire only at mod-wraps (near-identical
+      // hashes across classes — measured 47k cross-class pairs at
+      // sf0.01); squaring mod 251 decorrelates classes (9 cross-class
+      // near-pairs over all 256 fabricated images)
+      val pix = (x: Int, y: Int) => {
+        val t = cls * 73 + lit(x * 37 + y * 11 + 1)
+        pmod(t * t +
+          when(v === x && v === y, lit(40)).otherwise(lit(0)), lit(251))
+      }
+      val d = Tables.documents(spark, dir)
+        .withColumn("payload",
+          when(col("doc_id") % 11 === 0, unhex(lit("424D")))
+            .otherwise(Multimodal.bmpPayload(pix)))
+      val hashed = d
+        .select(col("doc_id"), Multimodal.bmpDhash(col("payload")).as("dh"))
+        .filter(col("dh").isNotNull)
+      val bands = hashed.select(col("doc_id"), col("dh"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+            shiftright(col("dh"), 16 * k).bitwiseAND(lit(0xffffL))
+              .as("chunk"))): _*)).as("b"))
+        .select(col("doc_id"), col("dh"),
+          col("b.k").as("k"), col("b.chunk").as("chunk"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.dh").as("ha"), col("b.dh").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= DhashMaxHam)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, doc_id % 64 AS cls, (doc_id // 64) % 4 AS v
+        FROM documents WHERE doc_id % 11 <> 0),
+      h AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(64), i ->
+          CASE WHEN (((cls * 73 + (i % 8) * 37 + (i // 8) * 11 + 1)
+                      * (cls * 73 + (i % 8) * 37 + (i // 8) * 11 + 1) +
+                      CASE WHEN (i % 8) = v AND (i // 8) = v
+                           THEN 40 ELSE 0 END)) % 251
+                   > (((cls * 73 + ((i % 8) + 1) * 37 + (i // 8) * 11 + 1)
+                      * (cls * 73 + ((i % 8) + 1) * 37 + (i // 8) * 11 + 1) +
+                      CASE WHEN ((i % 8) + 1) = v AND (i // 8) = v
+                           THEN 40 ELSE 0 END)) % 251
+               THEN CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+               ELSE 0 END)) AS BIGINT) AS dh
+        FROM d),
+      bb AS (
+        SELECT doc_id, dh, k, (dh >> CAST(16 * k AS INT)) & 65535 AS chunk
+        FROM (SELECT doc_id, dh, unnest(range(4)) AS k FROM h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.dh AS ha, b.dh AS hb
+        FROM bb a JOIN bb b
+          ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= $DhashMaxHam
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q31_multimodal_features" -> q31,
     "q65_frame_sample" -> q65,
     "q68_image_dims" -> q68,
     "q70_audio_meta" -> q70,
-    "q144_aspect_buckets" -> q144)
+    "q144_aspect_buckets" -> q144,
+    "q150_dhash_neardup" -> q150)
 }

@@ -101,6 +101,42 @@ object Multimodal {
       unhex(lit("FFC0001108")), be16(height), be16(width),
       unhex(lit("03012200021101031101FFD9")))
 
+  /** 64-bit perceptual difference-hash of an 8-bit uncompressed BMP's
+    * top-left 9×8 window ([[graft.plans.BmpDhashLong]], codegen'd),
+    * NULL for anything else. Caveat stated once here: the NULL
+    * sentinel folds the one degenerate all-ones hash (every adjacent
+    * pixel strictly decreasing in all 8 rows) into "not an image". */
+  def bmpDhash(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BmpDhashLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+
+  /** Grayscale-identity BMP palette: 256 × (B,G,R,0) entries. */
+  private val bmpPaletteHex: String =
+    (0 until 256).map(i => f"$i%02X$i%02X$i%02X00").mkString
+
+  /** Spec-valid COMPLETE 9×8 8-bit grayscale BMP (BITMAPFILEHEADER +
+    * 40-byte BITMAPINFOHEADER + 256-entry palette + 4-byte-aligned
+    * bottom-up pixel rows — renderable by any decoder, spec-checked
+    * against javax.imageio in BmpDhashSpec). Pixel (x,y) of the 12
+    * stride × 8 rows is `pixel(x, y)` evaluated per row bottom-up.
+    * The builder is pure codegen'd concat/hex column algebra — bytes
+    * fabricated at any scale with no media library. */
+  def bmpPayload(pixel: (Int, Int) => Column): Column = {
+    // file: 14 (file hdr) + 40 (info hdr) + 1024 (palette) + 96 (8 rows
+    // of stride 12) = 1174 bytes; data offset 14+40+1024 = 1078
+    val fileHeaderHex = "424D" + "96040000" + "00000000" + "36040000"
+    val infoHeaderHex = "28000000" + "09000000" + "08000000" + "0100" +
+      "0800" + "00000000" + "60000000" + "00000000" + "00000000" +
+      "00010000" + "00000000"
+    val pixelByte = (x: Int, y: Int) =>
+      unhex(lpad(hex(pixel(x, y)), 2, "0"))
+    val rows = (7 to 0 by -1).flatMap { y => // bottom-up row order
+      (0 until 9).map(x => pixelByte(x, y)) :+ unhex(lit("000000"))
+    }
+    concat(unhex(lit(fileHeaderHex + infoHeaderHex + bmpPaletteHex)) +: rows: _*)
+  }
+
   /** `(sampleRate << 24) | (channels << 16) | bitsPerSample` parsed
     * from a WAV (RIFF) payload's fmt chunk, NULL for anything
     * unrecognizable — audio's [[imageDims]]
