@@ -861,6 +861,77 @@ object AnalyticsQueries {
       FROM f
       ORDER BY segment ASC NULLS FIRST"""))
 
+  // --- q152: degree assortativity of the co-purchase graph --------------
+  // Newman's r: Pearson correlation of (deg(u), deg(v)) over the
+  // directed edge list (each undirected edge counted both ways — the
+  // standard convention, and what makes the two marginals equal).
+  // Answers "do popular parts co-sell with popular parts" — the
+  // structural summary none of q87 (closure), q112 (coreness) or q137
+  // (communities) gives. Exact-integer Pearson: the q99/q147/q151
+  // discipline — BIGINT moment sums over integer degrees, one double
+  // cast, multiply/sqrt/divide order pinned on both sides.
+  //
+  // 100 TB posture: degrees are one groupBy over the edge list; the
+  // two degree attachments are equi-joins that AQE broadcasts while
+  // the degree table is small and shuffles on the node key once it
+  // isn't; moments fold map-side to a single row. Degree sums stay
+  // in int64 to ~1e18 (Σd² over the edge list = Σd³ ≤ n·dmax³);
+  // past that, widen via Exact.exactIntSum as everywhere else.
+  private val q152 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = GraphOps.coOccurrenceCounts(li, "o", "p")
+        .filter(col("m") >= LpMinM)
+        .select(col("u"), col("v"))
+      val e = pairs.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(pairs.select(col("v").as("s"), col("u").as("t")))
+      val deg = e.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val m = e
+        .join(deg.select(col("node").as("s"), col("d").as("du")), Seq("s"))
+        .join(deg.select(col("node").as("t"), col("d").as("dv")), Seq("t"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("du")).as("sa"), sum(col("dv")).as("sb"),
+          sum(col("du") * col("dv")).as("sab"),
+          sum(col("du") * col("du")).as("saa"),
+          sum(col("dv") * col("dv")).as("sbb"))
+      val num = col("m") * col("sab") - col("sa") * col("sb")
+      val da = col("m") * col("saa") - col("sa") * col("sa")
+      val db = col("m") * col("sbb") - col("sb") * col("sb")
+      m.select(expr("m div 2").as("n_edges"),
+          when(da > 0 && db > 0,
+            num.cast("double") /
+              (sqrt(da.cast("double")) * sqrt(db.cast("double")))).as("r"))
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (
+        SELECT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= $LpMinM),
+      e AS (SELECT u AS s, v AS t FROM pairs
+            UNION ALL SELECT v AS s, u AS t FROM pairs),
+      deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d
+              FROM e GROUP BY 1),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(du.d) AS BIGINT) AS sa,
+               CAST(sum(dv.d) AS BIGINT) AS sb,
+               CAST(sum(du.d * dv.d) AS BIGINT) AS sab,
+               CAST(sum(du.d * du.d) AS BIGINT) AS saa,
+               CAST(sum(dv.d * dv.d) AS BIGINT) AS sbb
+        FROM e
+        JOIN deg du ON e.s = du.node
+        JOIN deg dv ON e.t = dv.node)
+      SELECT m // 2 AS n_edges,
+             CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+                  THEN CAST(m * sab - sa * sb AS DOUBLE) /
+                       (sqrt(CAST(m * saa - sa * sa AS DOUBLE)) *
+                        sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))
+             END AS r
+      FROM m"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -875,5 +946,6 @@ object AnalyticsQueries {
     "q133_assoc_rules" -> q133,
     "q137_label_prop" -> q137,
     "q145_link_predict" -> q145,
-    "q147_group_moments" -> q147)
+    "q147_group_moments" -> q147,
+    "q152_assortativity" -> q152)
 }

@@ -1271,6 +1271,84 @@ object EventQueries {
       ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
     })
 
+  // --- q151: autocorrelation function (ACF) of the daily series ---------
+  // The lag-structure companion to q99 (cross-series), q101
+  // (day-of-week seasonality) and q140 (EMA): for each series,
+  // Pearson r between (x_t, x_{t+k}) at calendar lags k=1..7 — the
+  // "is there weekly memory" diagnostic. Lagged pairs come from a
+  // calendar self-join (b.day = a.day + k), which is the correct
+  // semantics for gappy daily series (a missing day contributes no
+  // pair, rather than silently pairing non-adjacent rows the way a
+  // row-number lag would). The r algebra is q99's verbatim: exact
+  // BIGINT moment sums, one double cast, multiply/sqrt/divide order
+  // pinned on both sides; constant series → NULL r via the guard.
+  //
+  // 100 TB posture: the corpus folds to (series, day) cents once
+  // map-side; the lag join runs over that sketch-sized table times a
+  // 7-row broadcast lag spine — the raw event stream is scanned
+  // exactly once. Same int64 envelope note as q99 (widen the moment
+  // sums to decimal(38,0) via Exact.exactIntSum past ~1e18).
+  private val AcfMaxLag = 7
+  private val q151 = Q(
+    (spark, dir) => {
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("cents"))
+      val lags = spark.range(1, AcfMaxLag + 1)
+        .select(col("id").cast("int").as("k"))
+      val a = daily.crossJoin(broadcast(lags))
+      val b = daily.select(col("event_type"), col("day").as("day_b"),
+        col("cents").as("yb"))
+      val m = a.join(b,
+          a("event_type") === b("event_type") &&
+            col("day_b") === date_add(col("day"), col("k")))
+        .select(a("event_type").as("event_type"), col("k"),
+          col("cents").as("ya"), col("yb"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+          sum(col("ya") * col("yb")).as("sab"),
+          sum(col("ya") * col("ya")).as("saa"),
+          sum(col("yb") * col("yb")).as("sbb"))
+      val num = col("n") * col("sab") - col("sa") * col("sb")
+      val da = col("n") * col("saa") - col("sa") * col("sa")
+      val db = col("n") * col("sbb") - col("sb") * col("sb")
+      m.select(col("event_type"), col("k").cast("long").as("lag"),
+          col("n").as("n_pairs"),
+          when(da > 0 && db > 0,
+            num.cast("double") /
+              (sqrt(da.cast("double")) * sqrt(db.cast("double")))).as("r"))
+        .orderBy(col("event_type").asc, col("lag").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM ev GROUP BY 1, 2),
+      lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k),
+      m AS (
+        SELECT a.event_type, l.k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.cents) AS BIGINT) AS sa,
+               CAST(sum(b.cents) AS BIGINT) AS sb,
+               CAST(sum(a.cents * b.cents) AS BIGINT) AS sab,
+               CAST(sum(a.cents * a.cents) AS BIGINT) AS saa,
+               CAST(sum(b.cents * b.cents) AS BIGINT) AS sbb
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.day = a.day + CAST(l.k AS INT)
+        GROUP BY 1, 2)
+      SELECT event_type, CAST(k AS BIGINT) AS lag, n AS n_pairs,
+             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                  THEN CAST(n * sab - sa * sb AS DOUBLE) /
+                       (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+                        sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             END AS r
+      FROM m
+      ORDER BY event_type ASC NULLS FIRST, lag ASC NULLS FIRST"""))
+
   // --- q149: exact distinct rollup via bitmap OR (Druid-style) ----------
   // q123's rolling DAU re-scans events per window and q148/q58
   // estimate; this is the third discipline: EXACT distinct that still
@@ -1357,7 +1435,8 @@ object EventQueries {
     "q129_window_kmv" -> q129,
     "q131_ppr" -> q131,
     "q140_ema" -> q140,
-    "q149_bitmap_distinct" -> q149)
+    "q149_bitmap_distinct" -> q149,
+    "q151_acf" -> q151)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
