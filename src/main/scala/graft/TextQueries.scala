@@ -1511,6 +1511,8 @@ object TextQueries {
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
   // --- q148: HyperLogLog distinct-5-gram estimate per source ------------
+  // Register algebra lives in operators/Hll.scala (shared with the
+  // HllStream streaming twin, the Kmv.scala single-home discipline).
   // The OTHER canonical distinct sketch next to q58's KMV, over the
   // n-gram-diversity universe (distinct 5-grams ≈ how non-repetitive a
   // source is): m=256 registers (p=8), register = leading-zero rank of
@@ -1534,41 +1536,19 @@ object TextQueries {
   // the 100 TB path keeps ONLY 256 bytes per source. exact_distinct
   // is the evaluation baseline, priced separately (the one distinct
   // shuffle this query would NOT pay in production).
-  private val HllM = 256
-  private val HllAlphaC: Double =
-    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 4294967296.0
+  private val HllM = graft.operators.Hll.M
+  private val HllAlphaC: Double = graft.operators.Hll.AlphaC
   private val q148 = Q(
     (spark, dir) => {
+      import graft.operators.Hll
       val g = Tables.documents(spark, dir)
         .select(col("source"),
           explode(TextOps.gramHashes(TextOps.tokens(col("text")), 5))
             .as("hv"))
-      val keyed = g.select(col("source"),
-        col("hv").bitwiseAND(lit(255L)).as("idx"),
-        shiftright(col("hv"), 8).as("w"))
-      val reg = keyed
-        .withColumn("rho",
-          when(col("w") === 0, lit(53))
-            .otherwise(lit(53) - length(conv(col("w"), 10, 2))))
-        .groupBy(col("source"), col("idx"))
-        .agg(max(col("rho")).as("r"))
-      val roll = reg.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_filled"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))"))
-            .as("s_present"))
-        .withColumn("v_zero", lit(HllM) - col("n_filled"))
-        .withColumn("s_rational",
-          col("s_present") + col("v_zero") * lit(4294967296L))
-        .withColumn("est_raw",
-          lit(HllAlphaC) / col("s_rational").cast("double"))
-        .withColumn("est_hll",
-          when(col("v_zero") > 0 && col("est_raw") <= lit(2.5 * HllM),
-            lit(HllM.toDouble) *
-              log(lit(HllM.toDouble) / col("v_zero").cast("double")))
-            .otherwise(col("est_raw")))
+      val est = Hll.estimate(Hll.registers(g, "source", "hv"), "source")
       val exact = g.groupBy(col("source"))
         .agg(countDistinct(col("hv")).as("exact_distinct"))
-      roll.join(exact, Seq("source"))
+      est.join(exact, Seq("source"))
         .select(col("source"), col("n_filled"), col("v_zero"),
           col("s_rational"), col("est_hll"), col("exact_distinct"))
         .orderBy(col("source").asc)
