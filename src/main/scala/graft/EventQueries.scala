@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.Exact
+import graft.operators.Sampling
 
 /** Event-stream operators over the `events` table (north-star E5/E6):
   * JSON property extraction, event-time tumbling windows, and
@@ -1349,6 +1350,125 @@ object EventQueries {
       FROM m
       ORDER BY event_type ASC NULLS FIRST, lag ASC NULLS FIRST"""))
 
+  // --- q153: two-proportion A/B test on view→purchase conversion --------
+  // The experimentation readout: users split by id parity into A/B,
+  // exposure = has a 'view', conversion = a 'purchase' STRICTLY AFTER
+  // the first view (the causal ordering a naive any-purchase join gets
+  // wrong). Counts are exact integers; conversion rates are floor-ppm
+  // (Sampling.ldiv, engine-exact); the pooled two-proportion z-score
+  // is the one float expression, built from the integer counts with
+  // +,-,*,/,sqrt only, identical trees both sides (the q99/q147
+  // determinism discipline).
+  //
+  // 100 TB posture: first-view is one (user) aggregate; the
+  // conversion flag joins purchases on the user key only (purchases
+  // per user are bounded, no window); variants fold to a 2-row table
+  // before the single-row pivot. Nothing driver-side.
+  private val q153 = Q(
+    (spark, dir) => {
+      val e = events(spark, dir)
+      val v0 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("v0"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("pt"))
+      val conv = v0.join(purch, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("pt") > col("v0"), 1).otherwise(0)).as("c"))
+      val per = conv.groupBy((col("user_id") % 2).as("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("c"))
+      val one = per.agg(
+        sum(when(col("variant") === 0, col("n"))).as("n_a"),
+        sum(when(col("variant") === 0, col("c"))).as("c_a"),
+        sum(when(col("variant") === 1, col("n"))).as("n_b"),
+        sum(when(col("variant") === 1, col("c"))).as("c_b"))
+      val (na, ca, nb, cb) = (col("n_a").cast("double"),
+        col("c_a").cast("double"), col("n_b").cast("double"),
+        col("c_b").cast("double"))
+      val pp = (ca + cb) / (na + nb)
+      val z = (ca / na - cb / nb) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+      one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        Sampling.ldiv(col("c_a") * lit(1000000L), col("n_a")).as("conv_a_ppm"),
+        Sampling.ldiv(col("c_b") * lit(1000000L), col("n_b")).as("conv_b_ppm"),
+        z.as("z_score"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      v0 AS (
+        SELECT user_id, min(tus) AS v0 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT f.user_id,
+               max(CASE WHEN p.tus > f.v0 THEN 1 ELSE 0 END) AS c
+        FROM v0 f LEFT JOIN ev p
+          ON p.user_id = f.user_id AND p.event_type = 'purchase'
+        GROUP BY 1),
+      per AS (
+        SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS c
+        FROM conv GROUP BY 1),
+      one AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c_b
+        FROM per),
+      f AS (
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(n_a AS DOUBLE) AS nad, CAST(c_a AS DOUBLE) AS cad,
+               CAST(n_b AS DOUBLE) AS nbd, CAST(c_b AS DOUBLE) AS cbd,
+               (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) /
+               (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        FROM one)
+      SELECT n_a, c_a, n_b, c_b,
+             (c_a * 1000000) // n_a AS conv_a_ppm,
+             (c_b * 1000000) // n_b AS conv_b_ppm,
+             (cad / nad - cbd / nbd) /
+               sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)) AS z_score
+      FROM f"""))
+
+  // --- q154: new vs returning users per day -----------------------------
+  // The growth-accounting counterpart of q123/q149: each day's DAU
+  // split into first-ever-seen (new) and returning, plus the
+  // cumulative user count — all exact integers. first_day is one
+  // (user) aggregate; "new" is a first-day equality, never a scan-back
+  // window; the cumulative count is a running sum over the DAYS table
+  // (365 rows), not over users.
+  private val q154 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(spark, dir)
+        .select(to_date(col("tus")).as("day"), col("user_id"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val daily = e.distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("d0") === col("day"), 1L).otherwise(0L)).as("new_users"))
+        .withColumn("returning", col("dau") - col("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      daily.select(col("day"), col("dau"), col("new_users"),
+          col("returning"), col("cum_users"))
+        .orderBy(col("day").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      e AS (SELECT DISTINCT CAST(tus AS DATE) AS day, user_id FROM ev),
+      first AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+      daily AS (
+        SELECT e.day, CAST(count(*) AS BIGINT) AS dau,
+               CAST(sum(CASE WHEN f.d0 = e.day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_users
+        FROM e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1)
+      SELECT day, dau, new_users, dau - new_users AS returning,
+             CAST(sum(new_users) OVER (ORDER BY day ASC NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM daily
+      ORDER BY day ASC NULLS FIRST"""))
+
   // --- q149: exact distinct rollup via bitmap OR (Druid-style) ----------
   // q123's rolling DAU re-scans events per window and q148/q58
   // estimate; this is the third discipline: EXACT distinct that still
@@ -1436,7 +1556,9 @@ object EventQueries {
     "q131_ppr" -> q131,
     "q140_ema" -> q140,
     "q149_bitmap_distinct" -> q149,
-    "q151_acf" -> q151)
+    "q151_acf" -> q151,
+    "q153_ab_test" -> q153,
+    "q154_new_returning" -> q154)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
