@@ -267,18 +267,22 @@ object GraphOps {
     var done = 0
     var live = true
     while (live && done < maxIter) {
-      // convergence reads the CACHED degree table -- checked before any
-      // round work is paid; a k whose bad set is empty has hit its
-      // fixpoint (its rows no-op through every later round)
-      val badCounts = deg.filter(col("d") < col("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      // ONE materialization of this round's peel set serves the
+      // convergence check AND both joins below (it was previously
+      // recomputed from a full degree-table scan at each use — 3 deg
+      // scans per round instead of 1); the peel set is tiny once
+      // peeling slows, so the checkpoint is cheap exactly when rounds
+      // are numerous. A k whose bad set is empty has hit its fixpoint
+      // (its rows no-op through every later round).
+      val bad = deg.filter(col("d") < col("k")).select(col("k"), col("n"))
+        .localCheckpoint()
+      val badCounts = bad.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       ks.foreach { k =>
         if (badCounts.getOrElse(k.toLong, 0L) == 0L) converged(k) = true
       }
       live = badCounts.values.sum > 0L
       if (live) {
-        val bad = deg.filter(col("d") < col("k")).select(col("k"), col("n"))
         // decrements to ALIVE endpoints of edges that just lost their
         // other endpoint; decrements landing on this round's own bad
         // nodes are dropped with them by the anti-join (both-bad edges
