@@ -1241,6 +1241,65 @@ object RelationalQueries {
       ORDER BY blk ASC NULLS FIRST"""
     })
 
+  // --- q155: six-table star join (the TPC-H Q5 shape) -------------------
+  // Local-supplier revenue per nation: lineitem⋈orders⋈customer⋈
+  // supplier⋈nation⋈region with a region filter, an order-date year,
+  // and the Q5 co-location constraint s_nationkey = c_nationkey. The
+  // canonical OLAP join-ordering exercise the per-pair joins (q04 etc.)
+  // don't cover: Catalyst must push the region/date filters into the
+  // scans, broadcast the three dim tables, and leave ONE big shuffle
+  // pair (lineitem⋈orders) — asserted in docs/PLANS.md; at 100 TB
+  // that pair is the bucketing candidate (Layout.scala) and everything
+  // else stays broadcast.
+  //
+  // Revenue is EXACT: ext·(1−disc) in hundredths² — rev_e4 =
+  // ext_cents · (100 − disc_pct) is a product of two exact integers
+  // (both sides 2-decimal money), summed as BIGINT; no float money
+  // ever (the q55/q14 discipline, one step further: even the discount
+  // multiply is integral).
+  private val q155 = Q(
+    (spark, dir) => {
+      val rev = (Exact.quantize(col("l_extendedprice").cast("double")) *
+        (lit(100L) - Exact.quantize(col("l_discount").cast("double"))))
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev_e4"))
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val s = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("rev_e4"))
+        .orderBy(col("rev_e4").desc_nulls_last, col("n_name").asc)
+    },
+    Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS rev_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1
+      ORDER BY rev_e4 DESC NULLS LAST, n_name ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q01_monthly_agg" -> q01,
     "q02_mom_lag" -> q02,
@@ -1273,5 +1332,6 @@ object RelationalQueries {
     "q142_theil_sen" -> q142,
     "q103_key_skew" -> q103,
     "q106_set_ops" -> q106,
-    "q107_fuzzy_refine" -> q107)
+    "q107_fuzzy_refine" -> q107,
+    "q155_star_join" -> q155)
 }
