@@ -932,6 +932,68 @@ object AnalyticsQueries {
              END AS r
       FROM m"""))
 
+  // --- q156: HITS hubs/authorities on the bipartite basket graph --------
+  // Kleinberg's HITS over orders × parts WITHOUT projecting to a
+  // co-purchase graph first: authority(part) = Σ hub(order),
+  // hub(order) = Σ authority(part), three synchronous rounds, each
+  // side max-normalized to 1e6 by floor division (GraphOps.hitsInt —
+  // the pageRankInt integer discipline, so Spark and the oracle agree
+  // bit-for-bit with no float mass anywhere). Answers "which parts
+  // anchor the biggest baskets" — a different centrality than q76's
+  // random-walk mass (PageRank rewards being reachable; HITS rewards
+  // mutual reinforcement with strong baskets).
+  //
+  // The oracle unrolls the same fixed rounds as generated CTEs (the
+  // q76/q116/q137 discipline); normalization max's are scalar
+  // subqueries (single-row broadcasts in the Spark plan).
+  private val HitsRounds = 3
+  private val HitsK = 15
+
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+            SELECT p, sum(h) AS ar FROM e JOIN h${i - 1} USING (o)
+            GROUP BY 1),
+          a$i AS MATERIALIZED (
+            SELECT p, (ar * 1000000) // (SELECT max(ar) FROM a${i}r) AS a
+            FROM a${i}r),
+          h${i}r AS MATERIALIZED (
+            SELECT o, sum(a) AS hr FROM e JOIN a$i USING (p)
+            GROUP BY 1),
+          h$i AS MATERIALIZED (
+            SELECT o, (hr * 1000000) // (SELECT max(hr) FROM h${i}r) AS h
+            FROM h${i}r)"""
+    }.mkString(",\n")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      h0 AS MATERIALIZED (
+        SELECT DISTINCT o, CAST(1000000 AS BIGINT) AS h FROM e),
+      $rounds,
+      deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_baskets
+              FROM e GROUP BY 1)
+      SELECT a.p AS p_partkey, CAST(a.a AS BIGINT) AS authority,
+             deg.n_baskets
+      FROM a$HitsRounds a JOIN deg ON a.p = deg.p
+      ORDER BY authority DESC NULLS LAST, p_partkey ASC
+      LIMIT $HitsK"""
+  }
+
+  private val q156 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val auth = GraphOps.hitsInt(li, "o", "p", iters = HitsRounds)
+      val deg = li.distinct().groupBy(col("p"))
+        .agg(count(lit(1)).as("n_baskets"))
+      auth.join(deg, Seq("p"))
+        .select(col("p").as("p_partkey"), col("a").as("authority"),
+          col("n_baskets"))
+        .orderBy(col("authority").desc_nulls_last, col("p_partkey").asc)
+        .limit(HitsK)
+    },
+    Some(hitsOracle))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -947,5 +1009,6 @@ object AnalyticsQueries {
     "q137_label_prop" -> q137,
     "q145_link_predict" -> q145,
     "q147_group_moments" -> q147,
-    "q152_assortativity" -> q152)
+    "q152_assortativity" -> q152,
+    "q156_hits" -> q156)
 }

@@ -515,4 +515,45 @@ object GraphOps {
     (labels.select(col("node"), shiftright(col("key"), 20).as("dist"),
       col("key").bitwiseAND(lit(HopPack - 1)).as("hops")), converged)
   }
+
+  /** Integer-scaled HITS (Kleinberg 1999) on a bipartite (group, item)
+    * edge list: `iters` synchronous rounds of authority = Σ hub,
+    * hub = Σ authority, each side MAX-normalized to `scale` by floor
+    * division — the pageRankInt determinism discipline (engine-exact
+    * integers, no float mass). Returns the authority table
+    * (item, a) after the final round.
+    *
+    * Scale shape: per round, two equi-join + groupBy shuffles over the
+    * edge list and two single-row max broadcasts; score tables are
+    * node-sized and localCheckpoint'd per round (lineage cut, the
+    * kCoreDegrees discipline). Overflow envelope: raw scores are
+    * ≤ maxdeg·scale and the normalize multiply is ≤ maxdeg·scale²
+    * (1e6² · maxdeg) — holds to maxdeg ~9e6 at the default scale;
+    * shrink `scale` for hub-ier graphs.
+    */
+  def hitsInt(edges: DataFrame, group: String, item: String,
+              iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(group).as("o"), col(item).as("p")).distinct()
+      .localCheckpoint() // eager: scanned twice per round
+    var h = e.select(col("o")).distinct().withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, Seq("o"))
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      a = araw.crossJoin(broadcast(amax)) // single-row broadcast
+        .select(col("p"),
+          Sampling.ldiv(col("ar") * lit(scale), col("am")).as("a"))
+        .localCheckpoint()
+      val hraw = e.join(a, Seq("p"))
+        .groupBy(col("o")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      h = hraw.crossJoin(broadcast(hmax)) // single-row broadcast
+        .select(col("o"),
+          Sampling.ldiv(col("hr") * lit(scale), col("hm")).as("h"))
+        .localCheckpoint()
+    }
+    a
+  }
 }

@@ -108,4 +108,18 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 3L))
   }
+
+  test("hitsInt: the item in every basket dominates; max-normalization pins the top score") {
+    // baskets: {1,2}, {1,3}, {1,4} — item 1 is in all three, items
+    // 2/3/4 in one each. Round 1: a(1)=3e6 → normalized 1e6;
+    // a(2..4)=1e6 → 333333. Authority ordering must hold every round
+    // and the max must be EXACTLY the scale (floor-div invariant).
+    val e = Seq((10L, 1L), (11L, 1L), (12L, 1L), (10L, 2L), (11L, 3L),
+      (12L, 4L), (10L, 2L)) // duplicate edge deduped
+    val a = GraphOps.hitsInt(e.toDF("o", "p"), "o", "p", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(1L) == 1000000L, s"top authority must equal scale: $a")
+    assert(Seq(2L, 3L, 4L).forall(p => a(p) < a(1L)), a.toString)
+    assert(a(2L) == a(3L) && a(3L) == a(4L), s"symmetric items differ: $a")
+  }
 }
