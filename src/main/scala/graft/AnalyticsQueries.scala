@@ -994,6 +994,73 @@ object AnalyticsQueries {
     },
     Some(hitsOracle))
 
+  // --- q158: frequent triples (3-itemsets) with a-priori pruning --------
+  // One level past q133's pair rules: which part TRIPLES co-occur in
+  // ≥ s baskets. The distributed a-priori discipline keeps the 3-way
+  // blowup bounded: (1) baskets first semi-join to s-frequent ITEMS
+  // (downward closure — an infrequent item can't be in a frequent
+  // triple); (2) the ordered 3-way self-join on the basket key
+  // (u<v<w) generates candidates; (3) each candidate must contain a
+  // frequent PAIR on its (u,v) leg — the leg that prunes BEFORE the
+  // third join row multiplies, which is where a naive triple join
+  // explodes. Counts are exact; the final HAVING applies the same s.
+  //
+  // 100 TB posture: per-basket work is deg³ ONLY within pruned
+  // baskets — the two semi-joins are the knobs (raise s) a real
+  // basket-mining run turns first; joins are all equi-key on the
+  // basket id, AQE-broadcastable while the frequent sets are small.
+  private val TripleMinSupport = 2
+  private val q158 = Q(
+    (spark, dir) => {
+      val s = TripleMinSupport
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val freqItems = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= s).select(col("p"))
+      val b = li.join(freqItems, Seq("p"), "left_semi")
+      val freqPairs = b.as("a").join(b.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= s)
+        .select(col("u"), col("v"))
+      val cand = b.as("x").join(b.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.o").as("oo"), col("x.p").as("u"), col("y.p").as("v"))
+        .join(freqPairs, Seq("u", "v"), "left_semi") // prune BEFORE leg 3
+        .join(b.as("z"), col("oo") === col("z.o") && col("v") < col("z.p"))
+        .select(col("u"), col("v"), col("z.p").as("w"))
+      cand.groupBy(col("u"), col("v"), col("w"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= s)
+        .orderBy(col("m").desc_nulls_last, col("u").asc, col("v").asc,
+          col("w").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      fi AS (SELECT p FROM li GROUP BY 1
+             HAVING count(*) >= $TripleMinSupport),
+      b AS MATERIALIZED (SELECT o, p FROM li WHERE p IN (SELECT p FROM fi)),
+      fp AS (
+        SELECT a.p AS u, b2.p AS v
+        FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        GROUP BY 1, 2 HAVING count(*) >= $TripleMinSupport),
+      cand AS (
+        SELECT x.o, x.p AS u, y.p AS v
+        FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        WHERE EXISTS (SELECT 1 FROM fp
+                      WHERE fp.u = x.p AND fp.v = y.p)),
+      tri AS (
+        SELECT c.u, c.v, z.p AS w
+        FROM cand c JOIN b z ON c.o = z.o AND c.v < z.p)
+      SELECT u, v, w, CAST(count(*) AS BIGINT) AS m
+      FROM tri GROUP BY 1, 2, 3
+      HAVING count(*) >= $TripleMinSupport
+      ORDER BY m DESC NULLS LAST, u ASC, v ASC, w ASC
+      LIMIT 20"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -1010,5 +1077,6 @@ object AnalyticsQueries {
     "q145_link_predict" -> q145,
     "q147_group_moments" -> q147,
     "q152_assortativity" -> q152,
-    "q156_hits" -> q156)
+    "q156_hits" -> q156,
+    "q158_freq_triples" -> q158)
 }

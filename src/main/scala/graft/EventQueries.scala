@@ -1350,6 +1350,65 @@ object EventQueries {
       FROM m
       ORDER BY event_type ASC NULLS FIRST, lag ASC NULLS FIRST"""))
 
+  // --- q157: peak concurrency by sweep-line ------------------------------
+  // "How many users were active AT ONCE" — the load-profile question
+  // q123's daily counts can't answer. Each user's daily activity span
+  // [first event, last event] becomes two sweep events (+1 at start,
+  // −1 at end); a running sum over the day's sweep order is the
+  // concurrency curve and its max the daily peak. Ordering at equal
+  // timestamps is PINNED (+1 before −1, then user id) so touching
+  // spans count as concurrent deterministically — the tie rule is the
+  // whole correctness of a sweep-line, stated once and mirrored in
+  // the oracle's window ORDER BY.
+  //
+  // 100 TB posture: spans are one (user, day) aggregate off the scan;
+  // the sweep is 2 rows per span, windowed PER DAY (the partition
+  // key), so no global sort — each day's curve sorts independently,
+  // and the peak folds map-side after the window. A day with a
+  // hot-key-sized user population is the window's natural skew
+  // bound; salting by hour-segment with a merge pass is the
+  // escalation, not needed at these cardinalities.
+  private val q157 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = events(spark, dir)
+        .select(to_date(col("tus")).as("day"), col("user_id"), col("tus"))
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+      val sweep = spans.select(col("day"), col("user_id"),
+          col("t0").as("ts"), lit(1L).as("delta"))
+        .unionByName(spans.select(col("day"), col("user_id"),
+          col("t1").as("ts"), lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("ts").asc, col("delta").desc, col("user_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sweep.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_spans"),
+          max(col("conc")).as("peak_concurrency"))
+        .orderBy(col("day").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      spans AS (
+        SELECT CAST(tus AS DATE) AS day, user_id,
+               min(tus) AS t0, max(tus) AS t1
+        FROM ev GROUP BY 1, 2),
+      sweep AS (
+        SELECT day, user_id, t0 AS ts, CAST(1 AS BIGINT) AS delta FROM spans
+        UNION ALL
+        SELECT day, user_id, t1 AS ts, CAST(-1 AS BIGINT) AS delta FROM spans),
+      c AS (
+        SELECT day, sum(delta) OVER (PARTITION BY day
+                 ORDER BY ts ASC NULLS FIRST, delta DESC NULLS LAST,
+                          user_id ASC NULLS FIRST
+                 ROWS UNBOUNDED PRECEDING) AS conc
+        FROM sweep)
+      SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_spans,
+             CAST(max(conc) AS BIGINT) AS peak_concurrency
+      FROM c GROUP BY 1
+      ORDER BY day ASC NULLS FIRST"""))
+
   // --- q153: two-proportion A/B test on view→purchase conversion --------
   // The experimentation readout: users split by id parity into A/B,
   // exposure = has a 'view', conversion = a 'purchase' STRICTLY AFTER
@@ -1558,7 +1617,8 @@ object EventQueries {
     "q149_bitmap_distinct" -> q149,
     "q151_acf" -> q151,
     "q153_ab_test" -> q153,
-    "q154_new_returning" -> q154)
+    "q154_new_returning" -> q154,
+    "q157_concurrency" -> q157)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->
