@@ -12,6 +12,17 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
+  // The TextQueries.docs discipline: per-doc payload fabrication /
+  // decode must parallelize even when the corpus arrives as one
+  // parquet file (a single input partition serializes the whole map
+  // pass — measured 56 s vs ~2 s on the q148 gram scan at sf1).
+  private def docs(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(spark, dir)
+    if (d.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) d
+    else d.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
   private def hex7Sql(e: String): String =
     s"""list_sum(list_transform(range(7), i ->
         (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT) + 1, 1)) - 1)
@@ -21,7 +32,7 @@ object MultimodalQueries {
   private val q31 = Q(
     (spark, dir) => {
       val d = Multimodal.withMeta(
-        Multimodal.withPayload(Tables.documents(spark, dir), "text"))
+        Multimodal.withPayload(docs(spark, dir), "text"))
       d.select(col("source"), col("meta.n_bytes").as("n_bytes"),
           Multimodal.fakeFeature(col("text"), 0).as("k0"),
           Multimodal.fakeFeature(col("text"), 1).as("k1"))
@@ -56,7 +67,7 @@ object MultimodalQueries {
   // shuffles (only per-doc counts and one hash do).
   private val q65 = Q(
     (spark, dir) => {
-      val d = Multimodal.withPayload(Tables.documents(spark, dir), "text")
+      val d = Multimodal.withPayload(docs(spark, dir), "text")
       val fr = Multimodal.frames(col("payload"), 64, stride = 2)
       d.select(col("source"),
           size(fr).cast("long").as("n_frames"),
@@ -101,7 +112,7 @@ object MultimodalQueries {
   // (source, format) rollup.
   private val q68 = Q(
     (spark, dir) => {
-      val d = Tables.documents(spark, dir)
+      val d = docs(spark, dir)
         .select(col("source"), col("doc_id"),
           (col("doc_id") % 640 + 1).as("w0"), (col("n_chars") % 480 + 1).as("h0"))
         .withColumn("payload",
@@ -146,7 +157,7 @@ object MultimodalQueries {
   // little-endian encode/parse round-trip.
   private val q70 = Q(
     (spark, dir) => {
-      val d = Tables.documents(spark, dir)
+      val d = docs(spark, dir)
         .select(col("source"), col("doc_id"),
           (lit(8000) + (col("doc_id") % 89) * 1000).as("rate0"),
           (lit(1) + col("doc_id") % 2).as("ch0"))
@@ -196,7 +207,7 @@ object MultimodalQueries {
   private val ArBatch = 16L
   private val q144 = Q(
     (spark, dir) => {
-      val d = Tables.documents(spark, dir)
+      val d = docs(spark, dir)
         .select(col("source"), col("doc_id"),
           (col("doc_id") % 640 + 1).as("w0"), (col("n_chars") % 480 + 1).as("h0"))
         .withColumn("payload",
@@ -258,9 +269,11 @@ object MultimodalQueries {
   // the oracle predicts the hash with pure arithmetic and never
   // touches a byte, so the match proves encode→pixel-decode→hash
   // round-trips exactly. Candidates come from 4×16-bit band equality
-  // (pigeonhole: hamming ≤3 guaranteed caught, =4 best-effort — LSH
+  // against each bucket's min-id REPRESENTATIVE (pigeonhole: a doc at
+  // hamming ≤3 from its rep shares ≥1 band, =4 best-effort — LSH
   // recall semantics, both sides identical), then the exact hamming
-  // filter.
+  // filter; the links feed union-find clustering exactly like
+  // q39/q43's pair streams.
   //
   // 100 TB posture: fabricate+decode+hash+band is ONE codegen'd map
   // pass over payload bytes (no payload shuffle — only (id, 64-bit
@@ -282,7 +295,7 @@ object MultimodalQueries {
         pmod(t * t +
           when(v === x && v === y, lit(40)).otherwise(lit(0)), lit(251))
       }
-      val d = Tables.documents(spark, dir)
+      val d = docs(spark, dir)
         .withColumn("payload",
           when(col("doc_id") % 11 === 0, unhex(lit("424D")))
             .otherwise(Multimodal.bmpPayload(pix)))
@@ -296,11 +309,20 @@ object MultimodalQueries {
               .as("chunk"))): _*)).as("b"))
         .select(col("doc_id"), col("dh"),
           col("b.k").as("k"), col("b.chunk").as("chunk"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.dh").as("ha"), col("b.dh").as("hb"))
+      // representative links, NOT all pairs: each band bucket elects
+      // its min-doc_id member and every other member links to it —
+      // the union-find shape real dedup uses (q39/q43). An all-pairs
+      // self-join within buckets is quadratic in duplicate-class size
+      // (measured 14x time at 10x data on the fabricated corpus);
+      // representative links are linear in docs and feed the same
+      // downstream clustering.
+      val reps = bands.groupBy(col("k"), col("chunk"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          min_by(col("dh"), col("doc_id")).as("rep_dh"))
+      val cand = bands.join(reps, Seq("k", "chunk"))
+        .filter(col("rep_id") < col("doc_id"))
+        .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"),
+          col("rep_dh").as("ha"), col("dh").as("hb"))
         .distinct()
       cand
         .withColumn("hamming",
@@ -330,11 +352,15 @@ object MultimodalQueries {
       bb AS (
         SELECT doc_id, dh, k, (dh >> CAST(16 * k AS INT)) & 65535 AS chunk
         FROM (SELECT doc_id, dh, unnest(range(4)) AS k FROM h)),
+      reps AS (
+        SELECT k, chunk, min(doc_id) AS rep_id,
+               arg_min(dh, doc_id) AS rep_dh
+        FROM bb GROUP BY 1, 2),
       cand AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-               a.dh AS ha, b.dh AS hb
-        FROM bb a JOIN bb b
-          ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT DISTINCT r.rep_id AS a_id, b.doc_id AS b_id,
+               r.rep_dh AS ha, b.dh AS hb
+        FROM bb b JOIN reps r
+          ON b.k = r.k AND b.chunk = r.chunk AND r.rep_id < b.doc_id)
       SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(ha, hb)) <= $DhashMaxHam
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))

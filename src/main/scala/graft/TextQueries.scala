@@ -1541,13 +1541,25 @@ object TextQueries {
   private val q148 = Q(
     (spark, dir) => {
       import graft.operators.Hll
-      val g = Tables.documents(spark, dir)
+      // ONE tokenize+hash scan and ONE (source, hv) distinct shuffle
+      // feed BOTH branches: registers are max-idempotent, so building
+      // them from the deduped grams is identical to building from the
+      // raw stream, and the exact baseline is a count over the same
+      // deduped frame — the two aggregates share the distinct's
+      // exchange (ReusedExchange; the first cut scanned + hashed the
+      // corpus twice and paid a second full-width shuffle for
+      // countDistinct: 9.9x time at 10x data, vs ~linear now)
+      // docs(), not Tables.documents: the gram scan must parallelize
+      // even when the corpus arrives as one parquet file (measured
+      // 56 s single-partition vs ~2 s wide at sf1)
+      val g = docs(spark, dir)
         .select(col("source"),
           explode(TextOps.gramHashes(TextOps.tokens(col("text")), 5))
             .as("hv"))
+        .distinct()
       val est = Hll.estimate(Hll.registers(g, "source", "hv"), "source")
       val exact = g.groupBy(col("source"))
-        .agg(countDistinct(col("hv")).as("exact_distinct"))
+        .agg(count(lit(1)).as("exact_distinct"))
       est.join(exact, Seq("source"))
         .select(col("source"), col("n_filled"), col("v_zero"),
           col("s_rational"), col("est_hll"), col("exact_distinct"))
