@@ -1409,6 +1409,79 @@ object EventQueries {
       FROM c GROUP BY 1
       ORDER BY day ASC NULLS FIRST"""))
 
+  // --- q159: STL-lite decomposition (trend + day-of-week + residual) ----
+  // The decomposition q101 (seasonality means) and q142 (robust trend)
+  // each give one piece of: x = trend + seasonal + residual. Classic
+  // moving-average STL, integer-exact internally: trend is the
+  // CENTERED 7-day sum held ×7 (never divided until output), valid
+  // only where the window holds exactly 7 CALENDAR-dense days (count
+  // AND date-span guards — a row-window over a gappy series would
+  // silently average across gaps); detrended = 7x − trend7 stays
+  // integral; the day-of-week seasonal index is the exact rational
+  // (Σ detrended, n) per dow. Floats appear only in the output
+  // columns, each ONE pinned expression over exact integers (the
+  // q147 discipline), so the oracle hash-matches bit-for-bit.
+  //
+  // 100 TB posture: the corpus folds to (series, day) once; the
+  // trend window partitions by series (no global sort); the seasonal
+  // index is a 7-row-per-series aggregate joined back broadcast.
+  private val q159 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("tus")).as("day"))
+        .agg(sum(Exact.quantize(col("value"))).as("x"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("t7",
+          when(count(lit(1)).over(w7) === 7 &&
+            datediff(max(col("day")).over(w7), min(col("day")).over(w7)) === 6,
+            sum(col("x")).over(w7)))
+        .withColumn("det", lit(7L) * col("x") - col("t7"))
+        .withColumn("dow", dayofweek(col("day")) - 1)
+      val seasonal = t.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("det")).as("snum"), count(col("det")).as("sden"))
+      t.join(seasonal, Seq("event_type", "dow"))
+        .withColumn("trend", col("t7").cast("double") / lit(7.0))
+        .withColumn("seasonal",
+          col("snum").cast("double") / col("sden") / lit(7.0))
+        .withColumn("resid",
+          col("x").cast("double") - col("trend") - col("seasonal"))
+        .select(col("event_type"), col("day"), col("x").as("x_cents"),
+          col("trend"), col("seasonal"), col("resid"))
+        .orderBy(col("event_type").asc, col("day").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      daily AS (
+        SELECT event_type, CAST(tus AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM ev GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, x,
+               CASE WHEN count(*) OVER w7 = 7
+                     AND max(day) OVER w7 - min(day) OVER w7 = 6
+                    THEN CAST(sum(x) OVER w7 AS BIGINT) END AS t7,
+               dayofweek(day) AS dow
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day ASC NULLS FIRST
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t2 AS (SELECT *, 7 * x - t7 AS det FROM t),
+      seasonal AS (
+        SELECT event_type, dow, CAST(sum(det) AS BIGINT) AS snum,
+               CAST(count(det) AS BIGINT) AS sden
+        FROM t2 GROUP BY 1, 2)
+      SELECT t2.event_type, t2.day, t2.x AS x_cents,
+             CAST(t2.t7 AS DOUBLE) / 7.0 AS trend,
+             CAST(s.snum AS DOUBLE) / s.sden / 7.0 AS seasonal,
+             CAST(t2.x AS DOUBLE) - CAST(t2.t7 AS DOUBLE) / 7.0
+               - CAST(s.snum AS DOUBLE) / s.sden / 7.0 AS resid
+      FROM t2 JOIN seasonal s
+        ON t2.event_type = s.event_type AND t2.dow = s.dow
+      ORDER BY t2.event_type ASC NULLS FIRST, t2.day ASC NULLS FIRST"""))
+
   // --- q153: two-proportion A/B test on view→purchase conversion --------
   // The experimentation readout: users split by id parity into A/B,
   // exposure = has a 'view', conversion = a 'purchase' STRICTLY AFTER
@@ -1618,7 +1691,8 @@ object EventQueries {
     "q151_acf" -> q151,
     "q153_ab_test" -> q153,
     "q154_new_returning" -> q154,
-    "q157_concurrency" -> q157)
+    "q157_concurrency" -> q157,
+    "q159_stl_decompose" -> q159)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

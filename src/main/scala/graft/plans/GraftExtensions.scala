@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.audioMetaLong)
     ext.injectFunction(GraftExtensions.misraGriesTerms)
     ext.injectFunction(GraftExtensions.zorderLong)
+    ext.injectFunction(GraftExtensions.bmpDhashLong)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -75,6 +76,14 @@ object GraftExtensions {
       require(children.length == 5,
         "cell_argmax_cosine_long takes (q, qn2, cells, cqs, cn2s)")
       CellArgMaxCosineLong(children(0), children(1), children(2), children(3), children(4))
+    })
+
+  private val bmpDhashLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_dhash_long"),
+    new ExpressionInfo(classOf[BmpDhashLong].getName, "bmp_dhash_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "bmp_dhash_long takes exactly 1 argument")
+      BmpDhashLong(children.head)
     })
 
   private val imageDimsLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
