@@ -230,6 +230,73 @@ object WarehouseQueries {
     },
     Some(kcoreOracle))
 
+  // --- q160: SCD2 point-in-time reconstruction (as-of consumption) ------
+  // The question q109's history TABLE exists to answer: "what was
+  // every customer's status on date D" — reconstructed for the first
+  // of every month in the order range. A probe date hits the interval
+  // with valid_from ≤ p < valid_to (open interval = current row), the
+  // half-open convention q109 writes; customers not yet seen at p
+  // simply miss every interval. The probe spine is DISTINCT month
+  // starts — dozens of rows — so the non-equi interval join is a
+  // broadcast of the SPINE against the history, never a range
+  // self-join of the history (the q62 discipline: broadcast the tiny
+  // side of an interval join, shuffle nothing).
+  private val q160 = Q(
+    (spark, dir) => {
+      val feed = Tables.orders(spark, dir).select(
+        col("o_custkey"),
+        col("o_orderdate").cast("date").as("obs_date"),
+        col("o_orderkey"),
+        col("o_orderstatus"))
+      val hist = History.scd2(feed, key = "o_custkey", ts = "obs_date",
+        tieBreak = "o_orderkey", attr = "o_orderstatus")
+      val probes = Tables.orders(spark, dir)
+        .select(date_trunc("month", col("o_orderdate").cast("date"))
+          .cast("date").as("p"))
+        .distinct()
+      hist.join(broadcast(probes),
+          col("p") >= col("valid_from") &&
+            (col("valid_to").isNull || col("p") < col("valid_to")))
+        .groupBy(col("p").as("probe_month"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("probe_month").asc, col("status").asc)
+    },
+    Some("""
+      WITH feed AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+               o_orderkey, o_orderstatus
+        FROM orders),
+      flagged AS (
+        SELECT *, CASE WHEN lag(o_orderstatus) OVER w
+                            IS DISTINCT FROM o_orderstatus
+                       THEN 1 ELSE 0 END AS chg
+        FROM feed
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY obs_date, o_orderkey)),
+      islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY obs_date, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged),
+      runs AS (
+        SELECT o_custkey, isl, min(o_orderstatus) AS status,
+               min(obs_date) AS valid_from
+        FROM islands GROUP BY 1, 2),
+      closed AS (
+        SELECT o_custkey, status, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY valid_from, isl) AS valid_to
+        FROM runs),
+      probes AS (
+        SELECT DISTINCT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+          AS DATE) AS p FROM orders)
+      SELECT p AS probe_month, c.status,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM closed c JOIN probes
+        ON p >= c.valid_from AND (c.valid_to IS NULL OR p < c.valid_to)
+      GROUP BY 1, 2
+      ORDER BY probe_month ASC NULLS FIRST, status ASC NULLS FIRST"""))
+
   // --- q146: MERGE upsert (Delta-style) as one full-outer join ----------
   // The lakehouse MERGE INTO: a base per-customer snapshot (orders
   // before the cut date) merged with a delta batch (orders on/after).
@@ -310,5 +377,6 @@ object WarehouseQueries {
     "q110_grouping_sets" -> q110,
     "q111_skyline" -> q111,
     "q112_kcore" -> q112,
-    "q146_merge_upsert" -> q146)
+    "q146_merge_upsert" -> q146,
+    "q160_scd2_asof" -> q160)
 }
