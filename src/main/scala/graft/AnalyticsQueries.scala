@@ -1061,6 +1061,77 @@ object AnalyticsQueries {
       ORDER BY m DESC NULLS LAST, u ASC, v ASC, w ASC
       LIMIT 20"""))
 
+  // --- q162: purchase-cadence quantiles (inter-order gaps) --------------
+  // "How often do customers in each segment come back" — the retention
+  // cadence behind q95's cohort view. Consecutive-order gaps come from
+  // ONE lag window per customer (key-partitioned, no global sort);
+  // gap days are a BOUNDED domain (≤ calendar span), so the per-segment
+  // p50/p90 use q122's exact histogram discipline — the shuffle is
+  // |segments| × |distinct gaps|, independent of order count. The mean
+  // is the exact rational Σ(gap·c)/n cast once.
+  private val q162 = Q(
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      val gaps = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_orderkey"))
+        .withColumn("prev", lag(col("d"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"), datediff(col("d"), col("prev")).as("gap"))
+      val seg = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val h = gaps.join(seg, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("segment"), col("gap").cast("long").as("gap"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("segment")).orderBy(col("gap").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("segment"))))
+        .withColumn("sg",
+          sum(col("gap") * col("c"))
+            .over(Window.partitionBy(col("segment"))))
+      cum.groupBy(col("segment"), col("n"), col("sg"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("gap")))
+            .as("p50_gap"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("gap")))
+            .as("p90_gap"))
+        .select(col("segment"), col("n").as("n_gaps"), col("p50_gap"),
+          col("p90_gap"),
+          (col("sg").cast("double") / col("n")).as("mean_gap"))
+        .orderBy(col("segment").asc)
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        FROM orders),
+      g0 AS (
+        SELECT o_custkey,
+               d - lag(d) OVER (PARTITION BY o_custkey
+                                ORDER BY d ASC, o_orderkey ASC) AS gap
+        FROM o),
+      gaps AS (
+        SELECT c.c_mktsegment AS segment, CAST(g0.gap AS BIGINT) AS gap
+        FROM g0 JOIN customer c ON g0.o_custkey = c.c_custkey
+        WHERE g0.gap IS NOT NULL),
+      h AS (SELECT segment, gap, count(*) AS c FROM gaps GROUP BY 1, 2),
+      cum AS (
+        SELECT segment, gap, c,
+               sum(c) OVER (PARTITION BY segment ORDER BY gap ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY segment) AS n,
+               sum(gap * c) OVER (PARTITION BY segment) AS sg
+        FROM h)
+      SELECT segment, CAST(n AS BIGINT) AS n_gaps,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS p50_gap,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap END) AS p90_gap,
+             CAST(sg AS DOUBLE) / n AS mean_gap
+      FROM cum
+      GROUP BY segment, n, sg
+      ORDER BY segment ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -1078,5 +1149,6 @@ object AnalyticsQueries {
     "q147_group_moments" -> q147,
     "q152_assortativity" -> q152,
     "q156_hits" -> q156,
-    "q158_freq_triples" -> q158)
+    "q158_freq_triples" -> q158,
+    "q162_order_gaps" -> q162)
 }

@@ -1496,18 +1496,41 @@ object EventQueries {
   // conversion flag joins purchases on the user key only (purchases
   // per user are bounded, no window); variants fold to a 2-row table
   // before the single-row pivot. Nothing driver-side.
+  /** Per-variant (user_id parity) exposure/conversion counts — the
+    * q153/q161 shared core: exposure = has a 'view', conversion = a
+    * 'purchase' strictly after the first view. */
+  private def abVariantCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val v0 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("v0"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("pt"))
+    val conv = v0.join(purch, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("pt") > col("v0"), 1).otherwise(0)).as("c"))
+    conv.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("c"))
+  }
+
+  /** The q153/q161 shared oracle CTEs producing (variant, n, c). */
+  private val abVariantSqlCtes = """
+      v0 AS (
+        SELECT user_id, min(tus) AS v0 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT f.user_id,
+               max(CASE WHEN p.tus > f.v0 THEN 1 ELSE 0 END) AS c
+        FROM v0 f LEFT JOIN ev p
+          ON p.user_id = f.user_id AND p.event_type = 'purchase'
+        GROUP BY 1),
+      per AS (
+        SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS c
+        FROM conv GROUP BY 1)"""
+
   private val q153 = Q(
     (spark, dir) => {
-      val e = events(spark, dir)
-      val v0 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("tus")).as("v0"))
-      val purch = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tus").as("pt"))
-      val conv = v0.join(purch, Seq("user_id"), "left")
-        .groupBy(col("user_id"))
-        .agg(max(when(col("pt") > col("v0"), 1).otherwise(0)).as("c"))
-      val per = conv.groupBy((col("user_id") % 2).as("variant"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("c"))
+      val per = abVariantCounts(spark, dir)
       val one = per.agg(
         sum(when(col("variant") === 0, col("n"))).as("n_a"),
         sum(when(col("variant") === 0, col("c"))).as("c_a"),
@@ -1526,19 +1549,7 @@ object EventQueries {
     },
     Some(s"""
       WITH $eventsSqlCte,
-      v0 AS (
-        SELECT user_id, min(tus) AS v0 FROM ev
-        WHERE event_type = 'view' GROUP BY 1),
-      conv AS (
-        SELECT f.user_id,
-               max(CASE WHEN p.tus > f.v0 THEN 1 ELSE 0 END) AS c
-        FROM v0 f LEFT JOIN ev p
-          ON p.user_id = f.user_id AND p.event_type = 'purchase'
-        GROUP BY 1),
-      per AS (
-        SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(c) AS BIGINT) AS c
-        FROM conv GROUP BY 1),
+      $abVariantSqlCtes,
       one AS (
         SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
                CAST(sum(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
@@ -1558,6 +1569,50 @@ object EventQueries {
              (cad / nad - cbd / nbd) /
                sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)) AS z_score
       FROM f"""))
+
+  // --- q161: Wilson score intervals for conversion rates ----------------
+  // q153 answers "are A and B different"; this answers "how sure are
+  // we about EACH rate" — the Wilson interval (the right one near 0/1
+  // and at small n, unlike the Wald ±z√(pq/n)). Same exposure/
+  // conversion core as q153 (abVariantCounts); the interval is one
+  // pinned double expression per variant over the exact integer
+  // counts, with z and z² interpolated as the SAME Scala-computed
+  // literals into both engines (the HllAlphaC discipline — never let
+  // two engines each evaluate 1.96²).
+  private val WilsonZ = 1.96
+  private val WilsonZ2 = WilsonZ * WilsonZ
+  private val q161 = Q(
+    (spark, dir) => {
+      val per = abVariantCounts(spark, dir)
+      val nd = col("n").cast("double")
+      val pd = col("c").cast("double") / nd
+      val denom = lit(1.0) + lit(WilsonZ2) / nd
+      val center = pd + lit(WilsonZ2) / (lit(2.0) * nd)
+      val margin = lit(WilsonZ) *
+        sqrt(pd * (lit(1.0) - pd) / nd + lit(WilsonZ2) / (lit(4.0) * nd * nd))
+      per.select(col("variant"), col("n"), col("c"),
+          Sampling.ldiv(col("c") * lit(1000000L), col("n")).as("conv_ppm"),
+          ((center - margin) / denom).as("wilson_lo"),
+          ((center + margin) / denom).as("wilson_hi"))
+        .orderBy(col("variant").asc)
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      $abVariantSqlCtes,
+      f AS (
+        SELECT variant, n, c,
+               CAST(n AS DOUBLE) AS nd, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pd
+        FROM per)
+      SELECT variant, n, c,
+             (c * 1000000) // n AS conv_ppm,
+             (pd + $WilsonZ2 / (2.0 * nd) - $WilsonZ *
+                sqrt(pd * (1.0 - pd) / nd + $WilsonZ2 / (4.0 * nd * nd)))
+               / (1.0 + $WilsonZ2 / nd) AS wilson_lo,
+             (pd + $WilsonZ2 / (2.0 * nd) + $WilsonZ *
+                sqrt(pd * (1.0 - pd) / nd + $WilsonZ2 / (4.0 * nd * nd)))
+               / (1.0 + $WilsonZ2 / nd) AS wilson_hi
+      FROM f
+      ORDER BY variant ASC NULLS FIRST"""))
 
   // --- q154: new vs returning users per day -----------------------------
   // The growth-accounting counterpart of q123/q149: each day's DAU
@@ -1692,7 +1747,8 @@ object EventQueries {
     "q153_ab_test" -> q153,
     "q154_new_returning" -> q154,
     "q157_concurrency" -> q157,
-    "q159_stl_decompose" -> q159)
+    "q159_stl_decompose" -> q159,
+    "q161_wilson_ci" -> q161)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

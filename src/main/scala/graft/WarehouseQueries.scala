@@ -297,6 +297,101 @@ object WarehouseQueries {
       GROUP BY 1, 2
       ORDER BY probe_month ASC NULLS FIRST, status ASC NULLS FIRST"""))
 
+  // --- q163: distribution-drift audit (total variation, exact ppm) ------
+  // The data-ops check a pipeline runs before trusting a new batch:
+  // has a column's value distribution MOVED between the historical
+  // slice and the fresh one? Metric is total-variation / L1 distance
+  // Σ|p_a − p_b| over per-value frequencies — chosen over PSI/KL
+  // precisely because it needs NO ln(): frequencies are floor-ppm
+  // integers (Sampling.ldiv) and the distance is an exact integer sum,
+  // so the audit is bit-stable across engines and replays (the same
+  // reason q133 ships floor-ppm lift). Three columns audited by
+  // stacking them into (column, value) rows — one scan, one shape,
+  // any column count.
+  //
+  // 100 TB posture: per (column, value) counts fold map-side; the
+  // slice comparison is a full-outer join on (column, value) —
+  // cardinality = Σ per-column distinct values, not rows. A
+  // high-cardinality column first buckets (as totalprice does here,
+  // $5 buckets) — the knob that keeps the audit sketch-sized.
+  private val DriftCut = "1997-01-01"
+  private val q163 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .withColumn("slice",
+          when(col("o_orderdate").cast("date") < lit(DriftCut).cast("date"),
+            "a").otherwise("b"))
+        .select(col("slice"), explode(array(
+          struct(lit("o_orderstatus").as("column_name"),
+            col("o_orderstatus").as("val")),
+          struct(lit("o_orderpriority").as("column_name"),
+            col("o_orderpriority").as("val")),
+          struct(lit("price_bucket").as("column_name"),
+            (Sampling.ldiv(
+              Exact.quantize(col("o_totalprice").cast("double"), scale = 0),
+              lit(500L)) * lit(500L)).cast("string").as("val"))))
+          .as("cv"))
+        .select(col("slice"), col("cv.column_name"), col("cv.val"))
+      val counts = o.groupBy(col("slice"), col("column_name"), col("val"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("slice"), col("column_name"))
+        .agg(sum(col("c")).as("n"))
+      val freq = counts.join(totals, Seq("slice", "column_name"))
+        .select(col("slice"), col("column_name"), col("val"),
+          col("c"), col("n"),
+          Sampling.ldiv(col("c") * lit(1000000L), col("n")).as("ppm"))
+      val a = freq.filter(col("slice") === "a")
+        .select(col("column_name"), col("val"), col("c").as("ca"),
+          col("n").as("na"), col("ppm").as("pa"))
+      val b = freq.filter(col("slice") === "b")
+        .select(col("column_name"), col("val"), col("c").as("cb"),
+          col("n").as("nb"), col("ppm").as("pb"))
+      a.join(b, Seq("column_name", "val"), "full_outer")
+        .groupBy(col("column_name"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          count(lit(1)).as("n_values"),
+          sum(abs(coalesce(col("pa"), lit(0L)) -
+            coalesce(col("pb"), lit(0L)))).as("l1_ppm"))
+        .orderBy(col("column_name").asc)
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '$DriftCut'
+                    THEN 'a' ELSE 'b' END AS slice,
+               cv.column_name, cv.val
+        FROM orders, LATERAL (
+          SELECT * FROM (VALUES
+            ('o_orderstatus', o_orderstatus),
+            ('o_orderpriority', o_orderpriority),
+            ('price_bucket',
+             CAST(CAST(round(o_totalprice) AS BIGINT) // 500 * 500
+               AS VARCHAR))) t(column_name, val)) cv),
+      counts AS (
+        SELECT slice, column_name, val, CAST(count(*) AS BIGINT) AS c
+        FROM o GROUP BY 1, 2, 3),
+      totals AS (
+        SELECT slice, column_name, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY 1, 2),
+      freq AS (
+        SELECT counts.slice, counts.column_name, val, c, n,
+               (c * 1000000) // n AS ppm
+        FROM counts JOIN totals
+          ON counts.slice = totals.slice
+         AND counts.column_name = totals.column_name),
+      a AS (SELECT column_name, val, n AS na, ppm AS pa
+            FROM freq WHERE slice = 'a'),
+      b AS (SELECT column_name, val, n AS nb, ppm AS pb
+            FROM freq WHERE slice = 'b')
+      SELECT COALESCE(a.column_name, b.column_name) AS column_name,
+             CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(abs(COALESCE(pa, 0) - COALESCE(pb, 0))) AS BIGINT)
+               AS l1_ppm
+      FROM a FULL OUTER JOIN b
+        ON a.column_name = b.column_name AND a.val = b.val
+      GROUP BY 1
+      ORDER BY column_name ASC NULLS FIRST"""))
+
   // --- q146: MERGE upsert (Delta-style) as one full-outer join ----------
   // The lakehouse MERGE INTO: a base per-customer snapshot (orders
   // before the cut date) merged with a delta batch (orders on/after).
@@ -378,5 +473,6 @@ object WarehouseQueries {
     "q111_skyline" -> q111,
     "q112_kcore" -> q112,
     "q146_merge_upsert" -> q146,
-    "q160_scd2_asof" -> q160)
+    "q160_scd2_asof" -> q160,
+    "q163_dist_drift" -> q163)
 }
