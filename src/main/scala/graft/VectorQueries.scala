@@ -1559,6 +1559,79 @@ object VectorQueries {
       WHERE rn <= $PqTopK
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- q164: embedding centroid drift between labels --------------------
+  // The vector-side q163: how far apart do the class centroids sit —
+  // the embedding-space health check (collapsed classes ⇒ tiny
+  // distances) run before trusting a classifier or a SemDeDup
+  // threshold. Exact to the last bit: per-label per-dimension SUMS
+  // stay integral (quantized 1e-6 grid), and the squared centroid
+  // distance is held as the RATIONAL integer
+  //   Σ_d (s_a[d]·n_b − s_b[d]·n_a)²  over denominator (n_a·n_b)²
+  // (decimal(38,0) — the cross terms square to ~4e21, past BIGINT),
+  // so the only float work is one sqrt + two pinned divisions.
+  //
+  // 100 TB posture: dimension sums fold map-side to |labels|×|dims|
+  // rows; the pairwise stage joins CENTROID tables (labels², never
+  // vectors²). The oracle mirrors in HUGEINT.
+  private val q164 = Q(
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(VectorOps.quantized(col("embedding")))
+            .as(Seq("i", "v")))
+      val sums = e.groupBy(col("label"), col("i"))
+        .agg(sum(col("v")).as("s"))
+      val ns = Tables.embeddings(spark, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+      val a = sums.join(ns, Seq("label"))
+        .select(col("label").as("la"), col("i"), col("s").as("sa"),
+          col("n").as("na"))
+      val b = sums.join(ns, Seq("label"))
+        .select(col("label").as("lb"), col("i"), col("s").as("sb"),
+          col("n").as("nb"))
+      val term = (col("sa") * col("nb") - col("sb") * col("na"))
+        .cast("decimal(38,0)")
+      a.join(b, Seq("i"))
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la").as("label_a"), col("lb").as("label_b"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(term * term).as("num"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          (sqrt(col("num").cast("double")) /
+            (col("n_a").cast("double") * col("n_b")) / lit(1000000.0))
+            .as("centroid_dist"))
+        .orderBy(col("label_a").asc, col("label_b").asc)
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      sums AS (
+        SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+        FROM q GROUP BY 1, 2),
+      ns AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1),
+      p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               max(na.n) AS n_a, max(nb.n) AS n_b,
+               sum(CAST(a.s * nb.n - b.s * na.n AS HUGEINT) *
+                   CAST(a.s * nb.n - b.s * na.n AS HUGEINT)) AS num
+        FROM sums a
+        JOIN sums b ON a.i = b.i AND a.label < b.label
+        JOIN ns na ON na.label = a.label
+        JOIN ns nb ON nb.label = b.label
+        GROUP BY 1, 2)
+      SELECT label_a, label_b, n_a, n_b,
+             sqrt(CAST(num AS DOUBLE)) /
+               (CAST(n_a AS DOUBLE) * n_b) / 1000000.0 AS centroid_dist
+      FROM p
+      ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1574,5 +1647,6 @@ object VectorQueries {
     "q69_capped_cells" -> q69,
     "q86_sq8_recall" -> q86,
     "q113_pq_adc" -> q113,
-    "q115_ivfpq" -> q115)
+    "q115_ivfpq" -> q115,
+    "q164_centroid_drift" -> q164)
 }
