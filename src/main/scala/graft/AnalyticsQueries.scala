@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.operators.{GraphOps, Sampling, Selection}
+import graft.operators.{GraphOps, Prefix, Ranking, Sampling, Selection}
 
 /** Analytics tier (q116-q122): graph distances, sort-free exact
   * selection, reshape (pivot/unpivot), ntile segmentation, CDC snapshot
@@ -1132,6 +1132,729 @@ object AnalyticsQueries {
       GROUP BY segment, n, sg
       ORDER BY segment ASC NULLS FIRST"""))
 
+  // --- q165: Mann-Whitney U (rank-sum) test, integer-exact ---------------
+  // "Do URGENT orders run larger than LOW orders?" answered the
+  // distribution-free way — the nonparametric sibling of q153's z-test
+  // (means can agree while distributions differ; ranks see it). All
+  // arithmetic stays in integers: rank sums over ties are half-integer,
+  // so everything is carried DOUBLED (r1_x2, u1_x2), and the effect
+  // size is the doubled-AUC per-mille (U/(n1·n2) = P(A>B) + ½P(A=B) —
+  // the probability a random URGENT order exceeds a random LOW one).
+  //
+  // Scale shape: ranks are NEVER assigned to rows. The rank sum only
+  // depends on the VALUE HISTOGRAM (cents → per-side counts): for a
+  // tied run at value v with nv rows after cumprev earlier rows, each
+  // row's doubled mid-rank is 2·cumprev + nv + 1. The histogram prefix
+  // runs through operators/Prefix (bucket-digest scan, no corpus-sized
+  // window), so the plan is two hash aggregates + a digest broadcast —
+  // at 100 TB the histogram is |distinct cents|, not |rows|. Long
+  // envelope: r1_x2 < 2n², exact below n ≈ 2·10⁹ rows; past that the
+  // doubled sums move to Exact.exactIntSum decimals.
+  private val MwSideA = "1-URGENT"
+  private val MwSideB = "5-LOW"
+  private val q165 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").isin(MwSideA, MwSideB))
+        .select(Exact.quantize(col("o_totalprice")).as("cents"),
+          when(col("o_orderpriority") === MwSideA, 1L).otherwise(0L).as("ia"))
+      val hist = o.groupBy(col("cents"))
+        .agg(sum(col("ia")).as("na"), (count(lit(1)) - sum(col("ia"))).as("nb"))
+        .withColumn("nv", col("na") + col("nb"))
+      val cum = Prefix.scanSums(hist, "cents", Seq("nv"), bucketWidth = 100000L)
+        .withColumn("cumprev", col("cum_nv") - col("nv"))
+      cum.agg(
+        sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+        sum(col("na") * (lit(2L) * col("cumprev") + col("nv") + 1L)).as("r1_x2"))
+        .select(col("n1"), col("n2"), col("r1_x2"),
+          (lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1L)
+            - col("r1_x2")).as("u1_x2"))
+        .select(col("n1"), col("n2"), col("r1_x2"), col("u1_x2"),
+          expr("(1000 * u1_x2) div (2 * n1 * n2)").as("auc_permille"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '$MwSideA' THEN 1 ELSE 0 END AS ia
+        FROM orders
+        WHERE o_orderpriority IN ('$MwSideA', '$MwSideB')),
+      h AS (SELECT cents, CAST(sum(ia) AS BIGINT) AS na,
+                   CAST(count(*) - sum(ia) AS BIGINT) AS nb
+            FROM o GROUP BY 1),
+      c AS (SELECT na, nb, na + nb AS nv,
+                   CAST(COALESCE(sum(na + nb) OVER (ORDER BY cents ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cumprev
+            FROM h),
+      s AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+                   CAST(sum(na * (2 * cumprev + nv + 1)) AS BIGINT) AS r1_x2
+            FROM c)
+      SELECT n1, n2, r1_x2,
+             2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u1_x2,
+             (1000 * (2 * n1 * n2 + n1 * (n1 + 1) - r1_x2)) // (2 * n1 * n2)
+               AS auc_permille
+      FROM s"""))
+
+  // --- q166: Kolmogorov-Smirnov two-sample drift, integer-exact ----------
+  // The ECDF-gap complement of q163's TV distance: TV compares binned
+  // masses, KS finds the worst cumulative gap at ANY threshold — the
+  // statistic a price-distribution drift monitor alarms on. Returned
+  // ('R') vs kept ('N'/'A') line items over l_extendedprice. The gap is
+  // exact as a common-denominator integer: D = d_num / (n1·n2) with
+  // d_num = max_v |n2·cumA(v) − n1·cumB(v)| — no floats anywhere; the
+  // report also pins WHERE the gap peaks (min cents among argmax ties).
+  //
+  // Scale shape: same histogram discipline as q165 — per-side counts by
+  // cents, Prefix bucket-digest scan, then one small aggregate and an
+  // argmax semi-filter over the histogram (never the corpus). The
+  // histogram is localCheckpoint'd: both the max pass and the argmax
+  // pass read one materialization. Long envelope: n1·cumB < n², exact
+  // below n ≈ 3·10⁹ rows; decimal past it.
+  private val q166 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(Exact.quantize(col("l_extendedprice")).as("cents"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ra"))
+      val hist = li.groupBy(col("cents"))
+        .agg(sum(col("ra")).as("na"), (count(lit(1)) - sum(col("ra"))).as("nb"))
+      val cum = Prefix.scanSums(hist, "cents", Seq("na", "nb"),
+        bucketWidth = 16384L).localCheckpoint()
+      val tot = cum.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+      val gap = cum.crossJoin(broadcast(tot))
+        .withColumn("g", abs(col("n2") * col("cum_na") - col("n1") * col("cum_nb")))
+      val d = gap.agg(max(col("g")).as("d_num"))
+      gap.crossJoin(broadcast(d))
+        .filter(col("g") === col("d_num"))
+        .groupBy(col("n1"), col("n2"), col("d_num"))
+        .agg(min(col("cents")).as("ks_at_cents"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("(1000 * d_num) div (n1 * n2)").as("d_permille"),
+          col("ks_at_cents"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ra
+        FROM lineitem),
+      h AS (SELECT cents, CAST(sum(ra) AS BIGINT) AS na,
+                   CAST(count(*) - sum(ra) AS BIGINT) AS nb
+            FROM li GROUP BY 1),
+      c AS (SELECT cents,
+                   CAST(sum(na) OVER (ORDER BY cents ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_na,
+                   CAST(sum(nb) OVER (ORDER BY cents ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nb
+            FROM h),
+      t AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2
+            FROM h),
+      g AS (SELECT cents, abs(t.n2 * cum_na - t.n1 * cum_nb) AS g, t.n1, t.n2
+            FROM c, t),
+      d AS (SELECT max(g) AS d_num FROM g)
+      SELECT g.n1, g.n2, d.d_num,
+             (1000 * d.d_num) // (g.n1 * g.n2) AS d_permille,
+             min(g.cents) AS ks_at_cents
+      FROM g, d WHERE g.g = d.d_num
+      GROUP BY g.n1, g.n2, d.d_num"""))
+
+  // --- q167: Gini concentration of customer revenue, integer-exact -------
+  // "How concentrated is revenue across customers?" — the Lorenz/Gini
+  // statistic every account-risk and mixture audit reports. Per-customer
+  // revenue cents, ranked ascending with custkey tiebreak, then
+  // G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) emitted as an exact
+  // numerator/denominator pair plus the per-mille floor — no floats, no
+  // cross-engine drift (the q164 rational-integer discipline).
+  //
+  // Scale shape: the rank is over the PER-CUSTOMER aggregate (one row
+  // per customer, not per order), assigned by Ranking.rankInGroup's
+  // two-pass range exchange — no global-window bottleneck even at 10⁹
+  // customers. Chebyshev's sum inequality makes gini_num ≥ 0, so the
+  // floor division is engine-agnostic. Long envelope: Σ rk·x exact
+  // below ~10⁸ customers at ~$10⁵ lifetime revenue; decimal past it.
+  private val q167 = Q(
+    (spark, dir) => {
+      val rev = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(Exact.quantize(col("o_totalprice"))).as("x"))
+        .withColumn("g", lit(0))
+      val ranked = Ranking.rankInGroup(rev, "g", Seq("x", "c"))
+      ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        sum(col("rk") * col("x")).as("srx"))
+        .select(col("n_customers"), col("total_cents"),
+          (lit(2L) * col("srx") - (col("n_customers") + 1L) * col("total_cents"))
+            .as("gini_num"),
+          (col("n_customers") * col("total_cents")).as("gini_den"))
+        .select(col("n_customers"), col("total_cents"), col("gini_num"),
+          col("gini_den"),
+          expr("(1000 * gini_num) div gini_den").as("gini_permille"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      k AS (SELECT x, row_number() OVER (ORDER BY x ASC, c ASC) AS rk FROM r),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(rk * x) AS BIGINT) AS srx
+            FROM k)
+      SELECT n AS n_customers, sx AS total_cents,
+             2 * srx - (n + 1) * sx AS gini_num,
+             n * sx AS gini_den,
+             (1000 * (2 * srx - (n + 1) * sx)) // (n * sx) AS gini_permille
+      FROM s"""))
+
+  // --- q171: Poisson-bootstrap confidence interval, deterministic --------
+  // "Total revenue is X — how wide is the resampling band?" answered the
+  // only way that scales: the POISSON bootstrap (Chamandy et al. 2012,
+  // "Estimating uncertainty for massive data streams"), where each
+  // row's multiplicity in replicate r is an independent Poisson(1) draw
+  // — no materialized resample, no per-replicate shuffle of the corpus.
+  // Every draw is a PURE ROW FUNCTION: a 40-bit md5 hash of
+  // (orderkey, linenumber, replicate) inverted through the Poisson(1)
+  // CDF pinned as integer thresholds (interpolated into BOTH engines
+  // from one Scala constant, the q93 no-drift discipline; the >8 tail,
+  // mass ~1.1e-6, is capped at 9). Replicate totals are exact integer
+  // cent sums, so the whole report — point estimate plus the
+  // 4th/32nd/61st order statistics of 64 replicate totals (the ceil(pR)
+  // lower-discrete convention, q117) — is bit-identical across engines.
+  //
+  // Scale shape: one map pass over rows×R with map-side partial
+  // aggregation into R=64 groups — the shuffle carries 64 rows per
+  // partition regardless of corpus size; the order-statistic window
+  // runs over the 64-row digest only.
+  private val BootR = 64
+  private val BootBits = 40 // md5 hex digits / 4 — matches Sampling.hashBits
+  private val PoissonCdf40: Seq[Long] = Seq(
+    404487723187L, 808975446375L, 1011219307969L, 1078633928500L,
+    1095487583633L, 1098858314660L, 1099420103164L, 1099500358665L,
+    1099510390602L)
+  private def poissonCase(h: String): String =
+    PoissonCdf40.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+  private val q171 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Exact.quantize(col("l_extendedprice")).as("cents"))
+      val reps = li.withColumn("rep",
+        explode(sequence(lit(0), lit(BootR - 1))))
+      val key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"), lit("-"), col("rep").cast("string"))
+      val totals = reps
+        .withColumn("h", Sampling.hashBits("boot|", key, BootBits))
+        .withColumn("m", expr(poissonCase("h")))
+        .groupBy(col("rep")).agg(sum(col("m") * col("cents")).as("total_cents"))
+      val w = Window.orderBy(col("total_cents").asc, col("rep").asc)
+      val ranked = totals.withColumn("rn", row_number().over(w))
+      def at(rn: Int, name: String) =
+        ranked.filter(col("rn") === rn).select(col("total_cents").as(name))
+      val point = li.agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("point_cents"))
+      point.withColumn("r", lit(BootR.toLong))
+        .crossJoin(at(math.ceil(0.05 * BootR).toInt, "boot_p05_cents"))
+        .crossJoin(at(math.ceil(0.50 * BootR).toInt, "boot_p50_cents"))
+        .crossJoin(at(math.ceil(0.95 * BootR).toInt, "boot_p95_cents"))
+    },
+    Some(s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+                  FROM lineitem),
+      reps AS (SELECT unnest(range($BootR)) AS rep),
+      x AS (SELECT rep, cents,
+              CAST(('0x' || substr(md5('boot|' || CAST(ok AS VARCHAR) || '-' ||
+                CAST(ln AS VARCHAR) || '-' || CAST(rep AS VARCHAR)), 1,
+                ${BootBits / 4})) AS BIGINT) AS h
+            FROM li CROSS JOIN reps),
+      t AS (SELECT rep,
+                   CAST(sum((${poissonCase("h")}) * cents) AS BIGINT)
+                     AS total_cents
+            FROM x GROUP BY 1),
+      rk AS (SELECT total_cents,
+                    row_number() OVER (ORDER BY total_cents ASC, rep ASC) AS rn
+             FROM t),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS point_cents
+            FROM li)
+      SELECT p.n_rows, p.point_cents, CAST($BootR AS BIGINT) AS r,
+        (SELECT total_cents FROM rk WHERE rn = ${math.ceil(0.05 * BootR).toInt})
+          AS boot_p05_cents,
+        (SELECT total_cents FROM rk WHERE rn = ${math.ceil(0.50 * BootR).toInt})
+          AS boot_p50_cents,
+        (SELECT total_cents FROM rk WHERE rn = ${math.ceil(0.95 * BootR).toInt})
+          AS boot_p95_cents
+      FROM p"""))
+
+  // --- q172: local clustering coefficient, top of the co-purchase graph --
+  // q87's global triangle count says the graph is cohesive; the LOCAL
+  // coefficient says WHERE — which parts sit in tightly-bound purchase
+  // neighborhoods (2·tri / deg·(deg−1), the ego-density each
+  // recommender / community seed ranks by). Per-node triangle incidence
+  // comes from GraphOps.trianglesPerNode (the q87 wedge-close pipeline
+  // with corners kept: same O(m^1.5) orientation bound, one extra
+  // narrow explode); the coefficient is an exact integer per-mille. Top
+  // 20 under the total order (coeff DESC, node ASC) via sort-limit —
+  // distributed takeOrdered, never a global sort.
+  private val q172 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = GraphOps.coOccurrencePairs(li, "o", "p").localCheckpoint()
+      val tri = GraphOps.trianglesPerNode(edges, "u", "v")
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2L)
+        .join(tri, Seq("node"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .withColumn("coeff_permille",
+          expr("(2000 * tri) div (deg * (deg - 1))"))
+        .orderBy(col("coeff_permille").desc, col("node").asc)
+        .limit(20)
+        .orderBy(col("coeff_permille").desc, col("node").asc)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+              GROUP BY 1),
+      o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS s,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS t
+            FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      w AS (SELECT o1.s AS a, o1.t AS m, o2.t AS c
+            FROM o o1 JOIN o o2 ON o2.s = o1.t),
+      tc AS (SELECT w.a, w.m, w.c FROM w JOIN o ON o.s = w.a AND o.t = w.c),
+      tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+               SELECT a AS node FROM tc
+               UNION ALL SELECT m FROM tc
+               UNION ALL SELECT c FROM tc)
+             GROUP BY 1),
+      res AS (SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+                     COALESCE(tn.tri, CAST(0 AS BIGINT)) AS tri,
+                     (2000 * COALESCE(tn.tri, 0)) // (deg.d * (deg.d - 1))
+                       AS coeff_permille
+              FROM deg LEFT JOIN tn ON tn.node = deg.n
+              WHERE deg.d >= 2)
+      SELECT node, deg, tri, coeff_permille
+      FROM res
+      ORDER BY coeff_permille DESC, node ASC
+      LIMIT 20"""))
+
+  // --- q174: actuarial life table for repeat purchase (survival) ---------
+  // The churn question q162's gap quantiles don't answer: of customers
+  // entering week w since their FIRST order, what fraction convert to a
+  // repeat order IN that week (the discrete hazard), and how many are
+  // still at risk? Kaplan-Meier's life-table form with right censoring
+  // at the observation horizon (the dataset's max order date). The
+  // event is the first strictly-later order DAY (two orders on the
+  // first day are not a repeat); customers without one are censored at
+  // the horizon. Hazard is an integer per-mille — the float-free subset
+  // of KM (the survival product is the one float quantity, and it is
+  // derivable from the hazards downstream).
+  //
+  // Scale shape: per-customer first/repeat dates are two hash
+  // aggregates; the week histogram is |weeks| rows; the at-risk count
+  // n_enter(w) = N − cum(<w) comes from the [[Prefix]] bucket-digest
+  // scan, not a global window. Nothing after the per-customer aggregate
+  // scales with row count.
+  private val q174 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("c"), col("o_orderdate").cast("date").as("d"))
+      val span = o.agg(max(col("d")).as("dmax"))
+      val firsts = o.groupBy(col("c")).agg(min(col("d")).as("d1"))
+      val repeats = o.join(firsts, Seq("c")).filter(col("d") > col("d1"))
+        .groupBy(col("c")).agg(min(col("d")).as("d2"))
+      val times = firsts.join(repeats, Seq("c"), "left")
+        .crossJoin(broadcast(span))
+        .select(
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("dmax"), col("d1"))).cast("long").as("t"),
+          when(col("d2").isNotNull, 1L).otherwise(0L).as("ev"))
+        .select(expr("t div 7").as("week"), col("ev"))
+      val hist = times.groupBy(col("week"))
+        .agg(count(lit(1)).as("n"), sum(col("ev")).as("n_event"))
+        .withColumn("n_censored", col("n") - col("n_event"))
+      val tot = hist.agg(sum(col("n")).as("n_total"))
+      Prefix.scanSums(hist, "week", Seq("n"), bucketWidth = 32L)
+        .crossJoin(broadcast(tot))
+        .select(col("week"),
+          (col("n_total") - col("cum_n") + col("n")).as("n_enter"),
+          col("n_event"), col("n_censored"))
+        .withColumn("hazard_permille",
+          expr("(1000 * n_event) div n_enter"))
+        .orderBy(col("week").asc)
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d
+                 FROM orders),
+      span AS (SELECT max(d) AS dmax FROM o),
+      firsts AS (SELECT c, min(d) AS d1 FROM o GROUP BY 1),
+      rep AS (SELECT o.c, min(o.d) AS d2
+              FROM o JOIN firsts f ON f.c = o.c AND o.d > f.d1
+              GROUP BY 1),
+      times AS (
+        SELECT CAST(CASE WHEN r.d2 IS NOT NULL THEN r.d2 - f.d1
+                         ELSE s.dmax - f.d1 END AS BIGINT) AS t,
+               CASE WHEN r.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM firsts f LEFT JOIN rep r ON r.c = f.c CROSS JOIN span s),
+      h AS (SELECT t // 7 AS week, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ev) AS BIGINT) AS n_event
+            FROM times GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h),
+      cum AS (SELECT week, n, n_event, n - n_event AS n_censored,
+                     CAST(sum(n) OVER (ORDER BY week ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+              FROM h)
+      SELECT week, t.n_total - cum_n + n AS n_enter, n_event, n_censored,
+             (1000 * n_event) // (t.n_total - cum_n + n) AS hazard_permille
+      FROM cum, tot t
+      ORDER BY week ASC"""))
+
+  // --- q177: grouped OLS — price/quantity slope per brand ----------------
+  // q98 fits ONE series' trend; the demand-curve question is GROUPED:
+  // for every brand, the OLS slope of order quantity against catalog
+  // price (the elasticity screen a pricing team runs across the whole
+  // catalog at once). Slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+  // x = retail-price cents, y = quantity units — the four moment sums
+  // are exact integers from ONE map-side-combined aggregate after a
+  // broadcast part→lineitem join, and the slope itself is a SINGLE
+  // IEEE division of two exact longs (bit-identical across engines; no
+  // integer floor here because slopes can be negative and Spark's `div`
+  // truncates while DuckDB's `//` floors). Long envelope: ΣxΣy per
+  // brand is exact to ~10⁸ rows/brand at catalog prices; decimal
+  // accumulators past that.
+  private val q177 = Q(
+    (spark, dir) => {
+      val pr = Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          Exact.quantize(col("p_retailprice")).as("x"))
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), Exact.quantize(col("l_quantity"), 0).as("y"))
+      li.join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("p_brand"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope",
+          when(col("slope_den") =!= 0L,
+            col("slope_num").cast("double") / col("slope_den").cast("double")))
+        .orderBy(col("p_brand").asc)
+    },
+    Some("""
+      WITH j AS (
+        SELECT p.p_brand,
+               CAST(round(p.p_retailprice * 100.0) AS BIGINT) AS x,
+               CAST(round(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM j GROUP BY 1)
+      SELECT p_brand, n,
+             n * sxy - sx * sy AS slope_num,
+             n * sxx - sx * sx AS slope_den,
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+             END AS slope
+      FROM m
+      ORDER BY p_brand ASC NULLS FIRST"""))
+
+  // --- q178: period-over-period revenue bridge (waterfall) ---------------
+  // The board-deck artifact behind every "why did revenue move?"
+  // meeting: Δrevenue 1996→1997 decomposed by driver category at part
+  // grain — revenue from NEW parts (unsold in y1), minus LOST parts
+  // (unsold in y2), plus growth/decline among parts sold in both. Every
+  // component is an exact signed cent total and the waterfall closes by
+  // construction: start + new − lost + grown − shrunk = end (asserted
+  // by the reader, not rounded into place). Per-line revenue quantizes
+  // the discounted price ONCE with the identical formula on both
+  // engines.
+  //
+  // Scale shape: one (part, year) hash aggregate over the filtered
+  // scan, pivoted by a conditional sum (two years — no wide pivot), a
+  // part-grain classification, and a 6-row rollup. The only shuffle is
+  // the part-keyed aggregate.
+  private val BridgeY1 = 1996
+  private val BridgeY2 = 1997
+  private val q178 = Q(
+    (spark, dir) => {
+      val rev = Tables.lineitem(spark, dir)
+        .filter(year(col("l_shipdate")).isin(BridgeY1, BridgeY2))
+        .select(col("l_partkey").as("p"), year(col("l_shipdate")).as("y"),
+          Exact.quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("cents"))
+        .groupBy(col("p"))
+        .agg(sum(when(col("y") === BridgeY1, col("cents")).otherwise(0L)).as("r1"),
+          sum(when(col("y") === BridgeY2, col("cents")).otherwise(0L)).as("r2"))
+      val classed = rev.select(col("r1"), col("r2"),
+        when(col("r1") === 0L, "new_parts")
+          .when(col("r2") === 0L, "lost_parts")
+          .when(col("r2") > col("r1"), "grown_parts")
+          .otherwise("shrunk_parts").as("component"))
+      val parts = classed.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("r2") - col("r1")).as("cents"))
+      val ends = classed.agg(sum(col("r1")).as("s"), sum(col("r2")).as("e"))
+      val startEnd = ends
+        .select(lit("1_start_y1").as("component"), lit(0L).as("n_parts"),
+          col("s").as("cents"))
+        .unionByName(ends.select(lit("7_end_y2").as("component"),
+          lit(0L).as("n_parts"), col("e").as("cents")))
+      val order = when(col("component") === "new_parts", "2_new_parts")
+        .when(col("component") === "grown_parts", "3_grown_parts")
+        .when(col("component") === "shrunk_parts", "4_shrunk_parts")
+        .when(col("component") === "lost_parts", "5_lost_parts")
+        .otherwise(col("component"))
+      parts.select(order.as("component"), col("n_parts"), col("cents"))
+        .unionByName(startEnd)
+        .orderBy(col("component").asc)
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_partkey AS p, year(l_shipdate) AS y,
+               CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                 AS BIGINT) AS cents
+        FROM lineitem WHERE year(l_shipdate) IN ($BridgeY1, $BridgeY2)),
+      rev AS (SELECT p,
+                CAST(sum(CASE WHEN y = $BridgeY1 THEN cents ELSE 0 END) AS BIGINT) AS r1,
+                CAST(sum(CASE WHEN y = $BridgeY2 THEN cents ELSE 0 END) AS BIGINT) AS r2
+              FROM li GROUP BY 1),
+      cl AS (SELECT r1, r2,
+               CASE WHEN r1 = 0 THEN '2_new_parts'
+                    WHEN r2 = 0 THEN '5_lost_parts'
+                    WHEN r2 > r1 THEN '3_grown_parts'
+                    ELSE '4_shrunk_parts' END AS component
+             FROM rev),
+      p AS (SELECT component, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(r2 - r1) AS BIGINT) AS cents
+            FROM cl GROUP BY 1),
+      se AS (SELECT '1_start_y1' AS component, CAST(0 AS BIGINT) AS n_parts,
+                    CAST(sum(r1) AS BIGINT) AS cents FROM cl
+             UNION ALL
+             SELECT '7_end_y2', CAST(0 AS BIGINT),
+                    CAST(sum(r2) AS BIGINT) FROM cl)
+      SELECT component, n_parts, cents FROM p
+      UNION ALL SELECT component, n_parts, cents FROM se
+      ORDER BY component ASC NULLS FIRST"""))
+
+  // --- q179: ABC (Pareto) classification of parts by revenue -------------
+  // The inventory-policy cut: rank parts by revenue descending and
+  // split at 80% / 95% of cumulative revenue — class A carries the
+  // first 80 cents of every revenue dollar, B the next 15, C the tail.
+  // Thresholds are integer cross-multiplications (100·cum ≤ 80·total),
+  // no percentage floats. Rank comes from Ranking.rankInGroup's range
+  // exchange (descending revenue via ascending negation, partkey
+  // tiebreak); the cumulative revenue at each rank comes from the
+  // [[Prefix]] bucket-digest scan over the rank axis — at 10⁹ parts
+  // neither step windows over the corpus.
+  private val q179 = Q(
+    (spark, dir) => {
+      val rev = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("p"))
+        .agg(sum(Exact.quantize(col("l_extendedprice"))).as("rev"))
+        .withColumn("negrev", -col("rev"))
+        .withColumn("g", lit(0))
+      val ranked = Ranking.rankInGroup(rev, "g", Seq("negrev", "p"))
+        .select(col("p"), col("rev"), col("rk"))
+      val cum = Prefix.scanSums(ranked, "rk", Seq("rev"), bucketWidth = 1024L)
+      val tot = cum.agg(max(col("cum_rev")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("rev"),
+          when(lit(100L) * col("cum_rev") <= lit(80L) * col("total"), "A")
+            .when(lit(100L) * col("cum_rev") <= lit(95L) * col("total"), "B")
+            .otherwise("C").as("abc_class"),
+          col("total"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"),
+          max(col("total")).as("t"))
+        .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+          expr("(1000 * revenue_cents) div t").as("revenue_permille"))
+        .orderBy(col("abc_class").asc)
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey AS p,
+               CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+      rk AS (SELECT p, rev,
+                    CAST(sum(rev) OVER (ORDER BY rev DESC, p ASC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                    (SELECT CAST(sum(rev) AS BIGINT) FROM rev) AS total
+             FROM rev),
+      cl AS (SELECT rev,
+               CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                    WHEN 100 * cum <= 95 * total THEN 'B'
+                    ELSE 'C' END AS abc_class, total
+             FROM rk)
+      SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS revenue_cents,
+             (1000 * CAST(sum(rev) AS BIGINT)) // max(total) AS revenue_permille
+      FROM cl GROUP BY 1
+      ORDER BY abc_class ASC NULLS FIRST"""))
+
+  // --- q182: churn-model feature assembly (per-customer feature row) -----
+  // The feature-store build every churn/LTV model starts from: one row
+  // per customer with recency (days since last order, vs the dataset
+  // horizon), frequency, tenure, monetary total, and mean inter-order
+  // gap. The gap mean needs NO window: consecutive-gap days telescope
+  // to tenure/(n−1) exactly, so the whole feature row falls out of one
+  // per-customer aggregate plus a broadcast dim join — the cheapest
+  // possible shape, and the one that still holds at 10⁹ customers. All
+  // features are integers except mean_gap_days, a single IEEE division
+  // of two exact longs (null for single-order customers, stated not
+  // imputed).
+  private val q182 = Q(
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("c"), col("o_orderdate").cast("date").as("d"),
+          Exact.quantize(col("o_totalprice")).as("cents"))
+      val span = o.agg(max(col("d")).as("dmax"))
+      val feat = o.groupBy(col("c"))
+        .agg(count(lit(1)).as("n_orders"), min(col("d")).as("first_d"),
+          max(col("d")).as("last_d"), sum(col("cents")).as("monetary_cents"))
+      feat.crossJoin(broadcast(span))
+        .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("c"), col("c_mktsegment").as("segment"))),
+          Seq("c"))
+        .select(col("c").as("custkey"), col("segment"), col("n_orders"),
+          datediff(col("dmax"), col("last_d")).cast("long").as("recency_days"),
+          datediff(col("last_d"), col("first_d")).cast("long").as("tenure_days"),
+          col("monetary_cents"),
+          when(col("n_orders") > 1L,
+            datediff(col("last_d"), col("first_d")).cast("double")
+              / (col("n_orders") - 1L).cast("double")).as("mean_gap_days"))
+        .orderBy(col("custkey").asc)
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+                        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+                 FROM orders),
+      span AS (SELECT max(d) AS dmax FROM o),
+      f AS (SELECT c, CAST(count(*) AS BIGINT) AS n_orders,
+                   min(d) AS first_d, max(d) AS last_d,
+                   CAST(sum(cents) AS BIGINT) AS monetary_cents
+            FROM o GROUP BY 1)
+      SELECT f.c AS custkey, cu.c_mktsegment AS segment, n_orders,
+             CAST(s.dmax - last_d AS BIGINT) AS recency_days,
+             CAST(last_d - first_d AS BIGINT) AS tenure_days,
+             monetary_cents,
+             CASE WHEN n_orders > 1
+                  THEN CAST(last_d - first_d AS DOUBLE)
+                       / CAST(n_orders - 1 AS DOUBLE)
+             END AS mean_gap_days
+      FROM f CROSS JOIN span s
+      JOIN customer cu ON cu.c_custkey = f.c
+      ORDER BY custkey ASC"""))
+
+  // --- q184: cohort LTV triangle (cumulative revenue by cohort age) ------
+  // q95 tracks WHO comes back; finance tracks WHAT they're worth: for
+  // each acquisition cohort (quarter of first order), cumulative
+  // revenue per original customer at every quarter of age — the LTV
+  // triangle payback models are fit on. Cohort/age arithmetic is pure
+  // integer quarter indices (year·4 + quarter); the cumulative runs in
+  // a window PARTITIONED BY COHORT over the cohort×age DIGEST (≤ a few
+  // hundred rows at any corpus size — never the order table); LTV is an
+  // exact integer floor division of cents by cohort size.
+  private val q184 = Q(
+    (spark, dir) => {
+      val qidx = (d: org.apache.spark.sql.Column) =>
+        year(d) * 4 + quarter(d) - 1
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("c"), col("o_orderdate").cast("date").as("d"),
+          Exact.quantize(col("o_totalprice")).as("cents"))
+      val firsts = o.groupBy(col("c")).agg(min(col("d")).as("d1"))
+        .select(col("c"), qidx(col("d1")).as("cq"))
+      val sizes = firsts.groupBy(col("cq")).agg(count(lit(1)).as("cohort_size"))
+      val cells = o.join(firsts, Seq("c"))
+        .select(col("cq"), (qidx(col("d")) - col("cq")).as("age_q"), col("cents"))
+        .groupBy(col("cq"), col("age_q")).agg(sum(col("cents")).as("q_cents"))
+      val wCum = Window.partitionBy(col("cq")).orderBy(col("age_q").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_cents", sum(col("q_cents")).over(wCum))
+        .join(broadcast(sizes), Seq("cq"))
+        .select(expr("cq div 4").as("cohort_year"),
+          (pmod(col("cq"), lit(4)) + 1).as("cohort_quarter"),
+          col("age_q"), col("cohort_size"), col("q_cents"), col("cum_cents"),
+          expr("cum_cents div cohort_size").as("ltv_cents"))
+        .orderBy(col("cohort_year").asc, col("cohort_quarter").asc,
+          col("age_q").asc)
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+                        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+                 FROM orders),
+      f AS (SELECT c, year(min(d)) * 4 + quarter(min(d)) - 1 AS cq
+            FROM o GROUP BY 1),
+      sz AS (SELECT cq, CAST(count(*) AS BIGINT) AS cohort_size
+             FROM f GROUP BY 1),
+      cells AS (
+        SELECT f.cq, year(o.d) * 4 + quarter(o.d) - 1 - f.cq AS age_q,
+               CAST(sum(o.cents) AS BIGINT) AS q_cents
+        FROM o JOIN f ON f.c = o.c GROUP BY 1, 2),
+      cum AS (
+        SELECT cq, age_q, q_cents,
+               CAST(sum(q_cents) OVER (PARTITION BY cq ORDER BY age_q ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM cells)
+      SELECT CAST(cq // 4 AS INTEGER) AS cohort_year,
+             CAST(cq % 4 + 1 AS INTEGER) AS cohort_quarter,
+             CAST(age_q AS INTEGER) AS age_q,
+             cohort_size, q_cents, cum_cents,
+             cum_cents // cohort_size AS ltv_cents
+      FROM cum JOIN sz USING (cq)
+      ORDER BY cohort_year ASC, cohort_quarter ASC, age_q ASC"""))
+
+  // --- q185: right-to-be-forgotten impact analysis ------------------------
+  // Before a GDPR/LGPD erasure batch runs, ops needs the blast radius:
+  // how many rows per table will the tombstones touch? Subjects are a
+  // deterministic 1% md5 sample of customers (the q44/q135 hash-split
+  // discipline — replayable, not random); impact cascades the FK chain
+  // customer → orders → lineitem. The fact-table counts are semi-join
+  // shaped (join on the key, count — no payload shuffle); at 100 TB
+  // this is one broadcast of the subject set against each fact scan.
+  private val q185 = Q(
+    (spark, dir) => {
+      val h = Sampling.hashBits("erase|", col("c_custkey"), 40)
+      val subjects = Tables.customer(spark, dir)
+        .filter(h < lit((1L << 40) / 100L))
+        .select(col("c_custkey").as("c")).localCheckpoint()
+      val o = Tables.orders(spark, dir)
+        .join(broadcast(subjects), col("o_custkey") === col("c"))
+        .select(col("o_orderkey")).localCheckpoint()
+      val nC = subjects.agg(count(lit(1)).as("n"))
+        .select(lit("1_customer").as("tbl"), col("n"))
+      val nO = o.agg(count(lit(1)).as("n"))
+        .select(lit("2_orders").as("tbl"), col("n"))
+      val nL = Tables.lineitem(spark, dir)
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("3_lineitem").as("tbl"), col("n"))
+      nC.unionByName(nO).unionByName(nL).orderBy(col("tbl").asc)
+    },
+    Some(s"""
+      WITH s AS (
+        SELECT c_custkey AS c FROM customer
+        WHERE CAST(('0x' || substr(md5('erase|' || CAST(c_custkey AS VARCHAR)),
+                1, 10)) AS BIGINT) < ${(1L << 40) / 100L}),
+      o AS (SELECT o_orderkey FROM orders JOIN s ON o_custkey = s.c)
+      SELECT '1_customer' AS tbl, CAST(count(*) AS BIGINT) AS n FROM s
+      UNION ALL
+      SELECT '2_orders', CAST(count(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT '3_lineitem', CAST(count(*) AS BIGINT)
+      FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
+      ORDER BY tbl ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -1150,5 +1873,17 @@ object AnalyticsQueries {
     "q152_assortativity" -> q152,
     "q156_hits" -> q156,
     "q158_freq_triples" -> q158,
-    "q162_order_gaps" -> q162)
+    "q162_order_gaps" -> q162,
+    "q165_mannwhitney" -> q165,
+    "q166_ks_drift" -> q166,
+    "q167_gini" -> q167,
+    "q171_bootstrap_ci" -> q171,
+    "q172_local_clustering" -> q172,
+    "q174_life_table" -> q174,
+    "q177_grouped_ols" -> q177,
+    "q178_revenue_bridge" -> q178,
+    "q179_abc_class" -> q179,
+    "q182_churn_features" -> q182,
+    "q184_cohort_ltv" -> q184,
+    "q185_erasure_impact" -> q185)
 }

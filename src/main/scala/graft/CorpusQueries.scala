@@ -1349,6 +1349,60 @@ object CorpusQueries {
       ORDER BY old_shard ASC, new_shard ASC"""
     })
 
+  // --- q186: stride-scheduled mixture interleave (training order) --------
+  // q49/q83 decide HOW MUCH of each source to train on; this decides
+  // WHEN: a deterministic global training order in which sources
+  // interleave at their mixture rates instead of arriving in blocks
+  // (block-ordered corpora measurably destabilize LM training). Stride
+  // scheduling (Waldspurger & Weihl, OSDI '95) does it with pure
+  // integer arithmetic: each source gets stride = 2^40 div n_docs, its
+  // i-th document (doc_id order) is scheduled at pass = stride·i, and
+  // the global order is (pass, source, doc_id) — bigger sources get
+  // smaller strides, so the merged sequence hits every source at its
+  // corpus rate from the very first rows, reproducibly on any engine.
+  //
+  // Scale shape: per-source ranks come from Ranking.rankInGroup's
+  // two-pass range exchange (no per-source window over the corpus);
+  // the head of the schedule is a sort-limit (TakeOrdered), never a
+  // materialized global sort. A full-corpus write of the order is the
+  // same plan minus the limit, range-partitioned by pass.
+  private val StrideScale = 1L << 40
+  private val StrideHead = 24
+  private val q186 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, dir).select(col("source"), col("doc_id"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val ranked = graft.operators.Ranking
+        .rankInGroup(d, "source", Seq("doc_id"))
+      val head = ranked.join(broadcast(counts), Seq("source"))
+        .select(col("source"), col("doc_id"),
+          (expr(s"${StrideScale}L div n_docs") * col("rk")).as("pass"))
+        .orderBy(col("pass").asc, col("source").asc, col("doc_id").asc)
+        .limit(StrideHead)
+      head.withColumn("pos", row_number().over( // 24-row digest only
+          Window.orderBy(col("pass").asc, col("source").asc, col("doc_id").asc)))
+        .select(col("pos"), col("pass"), col("source"), col("doc_id"))
+        .orderBy(col("pos").asc)
+    },
+    Some(s"""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      r AS (SELECT d.source, d.doc_id,
+                   CAST(row_number() OVER (PARTITION BY d.source
+                     ORDER BY d.doc_id ASC) AS BIGINT) AS rk
+            FROM documents d),
+      sched AS (
+        SELECT r.source, r.doc_id, ($StrideScale // c.n_docs) * r.rk AS pass
+        FROM r JOIN c USING (source)),
+      head AS (SELECT * FROM sched
+               ORDER BY pass ASC, source ASC, doc_id ASC LIMIT $StrideHead)
+      SELECT CAST(row_number() OVER (ORDER BY pass ASC, source ASC,
+               doc_id ASC) AS INTEGER) AS pos,
+             pass, source, doc_id
+      FROM head
+      ORDER BY pos ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -1369,5 +1423,6 @@ object CorpusQueries {
     "q138_blocklist" -> q138,
     "q139_importance_weights" -> q139,
     "q141_growth_curve" -> q141,
-    "q143_consistent_hash" -> q143)
+    "q143_consistent_hash" -> q143,
+    "q186_stride_interleave" -> q186)
 }

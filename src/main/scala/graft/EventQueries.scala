@@ -1716,6 +1716,76 @@ object EventQueries {
       FROM byweek b JOIN wau ON b.wk = wau.wk
       ORDER BY b.wk ASC NULLS FIRST"""))
 
+  // --- q176: time-boxed funnel (conversion windows per step) -------------
+  // q94's funnel counts a conversion whenever the next stage EVER
+  // happens; product analytics almost always bounds each step ("viewed
+  // within 7 days of signup"). Same greedy conditional-min chain —
+  // stage k is the earliest type-k event strictly after stage k−1 AND
+  // within the step window — with the documented greedy caveat: the
+  // chain anchors on each user's EARLIEST stage-k time, so a user who
+  // misses the window from the earliest anchor but would convert from a
+  // later one counts as not converted (the standard funnel-engine
+  // semantics; a maximal-match variant is a per-user DP, not a join
+  // chain). Per-step work is one equi-join on user_id + one min
+  // aggregate — the q94 scale shape, unchanged; the window predicate is
+  // exact microsecond timestamp arithmetic on both engines.
+  private val FunnelWindow = "INTERVAL 7 DAY"
+  private val q176 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("tus"))
+      val stage1 = ev.filter(col("event_type") === FunnelStages.head)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+      val stages = FunnelStages.tail.scanLeft(stage1) { (prev, st) =>
+        ev.filter(col("event_type") === st)
+          .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+          .filter(col("tus") > col("tp") &&
+            col("tus") <= col("tp") + expr(FunnelWindow))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+      }
+      val counts = stages.zip(FunnelStages).zipWithIndex.map {
+        case ((df, st), i) =>
+          df.agg(count(lit(1)).cast("long").as("n_users"))
+            .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+              col("n_users"))
+      }.reduce(_.unionByName(_))
+      val w = Window.orderBy(col("stage_idx")) // 4 rows — constant size
+      counts
+        .withColumn("n_prev", lag(col("n_users"), 1).over(w))
+        .select(col("stage_idx"), col("stage"), col("n_users"),
+          when(col("n_prev") > 0, expr("(1000 * n_users) div n_prev"))
+            .as("conv_permille"))
+        .orderBy(col("stage_idx"))
+    },
+    Some(s"""
+      WITH $eventsSqlCte,
+      s1 AS (SELECT user_id, min(tus) AS t FROM ev
+             WHERE event_type = '${FunnelStages.head}' GROUP BY 1),
+      s2 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s1 ON ev.user_id = s1.user_id
+             WHERE ev.event_type = '${FunnelStages(1)}' AND ev.tus > s1.t
+               AND ev.tus <= s1.t + $FunnelWindow GROUP BY 1),
+      s3 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s2 ON ev.user_id = s2.user_id
+             WHERE ev.event_type = '${FunnelStages(2)}' AND ev.tus > s2.t
+               AND ev.tus <= s2.t + $FunnelWindow GROUP BY 1),
+      s4 AS (SELECT ev.user_id, min(ev.tus) AS t
+             FROM ev JOIN s3 ON ev.user_id = s3.user_id
+             WHERE ev.event_type = '${FunnelStages(3)}' AND ev.tus > s3.t
+               AND ev.tus <= s3.t + $FunnelWindow GROUP BY 1),
+      c AS (SELECT 1 AS stage_idx, '${FunnelStages.head}' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 2, '${FunnelStages(1)}', count(*) FROM s2
+            UNION ALL SELECT 3, '${FunnelStages(2)}', count(*) FROM s3
+            UNION ALL SELECT 4, '${FunnelStages(3)}', count(*) FROM s4)
+      SELECT stage_idx, stage, n_users,
+             CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) > 0
+                  THEN (1000 * n_users) // lag(n_users) OVER (ORDER BY stage_idx)
+             END AS conv_permille
+      FROM c
+      ORDER BY stage_idx ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q28_json_props" -> q28,
     "q29_tumbling_window" -> q29,
@@ -1748,7 +1818,8 @@ object EventQueries {
     "q154_new_returning" -> q154,
     "q157_concurrency" -> q157,
     "q159_stl_decompose" -> q159,
-    "q161_wilson_ci" -> q161)
+    "q161_wilson_ci" -> q161,
+    "q176_bounded_funnel" -> q176)
 
   // --- As-of join, NATIVE custom-plan path --------------------------------
   // q35's exact scenario through plans/AsofJoin (logical node ->

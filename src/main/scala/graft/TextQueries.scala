@@ -1604,6 +1604,108 @@ object TextQueries {
       FROM est e JOIN ex ON e.source = ex.source
       ORDER BY e.source ASC NULLS FIRST"""))
 
+  // --- q175: BPE fertility by language (tokenizer-efficiency audit) ------
+  // The budgeting number q24's counts roll up to: characters consumed
+  // per BPE token, by language — the fertility statistic that drives
+  // per-language training-cost and context-budget estimates (a language
+  // the tokenizer fragments at 2x fertility costs 2x the context). Same
+  // single-projection shape as q24 (one scan, the bpe_count_text native
+  // expression with its word memo, one aggregate); the ratio is an
+  // exact integer centi-quotient. The oracle replays the merge table
+  // from the SAME Scala merge list (Bpe.oracleCte) — no drift possible.
+  private val q175 = Q(
+    (spark, dir) => {
+      docs(spark, dir)
+        .select(col("lang"), col("n_chars"),
+          functions.Bpe.countTextCol(col("text")).as("nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("nb")).as("bpe_tokens"))
+        .withColumn("chars_per_token_centi",
+          expr("(100 * chars) div bpe_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH RECURSIVE words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      ${functions.Bpe.oracleCte("words")},
+      wc AS (SELECT lang, w, count(*) AS c FROM words GROUP BY 1, 2),
+      b AS (SELECT lang, CAST(sum(c * n_bpe) AS BIGINT) AS bpe_tokens
+            FROM wc JOIN bpe USING (w) GROUP BY 1),
+      base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS chars
+               FROM documents GROUP BY 1)
+      SELECT base.lang, n_docs, chars, bpe_tokens,
+             (100 * chars) // bpe_tokens AS chars_per_token_centi
+      FROM base JOIN b ON base.lang = b.lang
+      ORDER BY base.lang ASC NULLS FIRST"""))
+
+  // --- q183: train/val/test near-dup LEAKAGE audit ------------------------
+  // q135 assigns splits; q17 finds near-dups; this query asks the eval-
+  // hygiene question both leave open: do near-duplicate documents
+  // STRADDLE a split boundary? A test doc whose near-twin sits in train
+  // silently inflates every benchmark number (the Lee et al. 2022
+  // dedup-test-set finding). Pairs come from the SAME verified LSH
+  // pipeline as q17 (band equi-join, exact-Jaccard verify — never
+  // all-pairs); splits from the SAME md5 rule as q135 — both reused,
+  // not re-derived, so this audit can't drift from the ops it audits.
+  // The worst pair per split-pair is pinned by packing (a_id, b_id)
+  // into one long (doc_id < 2^31 by the Sampling.PackIdBits corpus
+  // contract) and taking the min — an aggregate, not a window.
+  private val q183 = Q(
+    (spark, dir) => {
+      val bucket = pmod(Kmv.hash60(concat(lit("split|"), col("doc_id"))),
+        lit(1000L))
+      val split = docs(spark, dir).select(col("doc_id"),
+        when(bucket < 850, lit("train"))
+          .when(bucket < 925, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      nearDupPairs(spark, dir)
+        .join(split.select(col("doc_id").as("a_id"), col("split").as("split_a")),
+          Seq("a_id"))
+        .join(split.select(col("doc_id").as("b_id"), col("split").as("split_b")),
+          Seq("b_id"))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_leaky_pairs"),
+          max(col("jaccard")).as("max_jaccard"),
+          min(col("a_id") * lit(1L << 32) + col("b_id")).as("pk"))
+        .select(col("split_a"), col("split_b"), col("n_leaky_pairs"),
+          col("max_jaccard"),
+          expr(s"pk div ${1L << 32}").as("example_a"),
+          expr(s"pk % ${1L << 32}").as("example_b"))
+        .orderBy(col("split_a").asc, col("split_b").asc)
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN b < 850 THEN 'train'
+                    WHEN b < 925 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('split|' || doc_id), 1, 15))
+                       AS BIGINT) % 1000 AS b
+              FROM documents)),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      lk AS (
+        SELECT sa.split AS split_a, sb.split AS split_b, p.jaccard,
+               p.a_id * ${1L << 32} + p.b_id AS pk
+        FROM p JOIN sp sa ON sa.doc_id = p.a_id
+               JOIN sp sb ON sb.doc_id = p.b_id
+        WHERE p.jaccard >= $JaccardThreshold AND sa.split <> sb.split)
+      SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_leaky_pairs,
+             max(jaccard) AS max_jaccard,
+             CAST(min(pk) // ${1L << 32} AS BIGINT) AS example_a,
+             CAST(min(pk) % ${1L << 32} AS BIGINT) AS example_b
+      FROM lk GROUP BY 1, 2
+      ORDER BY split_a ASC NULLS FIRST, split_b ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1636,5 +1738,7 @@ object TextQueries {
     "q90_dup_gram_coverage" -> q90,
     "q108_substring_dedup" -> q108,
     "q114_containment" -> q114,
-    "q148_hll_distinct" -> q148)
+    "q148_hll_distinct" -> q148,
+    "q175_bpe_fertility" -> q175,
+    "q183_split_leakage" -> q183)
 }

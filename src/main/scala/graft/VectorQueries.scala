@@ -1632,6 +1632,299 @@ object VectorQueries {
       FROM p
       ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST"""))
 
+  // --- q173: hard-negative mining for contrastive training ---------------
+  // The retrieval-training primitive: for each anchor, the most similar
+  // vectors with a DIFFERENT label — the "hard negatives" a contrastive
+  // loss learns most from (easy negatives are information-free). Same
+  // broadcast-anchor brute-force shape as q25 — the label exclusion is
+  // a predicate on the broadcast join, so candidate work per anchor is
+  // one corpus stream, no shuffle — with top-3 per anchor via the
+  // per-anchor window (partition count = |anchors|, never corpus-wide).
+  // At 100 TB the scale path swaps the corpus stream for the q26/q40
+  // bucket/IVF routing with the same label predicate; the exact pass
+  // here is the recall baseline those variants are graded against.
+  private val q173 = Q(
+    (spark, dir) => {
+      val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      val e = quantized(spark, dir).join(lab, Seq("vec_id"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("q").as("qq"), col("n2").as("qn2"))
+      val c = e.select(col("vec_id").as("cid"), col("label").as("c_label"),
+        col("q").as("cq"), col("n2").as("cn2"))
+      val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+        .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      d AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM e a JOIN lab la ON la.vec_id = a.vec_id
+             JOIN lab lb ON lb.label <> la.label
+             JOIN e b ON b.vec_id = lb.vec_id AND b.i = a.i
+        WHERE a.vec_id < 20
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, cid, la.label AS q_label, lb.label AS c_label,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid
+               JOIN lab la ON la.vec_id = qid JOIN lab lb ON lb.vec_id = cid),
+      r AS (
+        SELECT qid, q_label, cid, c_label, cos_sim, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM c)
+      SELECT qid, q_label, cid, c_label, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
+  // --- q180: MMR diversified re-ranking (Carbonell & Goldstein 1998) -----
+  // Top-k by similarity alone returns near-duplicates of the best hit;
+  // every retrieval-augmented and dedup-aware serving stack re-ranks
+  // with Maximal Marginal Relevance: greedily pick the candidate
+  // maximizing λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s). Three
+  // greedy rounds (k=3) over each query's exact top-10 candidate set,
+  // λ = 0.75 (an exact binary fraction — both engines compute the
+  // identical IEEE expression over the identical quantized-integer
+  // cosines; ties break on cid). The greedy loop is a FIXED k-round
+  // dataframe chain (the q116 fixed-R discipline), so the oracle
+  // unrolls the same three argmax rounds as CTEs and cannot drift.
+  //
+  // Scale shape: candidate generation is q25's broadcast-query corpus
+  // stream; everything after operates on |queries|·k_cand rows (the
+  // candidate digest, localCheckpoint'd once) — per-round work is a
+  // candidate-digest join, never a corpus pass. At 100 TB the candidate
+  // source swaps to the IVF route (q40) unchanged.
+  private val MmrK = 3
+  private val MmrLambda = 0.75 // exact binary fraction
+  private val q180 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = quantized(spark, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val c = e.select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      val scoredAll = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("cq"), col("cn2"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("rel"))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc_nulls_last, col("cid").asc_nulls_first)
+      val cand = scoredAll.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10).drop("rn")
+        .localCheckpoint() // candidate digest: reused by sims + each round
+      val sims = cand.select(col("qid"), col("cid").as("c1"),
+          col("cq").as("q1"), col("cn2").as("m1"))
+        .join(cand.select(col("qid"), col("cid").as("c2"),
+          col("cq").as("q2"), col("cn2").as("m2")), Seq("qid"))
+        .filter(col("c1") =!= col("c2"))
+        .select(col("qid"), col("c1"), col("c2"),
+          VectorOps.cosine(VectorOps.qdot(col("q1"), col("q2")),
+            col("m1"), col("m2")).as("sim"))
+        .localCheckpoint()
+      val lam = lit(MmrLambda)
+      val pick1 = cand.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(1).as("rank"), col("rel"),
+          (lam * col("rel")).as("mmr_score"))
+      val rounds = (2 to MmrK).foldLeft(pick1 :: Nil) { (sel, r) =>
+        val selected = sel.map(_.select(col("qid"), col("cid"))).reduce(_ unionByName _)
+        val ms = sims.join(selected.select(col("qid"), col("cid").as("c2")),
+          Seq("qid", "c2"))
+          .groupBy(col("qid"), col("c1")).agg(max(col("sim")).as("maxsim"))
+        val scored = cand.join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
+          "left_anti")
+          .join(ms.withColumnRenamed("c1", "cid"), Seq("qid", "cid"), "left")
+          .select(col("qid"), col("cid"), col("rel"),
+            (lam * col("rel") - (lit(1.0) - lam) * coalesce(col("maxsim"),
+              lit(0.0))).as("mmr_score"))
+        val wPick = Window.partitionBy(col("qid"))
+          .orderBy(col("mmr_score").desc_nulls_last, col("cid").asc_nulls_first)
+        val pick = scored.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), lit(r).as("rank"), col("rel"),
+            col("mmr_score"))
+        sel :+ pick
+      }
+      rounds.reduce(_ unionByName _)
+        .orderBy(col("qid").asc, col("rank").asc)
+    },
+    Some {
+      def round(r: Int): String =
+        s"""ms$r AS (
+              SELECT c.qid, c.cid, c.rel,
+                     $MmrLambda * c.rel - ${1 - MmrLambda} * COALESCE(mx.m, 0.0)
+                       AS mmr_score
+              FROM cand c
+              LEFT JOIN (SELECT s.qid, s.c1 AS cid, max(s.sim) AS m
+                         FROM sims s JOIN sel${r - 1} p
+                           ON p.qid = s.qid AND p.cid = s.c2
+                         GROUP BY 1, 2) mx
+                ON mx.qid = c.qid AND mx.cid = c.cid
+              WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} p
+                                WHERE p.qid = c.qid AND p.cid = c.cid)),
+            p$r AS (
+              SELECT qid, cid, $r AS rank, rel, mmr_score FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY mmr_score DESC NULLS LAST, cid ASC) AS rn
+                FROM ms$r) WHERE rn = 1),
+            sel$r AS (SELECT qid, cid FROM sel${r - 1}
+                      UNION ALL SELECT qid, cid FROM p$r)"""
+      s"""
+      WITH $qnormSqlCte,
+      d AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS rel
+        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+      cand AS (
+        SELECT qid, cid, rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC NULLS LAST, cid ASC) AS rn
+          FROM sc) WHERE rn <= 10),
+      cd AS (
+        SELECT c1.qid, c1.cid AS c1, c2.cid AS c2, sum(ea.v * eb.v) AS dot
+        FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.cid <> c2.cid
+             JOIN e ea ON ea.vec_id = c1.cid
+             JOIN e eb ON eb.vec_id = c2.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3),
+      sims AS (
+        SELECT qid, c1, c2,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS sim
+        FROM cd JOIN n na ON na.vec_id = c1 JOIN n nb ON nb.vec_id = c2),
+      p1 AS (
+        SELECT qid, cid, 1 AS rank, rel, $MmrLambda * rel AS mmr_score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC NULLS LAST, cid ASC) AS rn
+          FROM cand) WHERE rn = 1),
+      sel1 AS (SELECT qid, cid FROM p1),
+      ${(2 to MmrK).map(round).mkString(",\n      ")}
+      SELECT qid, cid, rank, rel, mmr_score FROM p1
+      ${(2 to MmrK).map(r => s"UNION ALL SELECT qid, cid, rank, rel, mmr_score FROM p$r").mkString("\n      ")}
+      ORDER BY qid ASC, rank ASC"""
+    })
+
+  // --- q181: nDCG of the bucketed ANN against the exact ranking ----------
+  // q53 grades ANN routes by recall@10 — a set metric, blind to ORDER.
+  // nDCG is the rank-weighted grade serving teams actually track: a
+  // route that finds all ten neighbors but inverts them scores below
+  // one that nails the head. Gains are integer (11 − exact_rank for the
+  // exact top-10, 0 otherwise); discount weights are the 1/log2(r+1)
+  // curve pinned as integer MILLI constants interpolated into both
+  // engines from one Scala list (no libm logs at runtime — the q93/q171
+  // no-drift discipline), so DCG and nDCG are exact integers. IDCG is
+  // the constant perfect-order sum of the same table.
+  //
+  // Scale shape: both rankings are per-query top-10 digests (broadcast
+  // queries against the corpus stream for exact, bucket equi-join for
+  // ANN); the join + aggregate run on |queries|·10 rows.
+  private val DcgMilliW = Seq(1000L, 630L, 500L, 430L, 386L, 356L, 333L,
+    315L, 301L, 289L)
+  private val IdcgMilli = DcgMilliW.zipWithIndex
+    .map { case (w, i) => (10L - i) * w }.sum // gains 10..1, = 29944
+  private def dcgCase(rn: String): String =
+    DcgMilliW.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $rn ", " ", " ELSE 0 END")
+  private val q181 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val eb = quantized(spark, dir)
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), VectorOps.signBucket(col("embedding")).as("bucket")),
+          Seq("vec_id"))
+      val q = eb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("bucket"), col("q").as("qq"),
+          col("n2").as("qn2"))
+      val c = eb.select(col("vec_id").as("cid"), col("bucket"),
+        col("q").as("cq"), col("n2").as("cn2"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      // exact top-10: broadcast queries, stream the whole corpus
+      val exact = c.drop("bucket").join(broadcast(q.drop("bucket")),
+          col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"), (lit(11L) - col("rn")).as("gain"))
+      // ANN top-10: candidates only from the query's sign bucket
+      val ann = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"), expr(dcgCase("rn")).as("w"))
+      ann.join(exact, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_ann"),
+          sum(coalesce(col("gain"), lit(0L)) * col("w")).as("dcg_milli"))
+        .select(col("qid"), col("n_ann"), col("dcg_milli"),
+          lit(IdcgMilli).as("idcg_milli"),
+          expr(s"(1000 * dcg_milli) div $IdcgMilli").as("ndcg_milli"))
+        .orderBy(col("qid").asc)
+    },
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id,
+               CAST((embedding[1] >= 0) AS INT) * 8 + CAST((embedding[2] >= 0) AS INT) * 4
+               + CAST((embedding[3] >= 0) AS INT) * 2 + CAST((embedding[4] >= 0) AS INT) AS bucket
+        FROM embeddings),
+      $qnormSqlCte,
+      dx AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT qid, cid, 11 - rn AS gain FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                     / sqrt(CAST(nb.n2 AS DOUBLE)) DESC NULLS LAST,
+                     cid ASC) AS rn
+          FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid)
+        WHERE rn <= 10),
+      candA AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid
+        FROM bk a JOIN bk b ON a.bucket = b.bucket
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      da AS (
+        SELECT candA.qid, candA.cid, sum(ea.v * eb.v) AS dot
+        FROM candA JOIN e ea ON ea.vec_id = candA.qid
+                   JOIN e eb ON eb.vec_id = candA.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      ra AS (
+        SELECT qid, cid, ${dcgCase("rn")} AS w FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                     / sqrt(CAST(nb.n2 AS DOUBLE)) DESC NULLS LAST,
+                     cid ASC) AS rn
+          FROM da JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid)
+        WHERE rn <= 10)
+      SELECT ra.qid, CAST(count(*) AS BIGINT) AS n_ann,
+             CAST(sum(COALESCE(ex.gain, 0) * ra.w) AS BIGINT) AS dcg_milli,
+             CAST($IdcgMilli AS BIGINT) AS idcg_milli,
+             (1000 * CAST(sum(COALESCE(ex.gain, 0) * ra.w) AS BIGINT))
+               // $IdcgMilli AS ndcg_milli
+      FROM ra LEFT JOIN ex ON ex.qid = ra.qid AND ex.cid = ra.cid
+      GROUP BY ra.qid
+      ORDER BY ra.qid ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1648,5 +1941,8 @@ object VectorQueries {
     "q86_sq8_recall" -> q86,
     "q113_pq_adc" -> q113,
     "q115_ivfpq" -> q115,
-    "q164_centroid_drift" -> q164)
+    "q164_centroid_drift" -> q164,
+    "q173_hard_negatives" -> q173,
+    "q180_mmr_rerank" -> q180,
+    "q181_ndcg_ann" -> q181)
 }

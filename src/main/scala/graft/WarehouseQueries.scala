@@ -467,6 +467,160 @@ object WarehouseQueries {
                         ELSE b_cents END) AS BIGINT) AS cents_total
       FROM m GROUP BY 1 ORDER BY action ASC NULLS FIRST"""))
 
+  // --- q168: functional-dependency violation audit ----------------------
+  // The schema-inference question every warehouse onboarding asks: which
+  // "should-be-determined" columns actually are? Four candidate FDs
+  // (two true violations, one near-key, one genuine key) audited in one
+  // report: per FD, how many LHS keys exist, how many map to >1 distinct
+  // RHS value, and the worst fan-out. This is the profiling primitive
+  // behind normalization checks, dim-conformance gates, and CDC sanity.
+  //
+  // Scale shape: each FD is a per-table (key → distinct-count) hash
+  // aggregate — two-phase, map-side combinable — then a per-FD rollup of
+  // |keys|-sized frames to 4 rows. The union is of SUMMARY rows only;
+  // no cross-table shuffle. At 100 TB each FD costs what its own
+  // table's groupBy costs, nothing more.
+  private val q168 = Q(
+    (spark, dir) => {
+      def audit(fd: String, df: org.apache.spark.sql.DataFrame,
+                k: String, v: String) =
+        df.select(col(k).as("k"), col(v).cast("string").as("v"))
+          .groupBy(col("k")).agg(countDistinct(col("v")).as("d"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("d")).as("max_rhs_distinct"))
+          .select(lit(fd).as("fd"), col("n_keys"), col("n_violating"),
+            col("max_rhs_distinct"),
+            expr("(1000 * n_violating) div n_keys").as("violation_permille"))
+      audit("lineitem:orderkey->returnflag", Tables.lineitem(spark, dir),
+          "l_orderkey", "l_returnflag")
+        .unionByName(audit("nation:nationkey->regionkey",
+          Tables.nation(spark, dir), "n_nationkey", "n_regionkey"))
+        .unionByName(audit("orders:custkey->priority",
+          Tables.orders(spark, dir), "o_custkey", "o_orderpriority"))
+        .unionByName(audit("part:brand->type", Tables.part(spark, dir),
+          "p_brand", "p_type"))
+        .orderBy(col("fd").asc)
+    },
+    Some("""
+      WITH f AS (
+        SELECT 'lineitem:orderkey->returnflag' AS fd,
+               CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS v FROM lineitem
+        UNION ALL
+        SELECT 'nation:nationkey->regionkey',
+               CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'orders:custkey->priority',
+               CAST(o_custkey AS BIGINT), o_orderpriority FROM orders),
+      fs AS (SELECT 'part:brand->type' AS fd, p_brand AS k, p_type AS v
+             FROM part),
+      g AS (SELECT fd, count(DISTINCT v) AS d FROM f GROUP BY fd, k
+            UNION ALL
+            SELECT fd, count(DISTINCT v) AS d FROM fs GROUP BY fd, k)
+      SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(d) AS BIGINT) AS max_rhs_distinct,
+             (1000 * sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)) // count(*)
+               AS violation_permille
+      FROM g GROUP BY 1
+      ORDER BY fd ASC NULLS FIRST"""))
+
+  // --- q169: completeness / blankness profile across tables --------------
+  // The first report a data-quality gate emits: per string column, how
+  // many rows are NULL, how many are blank-after-trim (the silent null
+  // that breaks joins), and the distinct cardinality. One STACK unpivot
+  // per table — a map-side reshape, no per-column jobs — then a single
+  // (table, column, value)-keyed aggregate; the count-distinct is
+  // two-phase partial-aggregated, so at 100 TB the profile costs one
+  // pass over each table regardless of how many columns are profiled.
+  private val q169 = Q(
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select(
+        lit("documents").as("tbl"),
+        expr("stack(3, 'lang', lang, 'source', source, 'text', text)")
+          .as(Seq("col", "val")))
+      val evts = Tables.events(spark, dir).select(
+        lit("events").as("tbl"),
+        expr("stack(2, 'event_type', event_type, 'props', props)")
+          .as(Seq("col", "val")))
+      docs.unionByName(evts)
+        .groupBy(col("tbl"), col("col"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("val").isNotNull && trim(col("val")) === "", 1L)
+            .otherwise(0L)).as("n_blank"),
+          countDistinct(col("val")).as("n_distinct"))
+        .orderBy(col("tbl").asc, col("col").asc)
+    },
+    Some("""
+      WITH u AS (
+        SELECT 'documents' AS tbl, 'lang' AS col, lang AS val FROM documents
+        UNION ALL SELECT 'documents', 'source', source FROM documents
+        UNION ALL SELECT 'documents', 'text', text FROM documents
+        UNION ALL SELECT 'events', 'event_type', event_type FROM events
+        UNION ALL SELECT 'events', 'props', props FROM events)
+      SELECT tbl, col, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(sum(CASE WHEN val IS NOT NULL AND trim(val) = ''
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+      FROM u GROUP BY 1, 2
+      ORDER BY tbl ASC NULLS FIRST, col ASC NULLS FIRST"""))
+
+  // --- q170: Benford first-digit conformance audit ------------------------
+  // The fraud/synthetic-data screen: leading-digit frequencies of order
+  // totals vs Benford's log10(1+1/d) expectation. The digit is taken
+  // from the DECIMAL STRING of the cents value — never from float
+  // log10, whose x.9999 boundary cases differ across engines — and the
+  // expectation is pinned as integer per-mille literals on both sides,
+  // so the report (observed count, observed/expected per-mille, signed
+  // gap) is integer-exact. Uniform synthetic totals fail Benford loudly
+  // — which is exactly what the audit is for.
+  //
+  // Scale shape: one map expression + a 9-row hash aggregate; the
+  // per-mille division happens after aggregation. Nothing here grows
+  // with data size except the single scan.
+  private val BenfordPermille =
+    Seq(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97, 5 -> 79, 6 -> 67, 7 -> 58,
+      8 -> 51, 9 -> 46)
+  private val q170 = Q(
+    (spark, dir) => {
+      val exp = BenfordPermille
+        .map { case (d, e) => s"WHEN $d THEN ${e}L" }.mkString(" ")
+      Tables.orders(spark, dir)
+        .select(Exact.quantize(col("o_totalprice")).as("cents"))
+        .filter(col("cents") > 0L)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("(1000 * n) div total").as("obs_permille"),
+          expr(s"CASE digit $exp END").as("exp_permille"))
+        .withColumn("gap_permille", col("obs_permille") - col("exp_permille"))
+        .orderBy(col("digit").asc)
+    },
+    Some {
+      val exp = BenfordPermille
+        .map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+      s"""
+      WITH c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+                 FROM orders),
+      d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                     AS digit
+            FROM c WHERE cents > 0),
+      g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+      SELECT digit, n, (1000 * n) // total AS obs_permille,
+             CAST(CASE digit $exp END AS BIGINT) AS exp_permille,
+             (1000 * n) // total - (CASE digit $exp END) AS gap_permille
+      FROM g, t
+      ORDER BY digit ASC"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q109_scd2" -> q109,
     "q110_grouping_sets" -> q110,
@@ -474,5 +628,8 @@ object WarehouseQueries {
     "q112_kcore" -> q112,
     "q146_merge_upsert" -> q146,
     "q160_scd2_asof" -> q160,
-    "q163_dist_drift" -> q163)
+    "q163_dist_drift" -> q163,
+    "q168_fd_audit" -> q168,
+    "q169_completeness" -> q169,
+    "q170_benford" -> q170)
 }

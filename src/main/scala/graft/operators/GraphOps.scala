@@ -389,6 +389,45 @@ object GraphOps {
     nEdges.crossJoin(nWedges).crossJoin(tri).crossJoin(maxOut)
   }
 
+  /** Per-node triangle counts — the [[triangleStats]] wedge-close
+    * pipeline with the triangle CORNERS kept: each closed wedge
+    * (a→m, m→c, a→c) is one triangle touching exactly {a, m, c}, so a
+    * map-side 3-way explode of the close-join output followed by one
+    * hash aggregate yields every node's triangle incidence. Same
+    * orientation bound (out-degrees O(√m), wedge work O(m^1.5)), same
+    * repartition-by-s checkpoint (see triangleStats for why AQE's
+    * input-sized coalesce must not see the amplifying join), one extra
+    * narrow explode — no new shuffle shape.
+    *
+    * Input: one row per undirected edge (u, v); self-loops dropped,
+    * duplicates deduped. Output: (node, tri) for nodes in ≥1 triangle —
+    * left-join and coalesce to 0 for the rest. */
+  def trianglesPerNode(edges: DataFrame, u: String, v: String): DataFrame = {
+    val e = edges.filter(col(u) =!= col(v))
+      .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val toLower = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = toLower.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .repartition(col("s"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("s").as("a"), col("t").as("m"))
+      .join(oriented.select(col("s").as("m"), col("t").as("c")), Seq("m"))
+      .select(col("a"), col("m"), col("c"))
+    wedges
+      .join(oriented.select(col("s").as("a"), col("t").as("c"))
+        .hint("shuffle_hash"), Seq("a", "c"))
+      .select(explode(array(col("a"), col("m"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+  }
+
   /** Synchronous majority label propagation (Raghavan et al. 2007) with
     * a FIXED round count — community detection, the modularity-shaped
     * sibling of [[connectedComponents]] (min-label propagation finds

@@ -17,7 +17,7 @@ class QueriesSmokeSpec extends SparkSpec {
       // everything else must produce output
       val emptyOk = Set("q17_near_dup_lsh", "q18_simhash_pairs", "q27_embed_neardup",
         "q39_neardup_clusters", "q41_winnowing", "q42_embed_clusters",
-        "q43_dedup_survivors", "q51_cross_source_overlap")
+        "q43_dedup_survivors", "q51_cross_source_overlap", "q183_split_leakage")
       val n = df.count()
       assert(n > 0 || emptyOk(name), s"$name returned 0 rows")
     }
@@ -241,5 +241,132 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every query has oracle SQL registered") {
     val missing = Queries.all.map(_._1).filterNot(Queries.oracleSql.contains)
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("q165 Mann-Whitney: U within [0, 2·n1·n2], AUC within [0, 1000]") {
+    Queries.queries("q165_mannwhitney")(spark, sfDir).collect().foreach { r =>
+      val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      val u2 = r.getAs[Long]("u1_x2")
+      assert(n1 > 0 && n2 > 0)
+      assert(u2 >= 0 && u2 <= 2 * n1 * n2, s"doubled U out of range: $u2")
+      val auc = r.getAs[Long]("auc_permille")
+      assert(auc >= 0 && auc <= 1000)
+    }
+  }
+
+  test("q166 KS: gap numerator bounded by n1·n2, per-mille in [0, 1000]") {
+    Queries.queries("q166_ks_drift")(spark, sfDir).collect().foreach { r =>
+      val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(r.getAs[Long]("d_num") <= n1 * n2)
+      val pm = r.getAs[Long]("d_permille")
+      assert(pm >= 0 && pm <= 1000)
+    }
+  }
+
+  test("q167 Gini: numerator within [0, den], per-mille in [0, 1000]") {
+    Queries.queries("q167_gini")(spark, sfDir).collect().foreach { r =>
+      val (num, den) = (r.getAs[Long]("gini_num"), r.getAs[Long]("gini_den"))
+      assert(num >= 0 && num <= den, s"gini $num/$den out of [0,1]")
+    }
+  }
+
+  test("q170 Benford: digits 1-9 once each, expectations sum to 1000") {
+    val rows = Queries.queries("q170_benford")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(rows.map(_.getAs[Long]("exp_permille")).sum == 1000L)
+  }
+
+  test("q171 bootstrap: order statistics are ordered around the point") {
+    Queries.queries("q171_bootstrap_ci")(spark, sfDir).collect().foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Long]("boot_p05_cents"),
+        r.getAs[Long]("boot_p50_cents"), r.getAs[Long]("boot_p95_cents"))
+      assert(lo <= mid && mid <= hi, s"CI not ordered: $lo $mid $hi")
+      // Poisson(1) multiplicities have mean 1: the band should bracket
+      // a value of the point total's magnitude (loose 2x sanity check)
+      val point = r.getAs[Long]("point_cents")
+      assert(hi > point / 2 && lo < point * 2)
+    }
+  }
+
+  test("q172 clustering coefficients within [0, 1000] and deg >= 2") {
+    Queries.queries("q172_local_clustering")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("deg") >= 2)
+      val pm = r.getAs[Long]("coeff_permille")
+      assert(pm >= 0 && pm <= 1000, s"coefficient $pm outside [0,1000]")
+    }
+  }
+
+  test("q173 hard negatives never share the anchor's label") {
+    val rows = Queries.queries("q173_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("c_label")))
+  }
+
+  test("q174 life table: at-risk decreasing, exits bounded, total balances") {
+    val rows = Queries.queries("q174_life_table")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("week"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_event") + r.getAs[Long]("n_censored")
+        <= r.getAs[Long]("n_enter"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_enter") <= a.getAs[Long]("n_enter"))
+      case _ =>
+    }
+    val exits = rows.map(r => r.getAs[Long]("n_event") + r.getAs[Long]("n_censored")).sum
+    assert(exits == rows.head.getAs[Long]("n_enter"),
+      "every at-risk customer must exit exactly once")
+  }
+
+  test("q176 bounded funnel: monotone and never above the unbounded funnel") {
+    val bounded = Queries.queries("q176_bounded_funnel")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("n_users")).toMap
+    val free = Queries.queries("q94_funnel")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("n_users")).toMap
+    (1 to 3).foreach(i =>
+      assert(bounded(i + 1) <= bounded(i), s"stage ${i + 1} grew"))
+    bounded.foreach { case (s, n) =>
+      assert(n <= free(s), s"time-boxed stage $s exceeds unbounded funnel")
+    }
+  }
+
+  test("q178 revenue bridge closes: start + components = end") {
+    val m = Queries.queries("q178_revenue_bridge")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("component") -> r.getAs[Long]("cents")).toMap
+    val start = m("1_start_y1")
+    val end = m("7_end_y2")
+    val delta = m.getOrElse("2_new_parts", 0L) + m.getOrElse("3_grown_parts", 0L) +
+      m.getOrElse("4_shrunk_parts", 0L) + m.getOrElse("5_lost_parts", 0L)
+    assert(start + delta == end, s"bridge gap: $start + $delta != $end")
+  }
+
+  test("q179 ABC: shares non-increasing A>=B, all parts classified") {
+    val rows = Queries.queries("q179_abc_class")(spark, sfDir).collect()
+    val m = rows.map(r => r.getAs[String]("abc_class") ->
+      r.getAs[Long]("revenue_permille")).toMap
+    // A carries at least as much revenue share as B by construction
+    for (a <- m.get("A"); b <- m.get("B")) assert(a >= b)
+    assert(rows.map(_.getAs[Long]("revenue_permille")).sum <= 1000)
+  }
+
+  test("q180 MMR: rank-1 equals the top cosine hit; scores weakly decrease") {
+    val rows = Queries.queries("q180_mmr_rerank")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    assert(rows.nonEmpty)
+    rows.values.foreach { picks =>
+      val byRank = picks.sortBy(_.getAs[Int]("rank"))
+      // greedy invariant: the first pick maximizes raw relevance
+      assert(byRank.head.getAs[Double]("rel") ==
+        picks.map(_.getAs[Double]("rel")).max)
+      // each pick's MMR score never exceeds the previous pick's
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Double]("mmr_score")
+          <= a.getAs[Double]("mmr_score") + 1e-12)
+        case _ =>
+      }
+    }
   }
 }
