@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.operators.{GraphOps, Prefix, Ranking, Sampling, Selection}
+import graft.operators.{Bootstrap, GraphOps, Prefix, Ranking, Sampling, Selection}
 
 /** Analytics tier (q116-q122): graph distances, sort-free exact
   * selection, reshape (pivot/unpivot), ntile segmentation, CDC snapshot
@@ -1323,29 +1323,19 @@ object AnalyticsQueries {
   // aggregation into R=64 groups — the shuffle carries 64 rows per
   // partition regardless of corpus size; the order-statistic window
   // runs over the 64-row digest only.
-  private val BootR = 64
-  private val BootBits = 40 // md5 hex digits / 4 — matches Sampling.hashBits
-  private val PoissonCdf40: Seq[Long] = Seq(
-    404487723187L, 808975446375L, 1011219307969L, 1078633928500L,
-    1095487583633L, 1098858314660L, 1099420103164L, 1099500358665L,
-    1099510390602L)
-  private def poissonCase(h: String): String =
-    PoissonCdf40.zipWithIndex
-      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
-      .mkString("CASE ", " ", " ELSE 9 END")
+  private val BootR = Bootstrap.R
   private val q171 = Q(
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           Exact.quantize(col("l_extendedprice")).as("cents"))
-      val reps = li.withColumn("rep",
-        explode(sequence(lit(0), lit(BootR - 1))))
-      val key = concat(col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string"), lit("-"), col("rep").cast("string"))
-      val totals = reps
-        .withColumn("h", Sampling.hashBits("boot|", key, BootBits))
-        .withColumn("m", expr(poissonCase("h")))
-        .groupBy(col("rep")).agg(sum(col("m") * col("cents")).as("total_cents"))
+      // kernel shared with streaming/BootstrapStream — one definition
+      // of key/hash/thresholds on both the batch and incremental paths
+      val totals = Bootstrap.replicateTotals(li,
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")),
+          col("cents"))
+        .withColumnRenamed("total", "total_cents")
       val w = Window.orderBy(col("total_cents").asc, col("rep").asc)
       val ranked = totals.withColumn("rn", row_number().over(w))
       def at(rn: Int, name: String) =
@@ -1365,10 +1355,10 @@ object AnalyticsQueries {
       x AS (SELECT rep, cents,
               CAST(('0x' || substr(md5('boot|' || CAST(ok AS VARCHAR) || '-' ||
                 CAST(ln AS VARCHAR) || '-' || CAST(rep AS VARCHAR)), 1,
-                ${BootBits / 4})) AS BIGINT) AS h
+                ${Bootstrap.HashBits / 4})) AS BIGINT) AS h
             FROM li CROSS JOIN reps),
       t AS (SELECT rep,
-                   CAST(sum((${poissonCase("h")}) * cents) AS BIGINT)
+                   CAST(sum((${Bootstrap.poissonCaseSql("h")}) * cents) AS BIGINT)
                      AS total_cents
             FROM x GROUP BY 1),
       rk AS (SELECT total_cents,
