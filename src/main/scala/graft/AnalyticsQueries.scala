@@ -1308,21 +1308,25 @@ object AnalyticsQueries {
   // "Total revenue is X — how wide is the resampling band?" answered the
   // only way that scales: the POISSON bootstrap (Chamandy et al. 2012,
   // "Estimating uncertainty for massive data streams"), where each
-  // row's multiplicity in replicate r is an independent Poisson(1) draw
-  // — no materialized resample, no per-replicate shuffle of the corpus.
-  // Every draw is a PURE ROW FUNCTION: a 40-bit md5 hash of
-  // (orderkey, linenumber, replicate) inverted through the Poisson(1)
-  // CDF pinned as integer thresholds (interpolated into BOTH engines
-  // from one Scala constant, the q93 no-drift discipline; the >8 tail,
-  // mass ~1.1e-6, is capped at 9). Replicate totals are exact integer
-  // cent sums, so the whole report — point estimate plus the
-  // 4th/32nd/61st order statistics of 64 replicate totals (the ceil(pR)
-  // lower-discrete convention, q117) — is bit-identical across engines.
+  // row's multiplicity in replicate r is a Poisson(1) draw — no
+  // materialized resample, no per-replicate shuffle of the corpus.
+  // Every draw is a PURE ROW FUNCTION: ONE md5 per row splits into
+  // three 40-bit seeds, replicate r's uniform is the random quadratic
+  // (s0 + s1·r + s2·r²) mod 2^40 — 3-wise independent across
+  // replicates, 64x fewer string hashes than md5-per-(row,rep), which
+  // measured 65 s at sf0.1 — inverted through the Poisson(1) CDF
+  // pinned as integer thresholds (interpolated into BOTH engines from
+  // one Scala constant, the q93 no-drift discipline; the >8 tail, mass
+  // ~1.1e-6, is capped at 9; see operators/Bootstrap). Replicate
+  // totals are exact integer cent sums, so the whole report — point
+  // estimate plus the 4th/32nd/61st order statistics of 64 replicate
+  // totals (the ceil(pR) lower-discrete convention, q117) — is
+  // bit-identical across engines.
   //
-  // Scale shape: one map pass over rows×R with map-side partial
-  // aggregation into R=64 groups — the shuffle carries 64 rows per
-  // partition regardless of corpus size; the order-statistic window
-  // runs over the 64-row digest only.
+  // Scale shape: one md5 + one map pass over rows×R with map-side
+  // partial aggregation into R=64 groups — the shuffle carries 64 rows
+  // per partition regardless of corpus size; the order-statistic
+  // window runs over the 64-row digest only.
   private val BootR = Bootstrap.R
   private val q171 = Q(
     (spark, dir) => {
@@ -1352,11 +1356,17 @@ object AnalyticsQueries {
                          CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
                   FROM lineitem),
       reps AS (SELECT unnest(range($BootR)) AS rep),
+      sd AS (SELECT cents,
+               CAST(('0x' || substr(md, 1, 10)) AS BIGINT) AS s0,
+               CAST(('0x' || substr(md, 11, 10)) AS BIGINT) AS s1,
+               CAST(('0x' || substr(md, 21, 10)) AS BIGINT) AS s2
+             FROM (SELECT cents,
+                     md5('boot|' || CAST(ok AS VARCHAR) || '-' ||
+                         CAST(ln AS VARCHAR)) AS md
+                   FROM li)),
       x AS (SELECT rep, cents,
-              CAST(('0x' || substr(md5('boot|' || CAST(ok AS VARCHAR) || '-' ||
-                CAST(ln AS VARCHAR) || '-' || CAST(rep AS VARCHAR)), 1,
-                ${Bootstrap.HashBits / 4})) AS BIGINT) AS h
-            FROM li CROSS JOIN reps),
+              (s0 + s1 * rep + s2 * rep * rep) % ${Bootstrap.Mod40} AS h
+            FROM sd CROSS JOIN reps),
       t AS (SELECT rep,
                    CAST(sum((${Bootstrap.poissonCaseSql("h")}) * cents) AS BIGINT)
                      AS total_cents
