@@ -1738,13 +1738,16 @@ object VectorQueries {
         .select(col("qid"), col("cid"), lit(1).as("rank"), col("rel"),
           (lam * col("rel")).as("mmr_score"))
       val rounds = (2 to MmrK).foldLeft(pick1 :: Nil) { (sel, r) =>
+        // every join partner here is a |queries|·k digest — broadcast
+        // hints because the checkpointed digests carry no size stats,
+        // so Spark would otherwise fall back to SortMergeJoin
         val selected = sel.map(_.select(col("qid"), col("cid"))).reduce(_ unionByName _)
-        val ms = sims.join(selected.select(col("qid"), col("cid").as("c2")),
+        val ms = sims.join(broadcast(selected.select(col("qid"), col("cid").as("c2"))),
           Seq("qid", "c2"))
           .groupBy(col("qid"), col("c1")).agg(max(col("sim")).as("maxsim"))
-        val scored = cand.join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
-          "left_anti")
-          .join(ms.withColumnRenamed("c1", "cid"), Seq("qid", "cid"), "left")
+        val scored = cand.join(broadcast(selected.select(col("qid"), col("cid"))),
+          Seq("qid", "cid"), "left_anti")
+          .join(broadcast(ms.withColumnRenamed("c1", "cid")), Seq("qid", "cid"), "left")
           .select(col("qid"), col("cid"), col("rel"),
             (lam * col("rel") - (lit(1.0) - lam) * coalesce(col("maxsim"),
               lit(0.0))).as("mmr_score"))
