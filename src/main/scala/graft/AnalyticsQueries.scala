@@ -1855,6 +1855,76 @@ object AnalyticsQueries {
       FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
       ORDER BY tbl ASC NULLS FIRST"""))
 
+  // --- q188: trending-items burst detection ------------------------------
+  // "What started moving THIS month?" — the demand-sensing screen every
+  // merchandiser (and every trending-terms dashboard) runs: per item,
+  // the rate in the most recent 4 weeks against its trailing baseline,
+  // ranked by lift. Weeks are epoch-day div 7 (integer, engine-neutral —
+  // never date_trunc('week'), whose week-start convention differs);
+  // the lift is the exact integer cross-multiplication
+  // (1000·recent·priorWeeks) div (recentWeeks·(prior+1)) — the +1 is
+  // additive smoothing so new items (no baseline) rank by recent volume
+  // without dividing by zero.
+  //
+  // Scale shape: ONE scan. (item, week) partial counts first (map-side
+  // combine collapses the scan to at most items×weeks rows), then the
+  // global week digest and the per-item recent/prior split both derive
+  // from that digest — no second pass over the fact table. The 1-row
+  // max-week and week-count digests ride broadcast nested-loop joins.
+  private val TrendRecentWeeks = 4
+  private val q188 = Q(
+    (spark, dir) => {
+      val b = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) div 7")
+            .as("wk"))
+        .groupBy(col("l_partkey"), col("wk"))
+        .agg(count(lit(1)).as("c"))
+      val mx = b.agg(max(col("wk")).as("maxwk"))
+      val bm = b.crossJoin(broadcast(mx))
+        .withColumn("recent", col("wk") > col("maxwk") - TrendRecentWeeks)
+      val ws = bm.agg(
+        countDistinct(when(col("recent"), col("wk"))).as("rw"),
+        countDistinct(when(!col("recent"), col("wk"))).as("pw"))
+      bm.groupBy(col("l_partkey"))
+        .agg(sum(when(col("recent"), col("c")).otherwise(0L)).as("recent_cnt"),
+          sum(when(!col("recent"), col("c")).otherwise(0L)).as("prior_cnt"))
+        .filter(col("recent_cnt") > 0L)
+        .crossJoin(broadcast(ws))
+        .select(col("l_partkey"), col("recent_cnt"), col("prior_cnt"),
+          expr("(1000 * recent_cnt * pw) div (rw * (prior_cnt + 1))")
+            .as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("recent_cnt").desc,
+          col("l_partkey").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT l_partkey,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 // 7 AS wk,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      mx AS (SELECT max(wk) AS maxwk FROM b),
+      ws AS (SELECT
+               CAST(count(DISTINCT CASE WHEN wk > maxwk - $TrendRecentWeeks
+                                        THEN wk END) AS BIGINT) AS rw,
+               CAST(count(DISTINCT CASE WHEN wk <= maxwk - $TrendRecentWeeks
+                                        THEN wk END) AS BIGINT) AS pw
+             FROM b, mx),
+      p AS (SELECT l_partkey,
+              CAST(sum(CASE WHEN wk > maxwk - $TrendRecentWeeks
+                            THEN c ELSE 0 END) AS BIGINT) AS recent_cnt,
+              CAST(sum(CASE WHEN wk <= maxwk - $TrendRecentWeeks
+                            THEN c ELSE 0 END) AS BIGINT) AS prior_cnt
+            FROM b, mx GROUP BY 1)
+      SELECT l_partkey, recent_cnt, prior_cnt,
+             (1000 * recent_cnt * pw) // (rw * (prior_cnt + 1)) AS lift_milli
+      FROM p, ws
+      WHERE recent_cnt > 0
+      ORDER BY lift_milli DESC, recent_cnt DESC, l_partkey ASC
+      LIMIT 20"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -1885,5 +1955,6 @@ object AnalyticsQueries {
     "q179_abc_class" -> q179,
     "q182_churn_features" -> q182,
     "q184_cohort_ltv" -> q184,
-    "q185_erasure_impact" -> q185)
+    "q185_erasure_impact" -> q185,
+    "q188_trending_items" -> q188)
 }

@@ -1403,6 +1403,211 @@ object CorpusQueries {
       FROM head
       ORDER BY pos ASC"""))
 
+  // --- q189: exact-quota stratified sample (largest remainder) -----------
+  // q135 splits by hash THRESHOLD — per-stratum counts are only
+  // binomially close to the target rate. Eval sets and ablation corpora
+  // need the other contract: EXACTLY round(N/10) rows overall, each
+  // stratum hitting its proportional quota to the row (Hamilton /
+  // largest-remainder apportionment: floor quotas, then +1 to the
+  // strata with the largest remainders until the target is met).
+  // Selection within a stratum is the usual deterministic md5 order
+  // ("strat|" prefix decorrelates from q44/q135's split hashes).
+  //
+  // Scale shape: quota arithmetic runs entirely over the stratum DIGEST
+  // (one row per (lang, source) — the only unpartitioned windows are
+  // over that bounded table, the Prefix discipline); the data pass is
+  // one broadcast join of quotas plus one row_number per stratum
+  // partition. The per-stratum sort is the price of exact quotas — the
+  // rate-only contract stays on q135's sort-free threshold path.
+  private val q189 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+      val wAll = Window.partitionBy()
+      val quotas = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("n_total", sum(col("n_s")).over(wAll))
+        .withColumn("target", expr("n_total div 10"))
+        .withColumn("base", expr("(n_s * target) div n_total"))
+        .withColumn("rem", expr("n_s * target - base * n_total"))
+        .withColumn("xr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc, col("source").asc))
+          .cast("long"))
+        .withColumn("base_total", sum(col("base")).over(wAll))
+        .select(col("lang"), col("source"),
+          (col("base") + when(col("xr") <= col("target") - col("base_total"),
+            1L).otherwise(0L)).as("quota"))
+      val wS = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("hv").asc, col("doc_id").asc)
+      d.withColumn("hv", Kmv.hash60(concat(lit("strat|"), col("doc_id"))))
+        .join(broadcast(quotas), Seq("lang", "source"))
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("lang"), col("source"), col("doc_id"))
+        .orderBy(col("lang").asc, col("source").asc, col("doc_id").asc)
+    },
+    Some("""
+      WITH s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_s
+                 FROM documents GROUP BY 1, 2),
+      t AS (SELECT *, CAST(sum(n_s) OVER () AS BIGINT) AS n_total FROM s),
+      b AS (SELECT *, n_total // 10 AS target,
+                   (n_s * (n_total // 10)) // n_total AS base,
+                   n_s * (n_total // 10)
+                     - ((n_s * (n_total // 10)) // n_total) * n_total AS rem
+            FROM t),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang ASC,
+                             source ASC) AS BIGINT) AS xr,
+                   CAST(sum(base) OVER () AS BIGINT) AS base_total
+            FROM b),
+      q AS (SELECT lang, source,
+                   base + CASE WHEN xr <= target - base_total
+                               THEN 1 ELSE 0 END AS quota
+            FROM r),
+      h AS (SELECT doc_id, lang, source,
+                   CAST(('0x' || substr(md5('strat|' || doc_id), 1, 15))
+                     AS BIGINT) AS hv
+            FROM documents),
+      rn AS (SELECT h.*, CAST(row_number() OVER (PARTITION BY lang, source
+                                ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS rn
+             FROM h)
+      SELECT rn.lang, rn.source, rn.doc_id
+      FROM rn JOIN q USING (lang, source)
+      WHERE rn <= quota
+      ORDER BY lang ASC, source ASC, doc_id ASC"""))
+
+  // --- q190: inverted-index postings compression audit --------------------
+  // The retrieval-tier capacity question behind q80/q91/q136: what does
+  // the postings file actually COST on disk? Standard block-resync'd
+  // delta coding — postings for a term are doc_id-sorted, each 128-id
+  // block re-anchors (first id stored absolute, +1 to stay positive),
+  // in-block ids store the gap, and every value takes
+  // ceil(bits/7) LEB128 varint bytes, expressed as an exact CASE chain
+  // on power-of-128 thresholds (never float log2). Reported for the 50
+  // highest-df terms: varint bytes vs 8-byte-raw, per-mille ratio.
+  //
+  // Scale shape: the postings build is the one term-keyed shuffle any
+  // index build pays; the delta window partitions by (term, block) so
+  // NO partition exceeds 128 rows even for a stopword whose df is the
+  // corpus size — the block re-anchoring that real indexes do for
+  // skip-list seeks is exactly what kills the giant-partition window
+  // here. Top-50 selection is a 50-row broadcast.
+  private val PostingsTopTerms = 50
+  private val PostingsBlock = 128
+  private val q190 = Q(
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val top = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(PostingsTopTerms)
+      val w = Window.partitionBy(col("term"), col("blk"))
+        .orderBy(col("doc_id").asc)
+      p.join(broadcast(top), Seq("term"))
+        .withColumn("blk", expr(s"doc_id div $PostingsBlock"))
+        .withColumn("gap", coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1L))
+        .withColumn("vb",
+          when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
+            .when(col("gap") < 2097152L, 3L)
+            .when(col("gap") < 268435456L, 4L).otherwise(5L))
+        .groupBy(col("term"), col("df"))
+        .agg(sum(col("vb")).as("varint_bytes"))
+        .withColumn("raw_bytes", col("df") * 8L)
+        .withColumn("ratio_permille",
+          expr("(1000 * varint_bytes) div raw_bytes"))
+        .orderBy(col("df").desc, col("term").asc)
+    },
+    Some(s"""
+      WITH p AS (SELECT DISTINCT doc_id, t AS term
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents)),
+      top AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM p GROUP BY 1
+              ORDER BY df DESC, term ASC LIMIT $PostingsTopTerms),
+      g AS (SELECT p.term, top.df,
+                   coalesce(p.doc_id - lag(p.doc_id) OVER
+                       (PARTITION BY p.term, p.doc_id // $PostingsBlock
+                        ORDER BY p.doc_id ASC),
+                     p.doc_id + 1) AS gap
+            FROM p JOIN top USING (term)),
+      v AS (SELECT term, df,
+                   CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                        WHEN gap < 2097152 THEN 3
+                        WHEN gap < 268435456 THEN 4 ELSE 5 END AS vb
+            FROM g)
+      SELECT term, df, CAST(sum(vb) AS BIGINT) AS varint_bytes,
+             df * 8 AS raw_bytes,
+             (1000 * CAST(sum(vb) AS BIGINT)) // (df * 8) AS ratio_permille
+      FROM v GROUP BY 1, 2
+      ORDER BY df DESC, term ASC"""))
+
+  // --- q191: PMI collocation mining (phrase discovery) --------------------
+  // The phrase-merge step of a tokenizer/embedding pipeline (word2vec's
+  // phrase pass, Mikolov et al. 2013): adjacent word pairs that co-occur
+  // far more than their unigram frequencies predict. Scored by lift =
+  // c(xy)·N / (c(x)·c(y)) — the exponential of PMI, so the RANKING is
+  // identical — with a minimum pair support so one lucky co-occurrence
+  // of two hapaxes cannot top the list. The lift is the only float in
+  // the query and both engines build it from the SAME integer inputs
+  // with the SAME parenthesized op tree, so the IEEE result is
+  // bit-identical (the q21-ratio discipline).
+  //
+  // Scale shape: bigrams come straight off the token array map-side
+  // (array transform — no window, no per-doc shuffle); one pair-keyed
+  // aggregate, min-support filter BEFORE the unigram joins (the filter
+  // is what keeps the join input at phrase-candidate size, not
+  // corpus-bigram size), two word-keyed joins, and a 1-row total rides
+  // a broadcast.
+  private val PmiMinSupport = 5
+  private val PmiTopK = 30
+  private val q191 = Q(
+    (spark, dir) => {
+      val base = docs(spark, dir).select(TextOps.tokens(col("text")).as("ts"))
+      val bg = when(size(col("ts")) >= 2, transform(
+          sequence(lit(1), size(col("ts")) - lit(1)),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val pairs = base.select(explode(bg).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= PmiMinSupport)
+      val uni = base.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("nu"))
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          ((col("c_xy").cast("double") * col("nu")) /
+            (col("c_x").cast("double") * col("c_y"))).as("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(PmiTopK)
+    },
+    Some(s"""
+      WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, len(ts)),
+                     i -> [ts[i], ts[i+1]])) AS b
+             FROM tok WHERE len(ts) >= 2),
+      pairs AS (SELECT b[1] AS w1, b[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+                FROM bi GROUP BY 1, 2
+                HAVING count(*) >= $PmiMinSupport),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni)
+      SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+             (CAST(c_xy AS DOUBLE) * nu) / (CAST(ux.c AS DOUBLE) * uy.c)
+               AS lift
+      FROM pairs
+      JOIN uni ux ON ux.w = pairs.w1
+      JOIN uni uy ON uy.w = pairs.w2
+      CROSS JOIN tot
+      ORDER BY lift DESC, w1 ASC, w2 ASC
+      LIMIT $PmiTopK"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -1424,5 +1629,8 @@ object CorpusQueries {
     "q139_importance_weights" -> q139,
     "q141_growth_curve" -> q141,
     "q143_consistent_hash" -> q143,
-    "q186_stride_interleave" -> q186)
+    "q186_stride_interleave" -> q186,
+    "q189_stratified_sample" -> q189,
+    "q190_postings_cost" -> q190,
+    "q191_pmi_collocations" -> q191)
 }

@@ -621,6 +621,147 @@ object WarehouseQueries {
       ORDER BY digit ASC"""
     })
 
+  // --- q187: k-anonymity / l-diversity privacy audit ---------------------
+  // The release-gate companion to q185's erasure blast radius: before a
+  // table leaves the warehouse, every quasi-identifier equivalence class
+  // must hold at least k individuals (k-anonymity, Sweeney) and at least
+  // l distinct sensitive values (l-diversity, Machanavajjhala et al.) —
+  // otherwise the "anonymized" export re-identifies people by join. QI
+  // here is (nation, account-balance band); the sensitive attribute is
+  // the market segment. The band is cut in integer cent space with a
+  // +1e6 shift so the integral divide never sees a negative numerator
+  // (Spark `div` truncates toward zero, DuckDB `//` floors — they agree
+  // only on non-negatives).
+  //
+  // Scale shape: one hash aggregate over the QI pair (map-side partials;
+  // countDistinct is Spark's standard two-phase expand — the sensitive
+  // domain is tiny so the expand factor is the attribute count, not the
+  // row count). Class count is bounded by the QI domain, not by rows:
+  // the audit output stays small at any data size.
+  private val KThreshold = 5
+  private val q187 = Q(
+    (spark, dir) => {
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          Exact.quantize(col("c_acctbal")).as("cents"),
+          col("c_mktsegment"))
+        .withColumn("band", expr("(cents + 1000000) div 100000"))
+        .groupBy(col("nationkey"), col("band"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+        .withColumn("at_risk",
+          when(col("k_size") < KThreshold, 1).otherwise(0))
+        .orderBy(col("nationkey").asc, col("band").asc)
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+               (CAST(round(c_acctbal * 100.0) AS BIGINT) + 1000000) // 100000
+                 AS band,
+               c_mktsegment
+        FROM customer)
+      SELECT nationkey, band, CAST(count(*) AS BIGINT) AS k_size,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+             CASE WHEN count(*) < $KThreshold THEN 1 ELSE 0 END AS at_risk
+      FROM q GROUP BY 1, 2
+      ORDER BY nationkey ASC, band ASC"""))
+
+  // --- q192: inclusion-dependency DISCOVERY (join-key inference) ---------
+  // q128 audits the FKs you already know; this finds the ones you don't
+  // — the schema-inference pass a profiler runs on an undocumented lake.
+  // For every ordered pair of candidate key columns, what fraction of
+  // the child's distinct values exist in the parent (Metanome/SPIDER's
+  // unary IND problem)? The naive 132-anti-join plan is replaced by the
+  // bitmask single-pass: each (value, column) occurrence contributes a
+  // power-of-two, `bit_or` folds them to one ownership MASK per distinct
+  // value (duplicates absorbed by the OR — no per-column pre-distinct
+  // needed), and the mask HISTOGRAM — at most 2^12 rows regardless of
+  // data size — answers every pair containment by integer bit probes.
+  //
+  // Scale shape: one scan per table (all its candidate columns leave in
+  // a single explode), ONE value-keyed aggregate, one digest aggregate;
+  // the 132-pair expansion runs over the bounded digest with the pair
+  // table broadcast. The Scala column list is the single source of
+  // truth for both engines' bit assignments (ADVICE-r6 no-drift rule).
+  private val IndCols: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("orders", "o_orderkey", "orders.o_orderkey"),
+    ("orders", "o_custkey", "orders.o_custkey"),
+    ("customer", "c_custkey", "customer.c_custkey"),
+    ("customer", "c_nationkey", "customer.c_nationkey"),
+    ("supplier", "s_suppkey", "supplier.s_suppkey"),
+    ("supplier", "s_nationkey", "supplier.s_nationkey"),
+    ("part", "p_partkey", "part.p_partkey"),
+    ("nation", "n_nationkey", "nation.n_nationkey"),
+    ("events", "user_id", "events.user_id"))
+  private val q192 = Q(
+    (spark, dir) => {
+      val byTable = IndCols.zipWithIndex.groupBy(_._1._1)
+      val branches = byTable.toSeq.sortBy(_._1).map { case (tbl, cols) =>
+        val entries = cols.map { case ((_, c, _), i) =>
+          struct(col(c).cast("long").as("v"), lit(1L << i).as("p"))
+        }
+        Tables.table(spark, dir, tbl)
+          .select(explode(array(entries: _*)).as("e"))
+          .select(col("e.v").as("v"), col("e.p").as("p"))
+      }
+      val digest = branches.reduce(_ unionByName _)
+        .groupBy(col("v")).agg(expr("bit_or(p)").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      val pairs = for {
+        ((_, _, cn), ci) <- IndCols.zipWithIndex
+        ((_, _, pn), pi) <- IndCols.zipWithIndex if ci != pi
+      } yield (cn, 1L << ci, pn, 1L << pi)
+      val pairsDf = spark.createDataFrame(pairs)
+        .toDF("child_col", "cpow", "parent_col", "ppow")
+      digest.crossJoin(broadcast(pairsDf))
+        .groupBy(col("child_col"), col("parent_col"))
+        .agg(
+          sum(when(expr("(mask div cpow) % 2") === 1L, col("cnt"))
+            .otherwise(0L)).as("n_child"),
+          sum(when(expr("(mask div cpow) % 2") === 1L &&
+              expr("(mask div ppow) % 2") === 1L, col("cnt"))
+            .otherwise(0L)).as("n_shared"))
+        .withColumn("contained_permille",
+          expr("(1000 * n_shared) div n_child"))
+        .withColumn("holds",
+          when(col("n_shared") === col("n_child"), 1).otherwise(0))
+        .orderBy(col("child_col").asc, col("parent_col").asc)
+    },
+    Some {
+      val branches = IndCols.zipWithIndex.map { case ((t, c, _), i) =>
+        s"SELECT CAST($c AS BIGINT) AS v, CAST(${1L << i} AS BIGINT) AS p FROM $t"
+      }.mkString("\n        UNION ALL ")
+      val colRows = IndCols.zipWithIndex
+        .map { case ((_, _, n), i) => s"('$n', CAST(${1L << i} AS BIGINT))" }
+        .mkString(", ")
+      s"""
+      WITH vals AS (
+        $branches),
+      m AS (SELECT v, CAST(bit_or(p) AS BIGINT) AS mask FROM vals GROUP BY 1),
+      d AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1),
+      cols AS (SELECT * FROM (VALUES $colRows) AS t(name, pow)),
+      pr AS (SELECT c.name AS child_col, c.pow AS cpow,
+                    p.name AS parent_col, p.pow AS ppow
+             FROM cols c JOIN cols p ON c.name <> p.name),
+      agg AS (
+        SELECT child_col, parent_col,
+               CAST(sum(CASE WHEN (mask // cpow) % 2 = 1
+                             THEN cnt ELSE 0 END) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN (mask // cpow) % 2 = 1
+                              AND (mask // ppow) % 2 = 1
+                             THEN cnt ELSE 0 END) AS BIGINT) AS n_shared
+        FROM d CROSS JOIN pr
+        GROUP BY 1, 2)
+      SELECT child_col, parent_col, n_child, n_shared,
+             (1000 * n_shared) // n_child AS contained_permille,
+             CASE WHEN n_shared = n_child THEN 1 ELSE 0 END AS holds
+      FROM agg
+      ORDER BY child_col ASC, parent_col ASC"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q109_scd2" -> q109,
     "q110_grouping_sets" -> q110,
@@ -631,5 +772,7 @@ object WarehouseQueries {
     "q163_dist_drift" -> q163,
     "q168_fd_audit" -> q168,
     "q169_completeness" -> q169,
-    "q170_benford" -> q170)
+    "q170_benford" -> q170,
+    "q187_k_anonymity" -> q187,
+    "q192_inclusion_deps" -> q192)
 }

@@ -369,4 +369,101 @@ class QueriesSmokeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q187 k-anonymity: classes partition the table; l <= k; flag honest") {
+    val rows = Queries.queries("q187_k_anonymity")(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("k_size")).sum == total,
+      "equivalence classes must partition the customer table")
+    rows.foreach { r =>
+      val (k, l) = (r.getAs[Long]("k_size"), r.getAs[Long]("l_div"))
+      assert(l >= 1 && l <= k, s"l-diversity $l outside [1, $k]")
+      assert(r.getAs[Int]("at_risk") == (if (k < 5) 1 else 0))
+    }
+  }
+
+  test("q188 trending: bounded top-k, positive recent volume, exact lift") {
+    val rows = Queries.queries("q188_trending_items")(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recent_cnt") >= 1)
+      assert(r.getAs[Long]("prior_cnt") >= 0)
+      assert(r.getAs[Long]("lift_milli") >= 0)
+    }
+    // ranked by lift
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("lift_milli") >= b.getAs[Long]("lift_milli"))
+      case _ =>
+    }
+  }
+
+  test("q189 stratified sample: exact global quota, strata proportional") {
+    val rows = Queries.queries("q189_stratified_sample")(spark, sfDir).collect()
+    val d = Tables.documents(spark, sfDir)
+    val n = d.count()
+    assert(rows.length == (n / 10).toInt,
+      s"largest-remainder total must be exactly N div 10: ${rows.length} vs ${n / 10}")
+    // each stratum's sample is proportional to the row: floor or floor+1
+    val pop = d.groupBy("lang", "source").count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("count")).toMap
+    val target = n / 10
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .foreach { case (k, picked) =>
+        val base = pop(k) * target / n
+        assert(picked.length == base || picked.length == base + 1,
+          s"stratum $k got ${picked.length}, expected $base or ${base + 1}")
+      }
+  }
+
+  test("q191 PMI: pair support bounded by unigram counts, lift positive") {
+    val rows = Queries.queries("q191_pmi_collocations")(spark, sfDir).collect()
+    assert(rows.length <= 30 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getAs[Long]("c_xy"),
+        r.getAs[Long]("c_x"), r.getAs[Long]("c_y"))
+      assert(cxy >= 5, "min support")
+      assert(cxy <= cx && cxy <= cy,
+        "a bigram cannot outnumber either of its unigrams")
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
+  test("q192 IND discovery: finds every true FK, incl. the unaudited one") {
+    val rows = Queries.queries("q192_inclusion_deps")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("child_col"), r.getAs[String]("parent_col"))
+        -> r).toMap
+    assert(rows.size == 12 * 11, "full ordered candidate-pair grid")
+    val trueInds = Seq(
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "orders.o_custkey" -> "customer.c_custkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "events.user_id" -> "customer.c_custkey")
+    trueInds.foreach { pair =>
+      assert(rows(pair).getAs[Int]("holds") == 1, s"$pair must hold")
+      assert(rows(pair).getAs[Long]("contained_permille") == 1000L)
+    }
+    // and a pair that must NOT hold: order keys are not part keys
+    assert(rows(("orders.o_orderkey", "part.p_partkey")).getAs[Int]("holds") == 0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_child"))
+    }
+  }
+
+  test("q190 postings: varint never beats 1 byte/posting or loses to raw") {
+    val rows = Queries.queries("q190_postings_cost")(spark, sfDir).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, vb, raw) = (r.getAs[Long]("df"),
+        r.getAs[Long]("varint_bytes"), r.getAs[Long]("raw_bytes"))
+      assert(raw == 8 * df)
+      assert(vb >= df, "at least one byte per posting")
+      assert(vb <= 5 * df, "LEB128 of a sub-2^35 id is at most 5 bytes")
+      assert(r.getAs[Long]("ratio_permille") <= 1000)
+    }
+  }
 }
