@@ -1492,34 +1492,29 @@ object CorpusQueries {
   // skip-list seeks is exactly what kills the giant-partition window
   // here. Top-50 selection is a 50-row broadcast.
   private val PostingsTopTerms = 50
-  private val PostingsBlock = 128
   private val q190 = Q(
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val p = docs(spark, dir)
         .select(col("doc_id"),
           explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
       val top = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc).limit(PostingsTopTerms)
-      val w = Window.partitionBy(col("term"), col("blk"))
-        .orderBy(col("doc_id").asc)
-      p.join(broadcast(top), Seq("term"))
-        .withColumn("blk", expr(s"doc_id div $PostingsBlock"))
-        .withColumn("gap", coalesce(
-          col("doc_id") - lag(col("doc_id"), 1).over(w),
-          col("doc_id") + 1L))
-        .withColumn("vb",
-          when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
-            .when(col("gap") < 2097152L, 3L)
-            .when(col("gap") < 268435456L, 4L).otherwise(5L))
-        .groupBy(col("term"), col("df"))
-        .agg(sum(col("vb")).as("varint_bytes"))
+      operators.Postings
+        .encode(p.join(broadcast(top.select(col("term"))), Seq("term")),
+          "term", "doc_id")
         .withColumn("raw_bytes", col("df") * 8L)
         .withColumn("ratio_permille",
           expr("(1000 * varint_bytes) div raw_bytes"))
         .orderBy(col("df").desc, col("term").asc)
     },
-    Some(s"""
+    Some {
+      // The CASE thresholds interpolate from the SAME constants the
+      // Scala kernel folds (operators.Postings) — the two sides cannot
+      // drift without this SQL changing too (ADVICE-r6 discipline).
+      val leb = operators.Postings.LebThresholds.zipWithIndex
+        .map { case (l, i) => s"WHEN gap < $l THEN ${i + 1}" }.mkString(" ")
+      val lebElse = operators.Postings.LebThresholds.size + 1
+      s"""
       WITH p AS (SELECT DISTINCT doc_id, t AS term
                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                        FROM documents)),
@@ -1528,20 +1523,18 @@ object CorpusQueries {
               ORDER BY df DESC, term ASC LIMIT $PostingsTopTerms),
       g AS (SELECT p.term, top.df,
                    coalesce(p.doc_id - lag(p.doc_id) OVER
-                       (PARTITION BY p.term, p.doc_id // $PostingsBlock
+                       (PARTITION BY p.term,
+                        p.doc_id // ${operators.Postings.Block}
                         ORDER BY p.doc_id ASC),
                      p.doc_id + 1) AS gap
             FROM p JOIN top USING (term)),
-      v AS (SELECT term, df,
-                   CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
-                        WHEN gap < 2097152 THEN 3
-                        WHEN gap < 268435456 THEN 4 ELSE 5 END AS vb
-            FROM g)
+      v AS (SELECT term, df, CASE $leb ELSE $lebElse END AS vb FROM g)
       SELECT term, df, CAST(sum(vb) AS BIGINT) AS varint_bytes,
              df * 8 AS raw_bytes,
              (1000 * CAST(sum(vb) AS BIGINT)) // (df * 8) AS ratio_permille
       FROM v GROUP BY 1, 2
-      ORDER BY df DESC, term ASC"""))
+      ORDER BY df DESC, term ASC"""
+    })
 
   // --- q191: PMI collocation mining (phrase discovery) --------------------
   // The phrase-merge step of a tokenizer/embedding pipeline (word2vec's
