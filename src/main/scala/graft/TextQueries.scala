@@ -1706,6 +1706,117 @@ object TextQueries {
       FROM lk GROUP BY 1, 2
       ORDER BY split_a ASC NULLS FIRST, split_b ASC NULLS FIRST"""))
 
+  // --- q193: Naive-Bayes language-ID audit (trained confusion matrix) ----
+  // q22 screens with two hand-picked marker lists; this TRAINS the
+  // classifier the screen approximates — multinomial Naive Bayes with
+  // Laplace smoothing — and reports the training-set confusion matrix,
+  // the "is language ID even learnable from this corpus" audit a
+  // curation pipeline runs before trusting any lang column. All
+  // arithmetic is the q75/q89 integer-surprisal discipline: a token's
+  // cost under language l is length(bin((tot_l + V) div (c_lt + 1)))
+  // bits — floor-log2 via BIGINT bit length, never float log — plus an
+  // integer prior; argmin with a lexicographic tie-break, so both
+  // engines pick identical labels even on exact ties (this synthetic
+  // corpus shares one vocabulary across languages, so the matrix
+  // honestly shows lang-ID is NOT learnable here — that is the audit
+  // working, not failing).
+  //
+  // Scale shape: the unseen-pair problem (a doc×lang×term grid) is
+  // folded analytically — score(d,l) = n_tokens(d)·default_l + prior_l
+  // + Σ_{(t,l) trained} cnt_dt·(bits_lt − default_l) — so only
+  // OBSERVED (term, lang) stats ever join (one term-keyed shuffle);
+  // the per-language totals and priors ride a broadcast digest, and
+  // the argmin is a struct-min aggregate, not a window.
+  private val q193 = Q(
+    (spark, dir) => {
+      val toks = docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val dt = toks.groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // fans out into train stats AND scoring
+      val clt = dt.groupBy(col("lang"), col("term"))
+        .agg(sum(col("cnt")).as("c_lt"))
+      val totl = clt.groupBy(col("lang")).agg(sum(col("c_lt")).as("tot"))
+      val vocab = clt.select(col("term")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val ndocs = docs(spark, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("n_all", sum(col("n_l")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val langs = totl.crossJoin(broadcast(vocab))
+        .join(ndocs, Seq("lang"))
+        .select(col("lang").as("l"),
+          expr("CAST(length(bin(tot + v)) AS BIGINT)").as("default_bits"),
+          expr("CAST(length(bin(n_all div n_l)) AS BIGINT)").as("prior_bits"))
+      val stats = clt.crossJoin(broadcast(vocab))
+        .join(broadcast(totl), Seq("lang"))
+        .select(col("term"), col("lang").as("l"),
+          expr("CAST(length(bin((tot + v) div (c_lt + 1))) AS BIGINT)")
+            .as("bits"))
+      val base = dt.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt")).as("n_tokens"))
+        .crossJoin(broadcast(langs))
+        .select(col("doc_id"), col("lang"), col("l"),
+          (col("n_tokens") * col("default_bits") + col("prior_bits"))
+            .as("base"))
+      val adj = dt.join(stats, Seq("term"))
+        .join(broadcast(langs.select(col("l"), col("default_bits"))), Seq("l"))
+        .groupBy(col("doc_id"), col("l"))
+        .agg(sum(col("cnt") * (col("bits") - col("default_bits"))).as("adj"))
+      base.join(adj, Seq("doc_id", "l"), "left")
+        .select(col("doc_id"), col("lang"), col("l"),
+          (col("base") + coalesce(col("adj"), lit(0L))).as("score"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min(struct(col("score"), col("l"))).as("best"))
+        .select(col("lang").as("actual"), col("best.l").as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual").asc, col("predicted").asc)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      dt AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY 1, 2, 3),
+      clt AS (SELECT lang, term, CAST(sum(cnt) AS BIGINT) AS c_lt
+              FROM dt GROUP BY 1, 2),
+      totl AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS tot FROM clt GROUP BY 1),
+      vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM clt),
+      ndocs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+                       CAST(sum(count(*)) OVER () AS BIGINT) AS n_all
+                FROM documents GROUP BY 1),
+      langs AS (SELECT totl.lang AS l,
+                       CAST(length(bin(tot + v)) AS BIGINT) AS default_bits,
+                       CAST(length(bin(n_all // n_l)) AS BIGINT) AS prior_bits
+                FROM totl CROSS JOIN vocab JOIN ndocs ON ndocs.lang = totl.lang),
+      stats AS (SELECT term, clt.lang AS l,
+                       CAST(length(bin((tot + v) // (c_lt + 1))) AS BIGINT)
+                         AS bits
+                FROM clt CROSS JOIN vocab JOIN totl ON totl.lang = clt.lang),
+      base AS (SELECT doc_id, dt.lang, langs.l,
+                      CAST(sum(cnt) AS BIGINT) * max(default_bits)
+                        + max(prior_bits) AS base
+               FROM dt CROSS JOIN langs
+               GROUP BY 1, 2, 3),
+      adj AS (SELECT doc_id, stats.l,
+                     CAST(sum(cnt * (bits - default_bits)) AS BIGINT) AS adj
+              FROM dt
+              JOIN stats USING (term)
+              JOIN langs ON langs.l = stats.l
+              GROUP BY 1, 2),
+      scored AS (SELECT base.doc_id, base.lang, base.l,
+                        base.base + COALESCE(adj.adj, 0) AS score
+                 FROM base LEFT JOIN adj
+                   ON adj.doc_id = base.doc_id AND adj.l = base.l),
+      pred AS (SELECT doc_id, lang AS actual,
+                      (min({'s': score, 'l': l})).l AS predicted
+               FROM scored GROUP BY 1, 2)
+      SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred
+      GROUP BY 1, 2
+      ORDER BY actual ASC, predicted ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1740,5 +1851,6 @@ object TextQueries {
     "q114_containment" -> q114,
     "q148_hll_distinct" -> q148,
     "q175_bpe_fertility" -> q175,
-    "q183_split_leakage" -> q183)
+    "q183_split_leakage" -> q183,
+    "q193_nb_langid" -> q193)
 }

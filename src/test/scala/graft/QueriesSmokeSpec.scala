@@ -454,6 +454,21 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q193 NB confusion matrix partitions the corpus over real labels") {
+    val rows = Queries.queries("q193_nb_langid")(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[Long]("n_docs")).sum
+      == Tables.documents(spark, sfDir).count(),
+      "every document must land in exactly one confusion cell")
+    rows.foreach { r =>
+      assert(langs(r.getAs[String]("actual")))
+      assert(langs(r.getAs[String]("predicted")),
+        "predictions must come from the trained label set")
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+  }
+
   test("q190 postings: varint never beats 1 byte/posting or loses to raw") {
     val rows = Queries.queries("q190_postings_cost")(spark, sfDir).collect()
     assert(rows.length <= 50 && rows.nonEmpty)
