@@ -1880,6 +1880,7 @@ object AnalyticsQueries {
             .as("wk"))
         .groupBy(col("l_partkey"), col("wk"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // fans out 3x: max-week, week digest, item split
       val mx = b.agg(max(col("wk")).as("maxwk"))
       val bm = b.crossJoin(broadcast(mx))
         .withColumn("recent", col("wk") > col("maxwk") - TrendRecentWeeks)

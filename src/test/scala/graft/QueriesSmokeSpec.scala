@@ -9,6 +9,17 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("registry integrity: unique names, well-formed, oracles resolvable") {
+    val names = Queries.all.map(_._1)
+    assert(names.distinct.size == names.size,
+      "duplicate query names would silently shadow each other in the Map")
+    names.foreach(n => assert(n.matches("q\\d+[a-z0-9_]*"),
+      s"query name '$n' breaks the qNN_slug convention"))
+    // every oracle key must be a registered query (the driver joins on it)
+    val known = names.toSet
+    Queries.oracleSql.keys.foreach(k => assert(known(k)))
+  }
+
   Queries.all.foreach { case (name, q) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = q.fn(spark, sfDir)
