@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.misraGriesTerms)
     ext.injectFunction(GraftExtensions.zorderLong)
     ext.injectFunction(GraftExtensions.bmpDhashLong)
+    ext.injectFunction(GraftExtensions.bpeCountLong)
+    ext.injectFunction(GraftExtensions.bpeCountTextLong)
+    ext.injectFunction(GraftExtensions.bpeSegmentsArray)
+    ext.injectFunction(GraftExtensions.multiMatchPackLong)
+    ext.injectFunction(GraftExtensions.topKPairsLong)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -118,11 +123,83 @@ object GraftExtensions {
       MisraGriesTerms(children.head, literalInt(children(1), "misra_gries_terms k"))
     })
 
+  private val bpeCountLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_count_long"),
+    new ExpressionInfo(classOf[BpeCountLong].getName, "bpe_count_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "bpe_count_long takes exactly 1 argument")
+      BpeCountLong(children.head)
+    })
+
+  private val bpeCountTextLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_count_text_long"),
+    new ExpressionInfo(classOf[BpeCountTextLong].getName, "bpe_count_text_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "bpe_count_text_long takes exactly 1 argument")
+      BpeCountTextLong(children.head)
+    })
+
+  private val bpeSegmentsArray: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_segments_array"),
+    new ExpressionInfo(classOf[BpeSegmentsArray].getName, "bpe_segments_array"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "bpe_segments_array takes exactly 1 argument")
+      BpeSegmentsArray(children.head)
+    })
+
+  private val multiMatchPackLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("multi_match_pack_long"),
+    new ExpressionInfo(classOf[MultiMatchPackLong].getName, "multi_match_pack_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "multi_match_pack_long takes (text STRING, patterns ARRAY<STRING> literal)")
+      // SQL callers pass an array literal; the expression wants the
+      // automaton's ''-joined spec STRING (MultiMatch.packCol does
+      // the same join for Column callers). Folding here keeps the
+      // one-automaton-per-SPEC cache keying.
+      val spec = children(1) match {
+        case f if f.foldable => f.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val sep = graft.functions.MultiMatch.Sep
+            val pats = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+            require(pats.nonEmpty &&
+              pats.length <= graft.functions.MultiMatch.MaxPatterns &&
+              pats.forall(p => p.nonEmpty && p.indexOf(sep.toInt) < 0),
+              s"bad multi_match_pack_long pattern list: $pats")
+            pats.mkString(sep.toString)
+          case other => throw new IllegalArgumentException(
+            "multi_match_pack_long patterns must be an ARRAY<STRING> literal, " +
+              s"got ${Option(other).getOrElse("NULL")}")
+        }
+        case other => throw new IllegalArgumentException(
+          s"multi_match_pack_long patterns must be a literal, got $other")
+      }
+      MultiMatchPackLong(children.head,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          spec, org.apache.spark.sql.types.StringType))
+    })
+
+  private val topKPairsLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_pairs_long"),
+    new ExpressionInfo(classOf[TopKPairsLong].getName, "top_k_pairs_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "top_k_pairs_long takes (value BIGINT, id BIGINT, k INT)")
+      // returned raw, like kmv_sketch_long: the analyzer wraps a bare
+      // AggregateFunction in its AggregateExpression during resolution
+      TopKPairsLong(children(0), children(1),
+        literalInt(children(2), "top_k_pairs_long k"))
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
-             imageDimsLong, audioMetaLong, misraGriesTerms, zorderLong))
+             imageDimsLong, audioMetaLong, misraGriesTerms, zorderLong,
+             bmpDhashLong, bpeCountLong, bpeCountTextLong, bpeSegmentsArray,
+             multiMatchPackLong, topKPairsLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
