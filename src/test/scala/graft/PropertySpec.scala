@@ -117,6 +117,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: PostingsStream fold is split-invariant and replay-absorbing") {
+    // the incremental index kernel: folding a sorted id set in one
+    // slice equals folding any prefix then the rest from its state;
+    // re-folding an already-folded prefix is a no-op (at-least-once)
+    import graft.streaming.PostingsStream
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      gaps <- Gen.listOfN(n, Gen.choose(1L, 400L)) // gaps straddle blocks
+      cut <- Gen.choose(0, n)
+    } yield (gaps.scanLeft(0L)(_ + _).tail, cut)
+    pass(Prop.forAll(gen) { case (ids, cut) =>
+      val whole = PostingsStream.foldSlice(ids, None)
+      val pre = if (cut == 0) None
+        else Some(PostingsStream.foldSlice(ids.take(cut), None))
+      val split = PostingsStream.foldSlice(ids.drop(cut), pre)
+      val replayed = PostingsStream.foldSlice(ids.take(cut),
+        Some(whole)) // whole already folded every id in the prefix
+      whole == split && replayed == whole
+    })
+  }
+
   test("property: FunnelStream fold is split-invariant at any batch boundary") {
     // the streaming funnel kernel: same state whether the in-order
     // event sequence arrives whole or split at any point
