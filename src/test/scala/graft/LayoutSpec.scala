@@ -169,6 +169,55 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("dual-bucketed edge mart makes the wedge self-join shuffle-free") {
+    // Iterative graph queries (q87/q112/q156/q172) re-join the edge
+    // list every round; on a cluster the per-round exchange IS the
+    // round cost. The graph-mart answer: persist the oriented edges
+    // TWICE, bucketed by destination and by source — the wedge join
+    // (left.t = right.s) then reads two bucket-aligned scans and
+    // needs no exchange at all, any number of rounds.
+    val dir = Files.createTempDirectory("graft-graph-mart").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),
+        org.apache.spark.sql.functions.col("l_partkey").as("p"))
+    val edges = graft.operators.GraphOps.coOccurrencePairs(li, "o", "p")
+      .withColumnRenamed("u", "s").withColumnRenamed("v", "t")
+
+    Layout.writeBucketed(edges, "e_by_t", "t", 4, s"$dir/e_by_t")
+    Layout.writeBucketed(edges, "e_by_s", "s", 4, s"$dir/e_by_s")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val left = spark.table("e_by_t")
+        .select(org.apache.spark.sql.functions.col("s").as("a"),
+          org.apache.spark.sql.functions.col("t").as("m"))
+      val right = spark.table("e_by_s")
+        .select(org.apache.spark.sql.functions.col("s").as("m"),
+          org.apache.spark.sql.functions.col("t").as("c"))
+      val wedges = left.join(right, "m")
+      val plan = wedges.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"dual-bucketed wedge join must not shuffle:\n$plan")
+
+      // and it enumerates exactly the unbucketed wedge set
+      val want = edges.select(org.apache.spark.sql.functions.col("s").as("a"),
+          org.apache.spark.sql.functions.col("t").as("m"))
+        .join(edges.select(org.apache.spark.sql.functions.col("s").as("m"),
+          org.apache.spark.sql.functions.col("t").as("c")), "m")
+        .count()
+      assert(wedges.count() == want && want > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS e_by_t")
+      spark.sql("DROP TABLE IF EXISTS e_by_s")
+    }
+  }
+
   test("compactionPlan bin-packs a file listing toward the target size") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
