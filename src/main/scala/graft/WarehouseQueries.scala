@@ -638,17 +638,17 @@ object WarehouseQueries {
   // domain is tiny so the expand factor is the attribute count, not the
   // row count). Class count is bounded by the QI domain, not by rows:
   // the audit output stays small at any data size.
-  private val KThreshold = 5
+  private val KThreshold = graft.streaming.KAnonymityStream.KThreshold
   private val q187 = Q(
     (spark, dir) => {
-      Tables.customer(spark, dir)
-        .select(col("c_nationkey").cast("int").as("nationkey"),
-          Exact.quantize(col("c_acctbal")).as("cents"),
-          col("c_mktsegment"))
-        .withColumn("band", expr("(cents + 1000000) div 100000"))
+      // QI prep shared with the continuous monitor
+      // (streaming/KAnonymityStream.customerClasses) — one source of
+      // truth for the band arithmetic on both sides.
+      graft.streaming.KAnonymityStream
+        .customerClasses(Tables.customer(spark, dir))
         .groupBy(col("nationkey"), col("band"))
         .agg(count(lit(1)).as("k_size"),
-          countDistinct(col("c_mktsegment")).as("l_div"))
+          countDistinct(col("segment")).as("l_div"))
         .withColumn("at_risk",
           when(col("k_size") < KThreshold, 1).otherwise(0))
         .orderBy(col("nationkey").asc, col("band").asc)

@@ -24,6 +24,12 @@ class QueriesSmokeSpec extends SparkSpec {
     test(s"$name runs and returns rows at sf0.001") {
       val df = q.fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // suite-wide plan guard: a CartesianProduct is never acceptable —
+      // every deliberate all-pairs shape in this library is a BROADCAST
+      // nested-loop over a provably bounded side (centroids, 1-row
+      // digests), which plans as BroadcastNestedLoopJoin, not this.
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
       // near-dup style queries can legitimately be empty at tiny scale;
       // everything else must produce output
       val emptyOk = Set("q17_near_dup_lsh", "q18_simhash_pairs", "q27_embed_neardup",
