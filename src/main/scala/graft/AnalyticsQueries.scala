@@ -1926,6 +1926,75 @@ object AnalyticsQueries {
       ORDER BY lift_milli DESC, recent_cnt DESC, l_partkey ASC
       LIMIT 20"""))
 
+  // --- q194: order-to-ship SLA latency by priority ------------------------
+  // The fulfillment KPI every operations dashboard leads with: how long
+  // from order to FIRST shipment, by order priority — median and p90
+  // latency plus the share shipped within the 7-day SLA. Latency is an
+  // integer day difference; the quantiles come from the q162/q122
+  // bounded-domain discipline (a per-priority latency HISTOGRAM and a
+  // cumulative scan — never a corpus-sized percentile window), and the
+  // SLA share is an exact per-mille integer division.
+  //
+  // Scale shape: one orderkey-keyed aggregate (min shipdate per order,
+  // map-side combinable) joined to orders co-keyed on the same key,
+  // then a (priority, latency-day) histogram — bounded by the latency
+  // domain, not the order count — carries the cumulative windows.
+  private val SlaDays = 7
+  private val q194 = Q(
+    (spark, dir) => {
+      val firstShip = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate").cast("date")).as("first_ship"))
+      val lat = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast("date").as("od"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("priority"),
+          datediff(col("first_ship"), col("od")).cast("long").as("lat"))
+      val h = lat.groupBy(col("priority"), col("lat"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("priority")).orderBy(col("lat").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("priority"))))
+        .withColumn("n_sla", sum(when(col("lat") <= SlaDays, col("c"))
+          .otherwise(0L)).over(Window.partitionBy(col("priority"))))
+        .groupBy(col("priority"), col("n"), col("n_sla"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lat")))
+            .as("p50_days"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lat")))
+            .as("p90_days"))
+        .select(col("priority"), col("n").as("n_orders"),
+          col("p50_days"), col("p90_days"),
+          expr("(1000 * n_sla) div n").as("within_sla_permille"))
+        .orderBy(col("priority").asc)
+    },
+    Some(s"""
+      WITH fs AS (SELECT l_orderkey,
+                         min(CAST(l_shipdate AS DATE)) AS first_ship
+                  FROM lineitem GROUP BY 1),
+      lat AS (SELECT o_orderpriority AS priority,
+                     CAST(first_ship - CAST(o_orderdate AS DATE) AS BIGINT)
+                       AS lat
+              FROM orders JOIN fs ON o_orderkey = l_orderkey),
+      h AS (SELECT priority, lat, CAST(count(*) AS BIGINT) AS c
+            FROM lat GROUP BY 1, 2),
+      cum AS (SELECT *,
+                CAST(sum(c) OVER (PARTITION BY priority ORDER BY lat ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN lat <= $SlaDays THEN c ELSE 0 END)
+                     OVER (PARTITION BY priority) AS BIGINT) AS n_sla
+              FROM h)
+      SELECT priority, n AS n_orders,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN lat END) AS p50_days,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat END) AS p90_days,
+             (1000 * n_sla) // n AS within_sla_permille
+      FROM cum
+      GROUP BY priority, n, n_sla
+      ORDER BY priority ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -1957,5 +2026,6 @@ object AnalyticsQueries {
     "q182_churn_features" -> q182,
     "q184_cohort_ltv" -> q184,
     "q185_erasure_impact" -> q185,
-    "q188_trending_items" -> q188)
+    "q188_trending_items" -> q188,
+    "q194_ship_sla" -> q194)
 }

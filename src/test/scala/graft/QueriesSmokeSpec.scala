@@ -471,6 +471,20 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q194 SLA: quantiles ordered, per-mille bounded, every order shipped") {
+    val rows = Queries.queries("q194_ship_sla")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    // every order with at least one lineitem reports exactly one latency
+    val want = Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count()
+    assert(total == want)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+      val pm = r.getAs[Long]("within_sla_permille")
+      assert(pm >= 0 && pm <= 1000)
+    }
+  }
+
   test("q193 NB confusion matrix partitions the corpus over real labels") {
     val rows = Queries.queries("q193_nb_langid")(spark, sfDir).collect()
     val langs = Tables.documents(spark, sfDir).select("lang").distinct()
