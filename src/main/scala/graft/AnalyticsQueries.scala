@@ -1995,6 +1995,95 @@ object AnalyticsQueries {
       GROUP BY priority, n, n_sla
       ORDER BY priority ASC"""))
 
+  // --- q195: declarative data-quality expectation suite -------------------
+  // The Deequ-shaped contract check a lakehouse runs before promoting a
+  // table: a named list of expectations over lineitem — completeness,
+  // value ranges, a categorical domain, key uniqueness, and referential
+  // integrity — each reporting its violation count and a pass flag.
+  // This is the ORACLE-CHECKED sibling of pipeline/Quality's gate (which
+  // guards the ETL run itself): same single-pass philosophy, but as a
+  // queryable report.
+  //
+  // Scale shape: the five row-local checks fold into ONE aggregate scan
+  // (sums of CASEs, map-side combinable); uniqueness adds one key-grain
+  // aggregate (count > 1 groups summed); referential integrity is a
+  // key-distinct LEFT ANTI join against orders — the q128 shape, key
+  // domain not row domain. Output is one row per check, constant size.
+  private val q195 = Q(
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val rowChecks = li.agg(
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("c1_shipdate_complete"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("c2_quantity_range"),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L))
+          .as("c3_price_positive"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("c4_returnflag_domain"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("c5_discount_range"))
+      val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1L, col("c") - 1L).otherwise(0L))
+          .as("c6_key_unique"))
+      val refi = li.select(col("l_orderkey")).distinct()
+        .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("c7_orderkey_fk"))
+      rowChecks.crossJoin(uniq).crossJoin(refi)
+        .select(expr(
+          """stack(7,
+             'c1_shipdate_complete',  c1_shipdate_complete,
+             'c2_quantity_range',     c2_quantity_range,
+             'c3_price_positive',     c3_price_positive,
+             'c4_returnflag_domain',  c4_returnflag_domain,
+             'c5_discount_range',     c5_discount_range,
+             'c6_key_unique',         c6_key_unique,
+             'c7_orderkey_fk',        c7_orderkey_fk)
+             AS (check_name, violations)"""))
+        .select(col("check_name"),
+          coalesce(col("violations"), lit(0L)).as("violations"))
+        .withColumn("pass", when(col("violations") === 0L, 1).otherwise(0))
+        .orderBy(col("check_name").asc)
+    },
+    Some("""
+      WITH rowchecks AS (
+        SELECT
+          CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS c1_shipdate_complete,
+          CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c2_quantity_range,
+          CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c3_price_positive,
+          CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c4_returnflag_domain,
+          CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c5_discount_range
+        FROM lineitem),
+      uniq AS (
+        SELECT CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                 AS c6_key_unique
+        FROM (SELECT count(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)),
+      refi AS (
+        SELECT CAST(count(*) AS BIGINT) AS c7_orderkey_fk
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      checks AS (
+        SELECT 'c1_shipdate_complete' AS check_name,
+               c1_shipdate_complete AS violations FROM rowchecks
+        UNION ALL SELECT 'c2_quantity_range', c2_quantity_range FROM rowchecks
+        UNION ALL SELECT 'c3_price_positive', c3_price_positive FROM rowchecks
+        UNION ALL SELECT 'c4_returnflag_domain', c4_returnflag_domain FROM rowchecks
+        UNION ALL SELECT 'c5_discount_range', c5_discount_range FROM rowchecks
+        UNION ALL SELECT 'c6_key_unique', c6_key_unique FROM uniq
+        UNION ALL SELECT 'c7_orderkey_fk', c7_orderkey_fk FROM refi)
+      SELECT check_name, coalesce(violations, 0) AS violations,
+             CASE WHEN coalesce(violations, 0) = 0 THEN 1 ELSE 0 END AS pass
+      FROM checks
+      ORDER BY check_name ASC"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q116_sssp" -> q116,
     "q117_exact_select" -> q117,
@@ -2027,5 +2116,6 @@ object AnalyticsQueries {
     "q184_cohort_ltv" -> q184,
     "q185_erasure_impact" -> q185,
     "q188_trending_items" -> q188,
-    "q194_ship_sla" -> q194)
+    "q194_ship_sla" -> q194,
+    "q195_dq_expectations" -> q195)
 }

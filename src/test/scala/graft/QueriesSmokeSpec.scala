@@ -485,6 +485,21 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q195 DQ suite: one row per check, pass flag consistent") {
+    val rows = Queries.queries("q195_dq_expectations")(spark, sfDir).collect()
+    assert(rows.length == 7, "all seven expectations must report")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("violations")
+      assert(v >= 0)
+      assert(r.getAs[Int]("pass") == (if (v == 0) 1 else 0))
+    }
+    // the suite catches the REAL duplicate-key defect in the synthetic
+    // lineitem: (l_orderkey, l_linenumber) is not unique
+    val uniq = rows.find(_.getAs[String]("check_name") == "c6_key_unique").get
+    assert(uniq.getAs[Int]("pass") == 0 && uniq.getAs[Long]("violations") > 0,
+      "the generated lineitem carries duplicate line keys; the check must see them")
+  }
+
   test("q193 NB confusion matrix partitions the corpus over real labels") {
     val rows = Queries.queries("q193_nb_langid")(spark, sfDir).collect()
     val langs = Tables.documents(spark, sfDir).select("lang").distinct()
