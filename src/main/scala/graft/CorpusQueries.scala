@@ -1419,6 +1419,7 @@ object CorpusQueries {
   // one broadcast join of quotas plus one row_number per stratum
   // partition. The per-stratum sort is the price of exact quotas — the
   // rate-only contract stays on q135's sort-free threshold path.
+  private val StratDenominator = 10 // sample 1/10 of the corpus exactly
   private val q189 = Q(
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1427,7 +1428,7 @@ object CorpusQueries {
       val quotas = d.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_s"))
         .withColumn("n_total", sum(col("n_s")).over(wAll))
-        .withColumn("target", expr("n_total div 10"))
+        .withColumn("target", expr(s"n_total div $StratDenominator"))
         .withColumn("base", expr("(n_s * target) div n_total"))
         .withColumn("rem", expr("n_s * target - base * n_total"))
         .withColumn("xr", row_number().over(
@@ -1446,14 +1447,15 @@ object CorpusQueries {
         .select(col("lang"), col("source"), col("doc_id"))
         .orderBy(col("lang").asc, col("source").asc, col("doc_id").asc)
     },
-    Some("""
+    Some(s"""
       WITH s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_s
                  FROM documents GROUP BY 1, 2),
       t AS (SELECT *, CAST(sum(n_s) OVER () AS BIGINT) AS n_total FROM s),
-      b AS (SELECT *, n_total // 10 AS target,
-                   (n_s * (n_total // 10)) // n_total AS base,
-                   n_s * (n_total // 10)
-                     - ((n_s * (n_total // 10)) // n_total) * n_total AS rem
+      b AS (SELECT *, n_total // $StratDenominator AS target,
+                   (n_s * (n_total // $StratDenominator)) // n_total AS base,
+                   n_s * (n_total // $StratDenominator)
+                     - ((n_s * (n_total // $StratDenominator)) // n_total)
+                       * n_total AS rem
             FROM t),
       r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang ASC,
                              source ASC) AS BIGINT) AS xr,
