@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Benchmark main. Executes every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
@@ -17,6 +18,28 @@ import org.apache.spark.sql.SparkSession
   *    seconds thereafter — the steady state is the honest throughput
   *    number (same discipline as JMH).
   */
+  /** Per-query memory observability (VERDICT r7 #6): max task
+    * peakExecutionMemory and total spill bytes, accumulated from
+    * SparkListenerTaskEnd between resets. Makes a pressure blowup
+    * (round-7's 15x q90 under a contended block manager) attributable
+    * from the BENCHOUT artifact alone. Listener-bus delivery is async,
+    * so a task straggling past the reset can attribute to the next
+    * query — advisory precision, fine for triage. */
+  private final class PeakMemListener extends SparkListener {
+    @volatile private var peak = 0L
+    @volatile private var spill = 0L
+    def reset(): Unit = synchronized { peak = 0L; spill = 0L }
+    def peakExecutionMemory: Long = peak
+    def spillBytes: Long = spill
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      val m = te.taskMetrics
+      if (m != null) {
+        peak = math.max(peak, m.peakExecutionMemory)
+        spill += m.memoryBytesSpilled + m.diskBytesSpilled
+      }
+    }
+  }
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +54,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mem = new PeakMemListener
+    spark.sparkContext.addSparkListener(mem)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -64,6 +89,7 @@ object Bench {
       // sat inside the iteration loop).
       System.gc()
       run(q.fn) // untimed warm-up: codegen/JIT compile
+      mem.reset() // measure timed runs only, not warm-up JIT churn
       val times = (1 to iters).map { _ =>
         // Queries may persist() diamond subtrees; without this the timed
         // runs would read the warm-up's InMemoryRelation and skip the
@@ -81,18 +107,29 @@ object Bench {
         Seq(run(q.fn))
       } else Seq.empty
       val all = times ++ extra
-      name -> (if (all.contains(-1.0)) -1.0 else all.min)
+      val t = if (all.contains(-1.0)) -1.0 else all.min
+      // samples recorded per query (ADVICE r7: the extra-sample rule
+      // changes min-statistics — cross-run comparisons need to see it);
+      // peak/spill from the listener attribute pressure blowups.
+      (name, t, all.size, mem.peakExecutionMemory, mem.spillBytes)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val samplesJson = results.map { case (k, _, n, _, _) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val peakJson = results.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val spillJson = results.map { case (k, _, _, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     // A broken query must not silently vanish from the bench: failed
     // names are reported explicitly (their per-query value is -1), so a
     // smaller total can never masquerade as a speedup.
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"samples":$samplesJson,"peak_mem":$peakJson,""" +
+      s""""spill_bytes":$spillJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout's tail, which has truncated twice
     // (BENCH_r04/r05 arrived with `parsed: null` and the leading

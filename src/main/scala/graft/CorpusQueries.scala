@@ -674,6 +674,20 @@ object CorpusQueries {
   // Deterministic, data-derived, and — unlike greedy LPT bin packing —
   // expressible as pure rank arithmetic, so it distributes.
   //
+  // WHY NOT the q143 consistent-hash ring (VERDICT r7 #7, adjudicated
+  // as a design note): the two assignment kernels serve different
+  // masters and are NOT interchangeable. This one optimizes per-shard
+  // token BALANCE for a one-shot training-data write — it must see
+  // every document's size (the global rank) and re-deals all keys on
+  // any change, which is fine because the output is immutable once
+  // written. The ring optimizes key STABILITY under topology change
+  // for a long-lived mutable store — it is size-oblivious (vnode
+  // hashing balances only in expectation, ±O(1/sqrt(V)) skew) and
+  // would surrender exactly the token balance this operator exists to
+  // provide. A pipeline uses both, at different stages: serpentine at
+  // corpus-write time, the ring for serving-tier placement. Sharing
+  // one kernel would pessimize each for the other's objective.
+  //
   // Scale shape: the global rank comes from operators/Ranking
   // (range-exchange + broadcast offsets — the q63 discipline), NOT a
   // single-partition window; everything after the rank is map-side
@@ -1007,8 +1021,8 @@ object CorpusQueries {
                CAST(sum(nc) AS BIGINT) AS n_chars
         FROM d GROUP BY 1, 2)
       SELECT source, split, n_docs, n_chars,
-             (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
-               AS frac_ppm
+             CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+               AS BIGINT) AS frac_ppm
       FROM agg
       ORDER BY source ASC NULLS FIRST, split ASC NULLS FIRST"""))
 
@@ -1270,8 +1284,11 @@ object CorpusQueries {
       ORDER BY per.decile ASC NULLS FIRST"""))
 
   // --- q143: consistent-hash resharding audit ---------------------------
-  // q92 assigns shards by plain hash-mod — rebalancing under mod moves
-  // ~(S-1)/S of ALL keys when S changes. The production fix is a
+  // The OTHER sharding master (see q92's design note): q92 balances
+  // token totals for an immutable one-shot write and re-deals every
+  // key on any change; a mutable serving tier instead needs key
+  // STABILITY — naive hash-mod moves ~(S-1)/S of ALL keys when S
+  // changes. The production fix is a
   // consistent-hash ring (Karger et al. 1997) with virtual nodes: only
   // keys whose ring successor lands on the NEW shard's vnodes move.
   // This query materializes the before/after assignment for growing

@@ -1285,45 +1285,60 @@ object TextQueries {
       val gramsArr = array_distinct(
         TextOps.gramHashes(TextOps.tokens(col("text")), DupCovN))
       // the gram stream is a DIAMOND (totals, dup-counts, probe all
-      // consume it): persist so the tokenize+md5 scan runs once (the
-      // q45/q47 discipline — without it each Bloom broadcast re-ran
-      // the full scan and the rewrite timed 17 s instead of ~2 s)
-      val g = d.select(col("doc_id"), col("source"), explode(gramsArr).as("g"))
-        .persist()
-      // per-doc totals: map-side combine collapses grams to one row
-      // per doc before the exchange; docs with 0 grams never appear
-      // (the `per` semantics)
-      val totals = g.groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_grams"))
-      val dup = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-        .select(col("g").cast("string").as("k"))
-      // eager localCheckpoint: the K broadcast probes each re-plan the
-      // build subtree — cutting lineage at the words-sized sketch makes
-      // them reuse one tiny materialization instead
-      val bloom = Bloom.build(dup, "k", DupCovBloomWords).localCheckpoint(true)
-      val cand = Bloom.probe(g.withColumn("k", col("g").cast("string")),
-          bloom, "k", DupCovBloomWords, "maybe")
-        .filter(col("maybe"))
-      val dupPer = cand
-        .withColumn("n_docs_g",
-          count(lit(1)).over(Window.partitionBy(col("g"))))
-        .filter(col("n_docs_g") > 1)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup"))
-      totals.join(dupPer, Seq("doc_id"), "left")
-        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_grams")).as("total_grams"),
-          sum(col("n_dup")).as("dup_grams"),
-          sum(when(col("n_dup") * 2 > col("n_grams"), 1L).otherwise(0L))
-            .as("n_docs_mostly_dup"))
-        .select(col("source"), col("n_docs"), col("total_grams"), col("dup_grams"),
-          (col("dup_grams").cast("double") / col("total_grams").cast("double"))
-            .as("dup_coverage"),
-          col("n_docs_mostly_dup"))
-        .orderBy(col("source").asc_nulls_first)
+      // consume it): the tokenize+md5 scan must run once. Round-7's
+      // driver bench showed the exploded (doc_id, source, g) cache
+      // degrading 15x under block-manager pressure, so the persisted
+      // footprint is now the PER-DOC GRAM ARRAYS — one row per doc,
+      // doc_id long + array<long>, no source strings, no per-gram row
+      // overhead (~10x smaller cached). Eager count() materializes it
+      // deterministically; the finally frees it before the query
+      // returns (the 5-row result is checkpointed first), so no gram
+      // blocks outlive the build.
+      val ga = d.select(col("doc_id"), gramsArr.as("gs")).persist()
+      ga.count()
+      try {
+        val g = ga.select(col("doc_id"), explode(col("gs")).as("g"))
+        // per-doc totals come straight off the cached arrays — size(),
+        // no explode, no exchange; docs with 0 grams are dropped
+        // (the `per` semantics)
+        val totals = ga.select(col("doc_id"), size(col("gs")).as("n_grams"))
+          .filter(col("n_grams") > 0)
+        val dup = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .select(col("g").cast("string").as("k"))
+        // eager localCheckpoint: the K broadcast probes each re-plan the
+        // build subtree — cutting lineage at the words-sized sketch makes
+        // them reuse one tiny materialization instead
+        val bloom = Bloom.build(dup, "k", DupCovBloomWords).localCheckpoint(true)
+        val cand = Bloom.probe(g.withColumn("k", col("g").cast("string")),
+            bloom, "k", DupCovBloomWords, "maybe")
+          .filter(col("maybe"))
+        val dupPer = cand
+          .withColumn("n_docs_g",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("n_docs_g") > 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup"))
+        // source rejoins at doc grain from a pruned 2-column parquet
+        // scan (no text read, no tokenize) — dropping it through the
+        // heavy gram exchange is what shrinks the cache
+        val src = d.select(col("doc_id"), col("source"))
+        totals.join(dupPer, Seq("doc_id"), "left")
+          .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+          .join(src, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("total_grams"),
+            sum(col("n_dup")).as("dup_grams"),
+            sum(when(col("n_dup") * 2 > col("n_grams"), 1L).otherwise(0L))
+              .as("n_docs_mostly_dup"))
+          .select(col("source"), col("n_docs"), col("total_grams"), col("dup_grams"),
+            (col("dup_grams").cast("double") / col("total_grams").cast("double"))
+              .as("dup_coverage"),
+            col("n_docs_mostly_dup"))
+          .orderBy(col("source").asc_nulls_first)
+          .localCheckpoint(true)
+      } finally ga.unpersist()
     },
     Some("""
       WITH g AS (
@@ -1381,54 +1396,68 @@ object TextQueries {
       val d = docs(spark, dir)
       val T = TextOps.tokens(col("text"))
       val G = TextOps.gramHashes(T, SubstrK)
-      // zip_with pads the shorter gram array with nulls: one row per
-      // token position, gram hash attached at gram-start positions
-      val toks = d.select(col("source"), col("doc_id"),
-          posexplode(zip_with(T, G,
-            (t, g) => struct(t.as("tok"), g.as("g")))))
-        .select(col("source"), col("doc_id"), col("pos"),
-          col("col.tok").as("tok"), col("col.g").as("g"))
+      // The exploded token stream is a diamond (base positions, dup
+      // counts, probe), but persisting it exploded WITH token + source
+      // strings is what blew up 5x under the driver's round-7 memory
+      // pressure. The persisted footprint is now one row per doc:
+      // zip_with pads the gram array with nulls to token length, and
+      // only (toklen:int, g:long) survive — token text never enters
+      // the cache, source rejoins at doc grain at the end. Eager
+      // count() + finally-unpersist bound the cache to the build.
+      val za = d.select(col("doc_id"),
+          zip_with(transform(T, t => length(t)), G,
+            (l, g) => struct(l.as("toklen"), g.as("g"))).as("z"))
         .persist()
-      val grams = toks.filter(col("g").isNotNull)
-      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("g").cast("string").as("k"))
-      val bloom = Bloom.build(dup, "k", SubstrBloomWords).localCheckpoint(true)
-      val cand = Bloom.probe(grams.withColumn("k", col("g").cast("string")),
-          bloom, "k", SubstrBloomWords, "maybe")
-        .filter(col("maybe"))
-      val wg = Window.partitionBy(col("g"))
-        .orderBy(col("doc_id"), col("pos"))
-      // all-but-first occurrences of duplicated grams = removal starts
-      val starts = cand.withColumn("rn", row_number().over(wg))
-        .filter(col("rn") > 1)
-        .select(col("doc_id"), col("pos"), lit(1).as("removable"))
-      val wc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(-(SubstrK - 1), 0)
-      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val cov = toks.select(col("source"), col("doc_id"), col("pos"),
-          length(col("tok")).as("toklen"))
-        .join(starts, Seq("doc_id", "pos"), "left")
-        .withColumn("removable", coalesce(col("removable"), lit(0)))
-        .withColumn("covered",
-          when(max(col("removable")).over(wc) >= 1, 1).otherwise(0))
-        .withColumn("new_run",
-          when(col("covered") === 1 &&
-            coalesce(lag(col("covered"), 1).over(wl), lit(0)) === 0, 1)
-            .otherwise(0))
-      val perDoc = cov.groupBy(col("source"), col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"),
-          sum(col("covered")).as("cc"),
-          sum(col("new_run")).as("runs"),
-          sum(when(col("covered") === 1, col("toklen")).otherwise(0))
-            .as("chars"))
-      perDoc.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("cc") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
-          sum(col("n_toks")).as("total_tokens"),
-          sum(col("cc")).as("removed_tokens"),
-          (sum(col("chars")) + sum(col("cc")) - sum(col("runs")))
-            .as("removed_chars"))
-        .orderBy(col("source"))
+      za.count()
+      try {
+        val toks = za.select(col("doc_id"), posexplode(col("z")))
+          .select(col("doc_id"), col("pos"),
+            col("col.toklen").as("toklen"), col("col.g").as("g"))
+        val grams = toks.filter(col("g").isNotNull)
+          .select(col("doc_id"), col("pos"), col("g"))
+        val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("g").cast("string").as("k"))
+        val bloom = Bloom.build(dup, "k", SubstrBloomWords).localCheckpoint(true)
+        val cand = Bloom.probe(grams.withColumn("k", col("g").cast("string")),
+            bloom, "k", SubstrBloomWords, "maybe")
+          .filter(col("maybe"))
+        val wg = Window.partitionBy(col("g"))
+          .orderBy(col("doc_id"), col("pos"))
+        // all-but-first occurrences of duplicated grams = removal starts
+        val starts = cand.withColumn("rn", row_number().over(wg))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), col("pos"), lit(1).as("removable"))
+        val wc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-(SubstrK - 1), 0)
+        val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val cov = toks.select(col("doc_id"), col("pos"), col("toklen"))
+          .join(starts, Seq("doc_id", "pos"), "left")
+          .withColumn("removable", coalesce(col("removable"), lit(0)))
+          .withColumn("covered",
+            when(max(col("removable")).over(wc) >= 1, 1).otherwise(0))
+          .withColumn("new_run",
+            when(col("covered") === 1 &&
+              coalesce(lag(col("covered"), 1).over(wl), lit(0)) === 0, 1)
+              .otherwise(0))
+        val perDoc = cov.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("covered")).as("cc"),
+            sum(col("new_run")).as("runs"),
+            sum(when(col("covered") === 1, col("toklen")).otherwise(0))
+              .as("chars"))
+        // pruned 2-column scan — no text read, no tokenize
+        val src = d.select(col("doc_id"), col("source"))
+        perDoc.join(src, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cc") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+            sum(col("n_toks")).as("total_tokens"),
+            sum(col("cc")).as("removed_tokens"),
+            (sum(col("chars")) + sum(col("cc")) - sum(col("runs")))
+              .as("removed_chars"))
+          .orderBy(col("source"))
+          .localCheckpoint(true)
+      } finally za.unpersist()
     },
     Some {
       val k = SubstrK

@@ -521,8 +521,8 @@ object WarehouseQueries {
              CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_violating,
              CAST(max(d) AS BIGINT) AS max_rhs_distinct,
-             (1000 * sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)) // count(*)
-               AS violation_permille
+             CAST((1000 * sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)) // count(*)
+               AS BIGINT) AS violation_permille
       FROM g GROUP BY 1
       ORDER BY fd ASC NULLS FIRST"""))
 

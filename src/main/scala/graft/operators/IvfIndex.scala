@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index layout (VERDICT r7 #4, wishlist #1): train ONCE,
+  * write the index, probe by READING it — the q40/q54/q57/q115 queries
+  * train k-means inside every query plan, which is the evaluation
+  * harness's honesty (the oracle replays training), but at 10^10
+  * vectors a serving system trains offline and every probe is an
+  * index read. This is the graph-mart discipline (Layout.writeBucketed,
+  * commit 0bad2ee) applied to ANN:
+  *
+  *  - `<name>_centroids` — k rows (cell, cq, cn2), plain parquet: the
+  *    routing table, broadcast-sized by construction (k = ⌈√n⌉).
+  *  - `<name>_cells` — (cell, vid, q, n2) BUCKETED by cell: a probe
+  *    filters `cell IN (<probe list>)`, which Spark turns into static
+  *    bucket pruning (SelectedBucketsCount m/buckets in the scan) —
+  *    the 100 TB read cost is (probed cells / k) of the corpus, with
+  *    no shuffle and no training subtree anywhere in the probe plan
+  *    (IvfIndexSpec asserts both).
+  *
+  * Training math is identical to the in-plan-trained twin (q40):
+  * [[KMeans.fit]] k=⌈√n⌉ / 2 Lloyd iterations, map-only codegen'd
+  * cell assignment, integer-exact throughout — so a probe of the
+  * persisted index returns BIT-IDENTICAL results to q40's in-plan
+  * index, which is what lets q196 reuse q40's DuckDB oracle verbatim.
+  *
+  * Reference capability analog: serving queries are index READS, not
+  * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
+  */
+object IvfIndex {
+
+  /** Index geometry, fixed at build time and needed again at probe time.
+    * (A real deployment would persist this next to the index; here the
+    * builder returns it and the probe takes it as arguments.) */
+  final case class Meta(k: Int, nprobe: Int, buckets: Int)
+
+  /** Train on `vectors` = (vec_id, q ARRAY<BIGINT>, n2) and persist the
+    * index under `dir` as catalog tables `<name>_centroids` /
+    * `<name>_cells`. Returns the geometry. */
+  def build(spark: SparkSession, vectors: DataFrame, name: String,
+            dir: String, buckets: Int = 8): Meta = {
+    val n = vectors.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val cents = KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
+      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+    // map-only codegen'd assignment (the ivfTrained shape): no corpus
+    // shuffle on the write path beyond the bucketed write's own exchange
+    val assigned = vectors.crossJoin(broadcast(ca))
+      .select(col("vec_id").as("vid"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"),
+        col("q"), col("n2"))
+    cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
+    Layout.writeBucketed(assigned, s"${name}_cells", "cell", buckets,
+      s"$dir/${name}_cells")
+    Meta(k, nprobe, buckets)
+  }
+
+  /** Probe the persisted index: for each query vector (qid, qq, qn2),
+    * rank cells against the broadcast centroid table, then read ONLY
+    * the probed cells from the bucketed postings table and return the
+    * exact-rescored top-`topk` (qid, cid, cos_sim).
+    *
+    * The probe-cell list is COLLECTED (queries × nprobe ints — the
+    * serving-side routing decision a real ANN frontend computes per
+    * request) so the cells filter is a literal IN list: that is what
+    * makes the scan statically bucket-pruned instead of a join. */
+  def probe(spark: SparkSession, name: String, dir: String,
+            queryVecs: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$dir/${name}_centroids")
+    val sim = queryVecs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("cell").asc_nulls_first)
+    val probeRows = sim.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cell"))
+      .collect() // bounded: queries × nprobe
+    val cellIds = probeRows.map(_.getInt(1)).distinct.toSeq
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          probeRows.headOption.map(_.schema("qid").dataType)
+            .getOrElse(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType))))
+    val cand = spark.table(s"${name}_cells")
+      .filter(col("cell").isin(cellIds: _*)) // static bucket pruning
+      .join(broadcast(pairs), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+    cand
+      .join(broadcast(queryVecs), Seq("qid"))
+      .select(col("qid"), col("vid").as("cid"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("q")),
+          col("qn2"), col("n2")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= topk)
+      .select(col("qid"), col("cid"), col("cos_sim"))
+  }
+}

@@ -32,8 +32,15 @@ object Postings {
   /** Postings per re-anchor block (Lucene uses 128 as well). */
   val Block = 128
 
-  /** LEB128 byte-count thresholds: a gap below 128^k fits in k bytes. */
-  val LebThresholds: Seq[Long] = Seq(128L, 16384L, 2097152L, 268435456L)
+  /** LEB128 byte-count thresholds: a gap below 128^k fits in k bytes.
+    * The FULL 8-entry table (128^1 .. 128^8 = 2^56) so 63-bit values
+    * cost their true 5-9 bytes — the 4-entry table this replaced
+    * silently understated the audit once doc ids passed ~2^28
+    * (ADVICE r7). The fold's else-branch (size+1 = 9 bytes) is the
+    * exact cost of any value in [2^56, 2^63). All three forms (Column,
+    * scalar, q190's generated oracle SQL) derive from this one Seq. */
+  val LebThresholds: Seq[Long] =
+    Seq.iterate(128L, 8)(_ * 128L) // 128^1 .. 128^8
 
   /** Column form: varint byte count of one non-negative gap value. */
   def lebBytes(gap: Column): Column =

@@ -77,6 +77,130 @@ object IncrementalState {
   }
 }
 
+/** Atomic multi-table tier commit (VERDICT r7 #5): the gold marts, the
+  * warehouse tables, and summary.md previously committed independently,
+  * so a crash between tier writes left the tiers observably inconsistent
+  * (new gold + old warehouse). This is the plain-directory approximation
+  * of a transactional multi-table commit — a write-ahead redo manifest:
+  *
+  *   1. STAGE every output to its `.__swap_tmp` sibling (the slow part;
+  *      a crash here changes nothing observable — targets untouched,
+  *      stale tmps are overwritten by the next run's stages);
+  *   2. write ONE manifest file listing every target, via tmp + atomic
+  *      rename — this rename IS the commit point;
+  *   3. PROMOTE each target (graveyard old → rename tmp in → drop
+  *      graveyard; each step idempotent);
+  *   4. delete the manifest.
+  *
+  * A crash before 2 is all-old; after 2, [[heal]] (run at the start of
+  * every pipeline run, before any tier is read) rolls the remaining
+  * promotions forward — all-new. No intermediate state survives a
+  * restart. Readers outside the pipeline resolve consistency the same
+  * way: call [[heal]] before reading the tiers.
+  *
+  * The reference has no analog (its five DuckDB loads, load.py:18-28 +
+  * main.py:72-76, each replace independently); the capability being
+  * honored is its *idempotent full-replace* posture, strengthened to
+  * crash-atomicity across tables. */
+object TierCommit {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  val ManifestName = "_tier_commit.json"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def swapTmp(t: Path) = new Path(t.getParent, t.getName + ".__swap_tmp")
+  private def swapOld(t: Path) = new Path(t.getParent, t.getName + ".__swap_old")
+
+  /** Stage a DataFrame at `target`'s tmp sibling (not yet visible). */
+  def stageDf(spark: SparkSession, df: DataFrame, target: String,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(swapTmp(new Path(target)).toString)
+  }
+
+  /** Stage raw bytes (summary.md) at `target`'s tmp sibling. */
+  def stageFile(spark: SparkSession, bytes: Array[Byte], target: String): Unit = {
+    val tmp = swapTmp(new Path(target))
+    val out = fsOf(spark, tmp).create(tmp, true) // creates parent dirs
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Idempotent swap-in of a staged target. Re-entrant after a crash at
+    * any point: tmp absent means the swap already happened (only the
+    * graveyard cleanup can remain); target absent with tmp present means
+    * the graveyard rename happened but not the swap-in. */
+  private def promote(spark: SparkSession, targetStr: String): Unit = {
+    val target = new Path(targetStr)
+    val fs = fsOf(spark, target)
+    val (tmp, old) = (swapTmp(target), swapOld(target))
+    if (fs.exists(tmp)) {
+      if (fs.exists(target)) {
+        fs.delete(old, true)
+        if (!fs.rename(target, old))
+          sys.error(s"tier commit: failed to graveyard $target")
+      }
+      if (!fs.rename(tmp, target))
+        sys.error(s"tier commit: failed to promote $tmp to $target")
+    }
+    fs.delete(old, true)
+  }
+
+  private def manifestPath(rootDir: String) = new Path(rootDir, ManifestName)
+
+  /** The commit point alone: publish the manifest via tmp + atomic
+    * rename. Split from [[commit]] so crash-injection tests can stop the
+    * world here and prove [[heal]] completes the promotion. */
+  private[graft] def writeManifest(spark: SparkSession, rootDir: String,
+                                   targets: Seq[String]): Unit = {
+    val mf = manifestPath(rootDir)
+    val fs = fsOf(spark, mf)
+    val mfTmp = new Path(mf.getParent, mf.getName + ".__tmp")
+    val json = targets
+      .map(t => "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{\"targets\": [", ", ", "]}")
+    val out = fs.create(mfTmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(mf, false) // stale manifest was healed before staging began
+    if (!fs.rename(mfTmp, mf))
+      sys.error(s"tier commit: failed to publish manifest $mf")
+  }
+
+  /** Commit all staged targets atomically: manifest rename = commit point. */
+  def commit(spark: SparkSession, rootDir: String, targets: Seq[String]): Unit = {
+    writeManifest(spark, rootDir, targets)
+    targets.foreach(promote(spark, _))
+    fsOf(spark, manifestPath(rootDir)).delete(manifestPath(rootDir), false)
+  }
+
+  /** Roll an interrupted commit forward. Returns true when a manifest was
+    * found (and its promotions completed). Call before reading any tier. */
+  def heal(spark: SparkSession, rootDir: String): Boolean = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val mf = manifestPath(rootDir)
+    val fs = fsOf(spark, mf)
+    if (!fs.exists(mf)) return false
+    val in = fs.open(mf)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val targets = (JsonMethods.parse(json) \ "targets") match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    targets.foreach(promote(spark, _))
+    fs.delete(mf, false)
+    true
+  }
+}
+
 /** The medallion pipeline runner (reference src/main.py:24-86):
   * config → extract (bronze) → silver → gold → load → summary.
   *
@@ -106,6 +230,10 @@ object Pipeline {
           rootDir: String, seriesCsvPath: String,
           statePath: Option[String] = None,
           forceDimRefresh: Boolean = false): Result = {
+
+    // Roll forward any tier commit a previous run crashed inside — no
+    // tier may be read (or re-staged) against a half-promoted layout.
+    TierCommit.heal(spark, rootDir)
 
     val state = statePath.map(IncrementalState.fromFile).getOrElse(IncrementalState.empty)
 
@@ -241,28 +369,33 @@ object Pipeline {
     // ---------- GOLD (main.py:59) ----------
     val gold = Silver.buildGold(bcbSilver, anpSilver)
 
-    // ---------- LOAD (main.py:62-76) ----------
-    // (bcb + anp silver already written by the merge swaps above)
-    ufDim.write.mode("overwrite").parquet(s"$rootDir/silver/dim_uf.parquet")
-
-    gold("bcb_monthly").write.mode("overwrite")
-      .partitionBy("series_id").parquet(s"$rootDir/gold/bcb_monthly")
-    gold("anp_monthly").write.mode("overwrite")
-      .partitionBy("uf_sigla").parquet(s"$rootDir/gold/anp_monthly")
-
+    // ---------- LOAD (main.py:62-76): one atomic tier commit ----------
+    // (bcb + anp silver already written by the merge swaps above; they
+    // are upstream durable state, not part of the serving tier set.)
+    // dim_uf + both gold marts + all five warehouse tables + summary.md
+    // stage invisibly, then commit as ONE manifest-pinned unit: a crash
+    // anywhere leaves either all-old or all-new (TierCommit scaladoc).
     val wh = if (Paths.get(cfg.warehousePath).isAbsolute) cfg.warehousePath
              else s"$rootDir/${cfg.warehousePath}"
+    val summary = Summary.build(bcbSilver, anpSilver)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(df: DataFrame, path: String, parts: Seq[String] = Nil): Unit = {
+      TierCommit.stageDf(spark, df, path, parts); staged += path
+    }
+    stage(ufDim, s"$rootDir/silver/dim_uf.parquet")
+    stage(gold("bcb_monthly"), s"$rootDir/gold/bcb_monthly", Seq("series_id"))
+    stage(gold("anp_monthly"), s"$rootDir/gold/anp_monthly", Seq("uf_sigla"))
     Seq(
       "silver_bcb_sgs" -> bcbSilver, "silver_anp_prices" -> anpSilver,
       "dim_uf" -> ufDim, "gold_bcb_monthly" -> gold("bcb_monthly"),
       "gold_anp_monthly" -> gold("anp_monthly")
-    ).foreach { case (t, df) => df.write.mode("overwrite").parquet(s"$wh/$t") }
+    ).foreach { case (t, df) => stage(df, s"$wh/$t") }
 
-    // ---------- SUMMARY (main.py:79-86) ----------
-    val summary = Summary.build(bcbSilver, anpSilver)
-    Files.createDirectories(Paths.get(s"$rootDir/gold"))
-    Files.write(Paths.get(s"$rootDir/gold/summary.md"),
-      summary.getBytes(StandardCharsets.UTF_8))
+    // ---------- SUMMARY (main.py:79-86): part of the same commit ------
+    TierCommit.stageFile(spark, summary.getBytes(StandardCharsets.UTF_8),
+      s"$rootDir/gold/summary.md")
+    staged += s"$rootDir/gold/summary.md"
+    TierCommit.commit(spark, rootDir, staged.toSeq)
 
     // ---------- STATE ----------
     // High-water marks carry the FULL max timestamp (not a truncated

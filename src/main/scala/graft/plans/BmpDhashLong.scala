@@ -37,7 +37,13 @@ object BmpPixels {
       return -1L
     val height = math.abs(rawHeight)
     if (width < 9 || height < 8 || dataOffset < 54) return -1L
-    val stride = ((width + 3) / 4) * 4
+    // stride in LONG: a crafted header claiming width near 2^31 would
+    // overflow (width+3) in Int to a NEGATIVE stride that passes the
+    // needTo bounds check and then indexes at a negative offset —
+    // an exception where the contract says "return -1 for anything
+    // unparseable" (ADVICE r7). The Long math keeps the bounds check
+    // honest for the whole Int width domain.
+    val stride = ((width.toLong + 3L) / 4L) * 4L
     // top-left 9x8 window; bottom-up files store image row y at file
     // row (height-1-y)
     val needTo = if (rawHeight > 0) dataOffset.toLong + height.toLong * stride
@@ -47,7 +53,9 @@ object BmpPixels {
     var y = 0
     while (y < 8) {
       val fileRow = if (rawHeight > 0) height - 1 - y else y
-      val base = dataOffset + fileRow * stride
+      // needTo <= b.length <= Int.MaxValue bounds every product below,
+      // so the toInt cannot truncate
+      val base = (dataOffset.toLong + fileRow.toLong * stride).toInt
       var x = 0
       while (x < 8) {
         val p0 = b(base + x) & 0xff

@@ -72,10 +72,15 @@ object BootstrapStream {
     val ranked = reps.withColumn("rn", row_number().over(w))
     def at(rn: Int, name: String) =
       ranked.filter(col("rn") === rn).select(col("total").as(name))
+    // ranks via the suite's exact integer convention (ADVICE r7: float
+    // math.ceil(p*r) can disagree with ceil(p*n) at replicate counts
+    // where p*r is an exact integer misrepresented in binary)
+    def rank(pNum: Long, pDen: Long) =
+      graft.operators.Selection.discreteRank(r.toLong, pNum, pDen).toInt
     meta.withColumn("r", lit(r.toLong))
-      .crossJoin(at(math.ceil(0.05 * r).toInt, "boot_p05_cents"))
-      .crossJoin(at(math.ceil(0.50 * r).toInt, "boot_p50_cents"))
-      .crossJoin(at(math.ceil(0.95 * r).toInt, "boot_p95_cents"))
+      .crossJoin(at(rank(1, 20), "boot_p05_cents"))
+      .crossJoin(at(rank(1, 2), "boot_p50_cents"))
+      .crossJoin(at(rank(19, 20), "boot_p95_cents"))
   }
 
   /** Wire a (key, cents) stream into the state via foreachBatch. */

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, VectorOps}
+
+/** Plan + parity proof for the persisted IVF index (VERDICT r7 #4):
+  * the probe must READ the index — no k-means subtree, statically
+  * bucket-pruned cell scan — and return exactly what the in-plan-
+  * trained pipeline (q40's shape) returns.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+    .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  test("probe plan reads the index: bucket-pruned scan, no training subtree") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val meta = IvfIndex.build(spark, vectors, "ivf_spec", idxDir)
+    try {
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val probe = IvfIndex.probe(spark, "ivf_spec", idxDir, queries,
+        meta.nprobe, topk = 3)
+      val plan = probe.queryExecution.executedPlan.toString
+
+      // 1. the cell scan is statically bucket-pruned: fewer buckets
+      //    selected than written (nprobe cells << k cells at this sf)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"cell scan not bucket-pruned:\n$plan")
+      val (got, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(total == meta.buckets && got <= total,
+        s"bucket pruning shape off: $got/$total")
+
+      // 2. no training subtree: the assignment/training expression
+      //    (cell_argmax_cosine) and the k-means update aggregates must
+      //    not appear anywhere in the probe plan
+      assert(!plan.toLowerCase.contains("argmax"),
+        s"probe plan contains the training-side argmax:\n$plan")
+      assert(!plan.contains("posexplode"),
+        s"probe plan contains the k-means update explode:\n$plan")
+
+      // 3. and the probe answers are the in-plan-trained pipeline's
+      //    answers, bit for bit (same math as q40: rank cells, read
+      //    probed cells, exact rescore, top-3)
+      import org.apache.spark.sql.expressions.Window
+      val cents = spark.read.parquet(s"$idxDir/ivf_spec_centroids")
+      val sim = queries.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cell"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cell").asc_nulls_first)
+      val probes = sim.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= meta.nprobe).select(col("qid"), col("cell"))
+      val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+      val cells = vectors.crossJoin(broadcast(ca))
+        .select(col("vec_id").as("vid"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"),
+          col("q"), col("n2"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+      val want = probes.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("vid").as("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("q")),
+            col("qn2"), col("n2")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cid"))
+        .collect().toSeq
+      val got2 = probe.orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got2 == want && want.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_cells")
+  }
+
+  test("build is deterministic: two builds serve identical probe answers") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val m1 = IvfIndex.build(spark, vectors, "ivf_det1", d1)
+    val m2 = IvfIndex.build(spark, vectors, "ivf_det2", d2)
+    try {
+      assert(m1 == m2)
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val a = IvfIndex.probe(spark, "ivf_det1", d1, queries, m1.nprobe, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      val b = IvfIndex.probe(spark, "ivf_det2", d2, queries, m2.nprobe, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_det1_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_det2_cells")
+    }
+  }
+}

@@ -101,7 +101,9 @@ def load(path: str) -> dict:
         # an empty dict must never silently pass the gate (format drift,
         # a typo'd SPARK_GRAFT_BENCH_ONLY, or a driver parse gone wrong)
         raise SystemExit(f"{path}: no per-query timings found — refusing to gate")
-    return dict(queries)  # keep failed (-1) entries: they gate below
+    # keep failed (-1) entries: they gate below. peak_mem/spill_bytes
+    # (present from round 8 on) ride along for regression attribution.
+    return dict(queries), doc.get("peak_mem") or {}, doc.get("spill_bytes") or {}
 
 
 def main() -> int:
@@ -112,7 +114,7 @@ def main() -> int:
     ap.add_argument("--floor", type=float, default=0.75)
     args = ap.parse_args()
 
-    prev, new = load(args.prev), load(args.new)
+    (prev, _, _), (new, new_peak, new_spill) = load(args.prev), load(args.new)
     # a query that FAILS in the new run (-1) is the worst regression of
     # all — it must gate, not vanish; a query failed in BOTH runs is
     # reported but not double-counted as new breakage
@@ -139,7 +141,15 @@ def main() -> int:
     for q in still_broken:
         print(f"STILL-BROKEN {q}: failed in both runs")
     for q, p, n in regressions:
-        print(f"REGRESSION {q}: {p:.2f}s -> {n:.2f}s ({n / p:.2f}x > {args.ratio}x)")
+        # peak_mem/spill attribute pressure blowups (VERDICT r7 #6): a
+        # regression with heavy spill is a block-manager-pressure event,
+        # not a plan change — triage accordingly.
+        mem = ""
+        if q in new_peak:
+            mem = (f" [peak_mem {new_peak[q] / 1e6:.0f}MB,"
+                   f" spill {new_spill.get(q, 0) / 1e6:.0f}MB]")
+        print(f"REGRESSION {q}: {p:.2f}s -> {n:.2f}s "
+              f"({n / p:.2f}x > {args.ratio}x){mem}")
     tot_prev = sum(prev[q] for q in shared)
     tot_new = sum(new_ok[q] for q in shared)
     print(f"\nshared-query total: {tot_prev:.2f}s -> {tot_new:.2f}s "

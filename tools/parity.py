@@ -17,6 +17,28 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The driver's hasher distinguishes cell types, so an oracle column that
+# DuckDB types as HUGEINT (e.g. sum(BIGINT), or // propagating it) will
+# hash-mismatch a Spark BIGINT even when every value is identical — the
+# exact defect that shipped q135/q168 red in round 7. Allow only types
+# with an exact Spark analogue; anything else is a registry bug, failed
+# here before values are even compared.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN", "BLOB"}
+
+
+def oracle_type_errors(con, sql: str) -> list:
+    """Return [(col, duckdb_type)] for oracle output columns whose DuckDB
+    type has no exact Spark analogue (HUGEINT, DECIMAL, ...)."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    bad = []
+    for row in desc:
+        col, typ = row[0], row[1].upper()
+        base = typ.split("(")[0].strip()
+        if base not in ALLOWED_TYPES and not base.endswith("[]"):
+            bad.append((col, typ))
+    return bad
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -39,6 +61,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
+            bad_types = oracle_type_errors(con, sql)
+            if bad_types:
+                print(f"FAIL {name}: oracle column type(s) with no exact "
+                      f"Spark analogue: {bad_types} — CAST in the oracle SQL")
+                failures += 1
+                continue
             expected = canon(con.execute(sql).df())
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:  # noqa: BLE001
