@@ -354,6 +354,13 @@ object CorpusQueries {
   // scanned twice (df, then score) — at 100 TB cache the tf projection
   // or piggyback df on a prior stats pass.
   private val QTerms = Seq("spark", "table", "hash")
+
+  /** One BM25 term contribution as DuckDB SQL — q91's exact arithmetic,
+    * shared verbatim with q198 (the persisted-index probe) so the two
+    * oracles' scorers cannot drift. Mirrors TextIndex.bm25Term. */
+  private def bm25SqlTerm(t: String) =
+    s"""((CAST(tf_$t AS DOUBLE) * 2.2) * CAST(length(bin(1 + n_docs // (df_$t + 1))) AS BIGINT))
+             / (CAST(tf_$t AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))"""
   private val q80 = Q(
     (spark, dir) => {
       val ts = TextOps.tokens(col("text"))
@@ -626,24 +633,17 @@ object CorpusQueries {
         (sum(col("dl")).as("total_tokens") +:
           QTerms.map(t =>
             sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
-      def idf(t: String): Column =
-        length(bin(lit(1L) + Sampling.ldiv(col("n_docs"), col(s"df_$t") + lit(1L))))
-          .cast("long")
-      val dlr = (col("dl") * col("n_docs")).cast("double") /
-        col("total_tokens").cast("double")
-      def term(t: String): Column =
-        ((col(s"tf_$t").cast("double") * lit(2.2)) * idf(t).cast("double")) /
-          (col(s"tf_$t").cast("double") + (lit(0.3) + lit(0.9) * dlr))
-      val score = QTerms.map(term).reduce(_ + _).as("score")
+      // scorer shared with the q198 persisted-index probe (identical
+      // operand order = identical IEEE doubles on both paths)
+      val score = QTerms.map(graft.operators.TextIndex.bm25Term)
+        .reduce(_ + _).as("score")
       base.crossJoin(broadcast(stats))
         .select(col("doc_id"), col("source"), col("dl"), score)
         .orderBy(col("score").desc_nulls_last, col("doc_id"))
         .limit(25)
     },
     Some {
-      def term(t: String) =
-        s"""((CAST(tf_$t AS DOUBLE) * 2.2) * CAST(length(bin(1 + n_docs // (df_$t + 1))) AS BIGINT))
-             / (CAST(tf_$t AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))"""
+      def term(t: String) = bm25SqlTerm(t)
       s"""
       WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
                    FROM documents),
@@ -660,6 +660,64 @@ object CorpusQueries {
               + ${term(QTerms(1))})
               + ${term(QTerms(2))}) AS score
       FROM tf, st
+      ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 25"""
+    })
+
+  // --- q198: persisted BM25 postings probe (index READ, not rescan) ------
+  // The lexical member of the round-8 serving-index family (q196 IVF,
+  // q197 IVF-PQ): operators/TextIndex tokenizes the corpus ONCE and
+  // writes postings HIVE-PARTITIONED by term-hash bucket with doc
+  // length/source denormalized into the row (impact-file layout) + a
+  // one-row stats table; the probe answers q91's exact query by
+  // reading ONLY the queried terms' buckets — directory-pruned (the
+  // deliberate layout choice over bucketBy: Spark's autoBucketedScan
+  // rule drops bucket pruning when nothing downstream keys on the
+  // bucket column, which is a probe's shape — measured; partition
+  // pruning has no such coupling), no corpus scan anywhere in the
+  // probe plan (TextIndexSpec asserts both). Scoring is q91's
+  // scorer to the bit (shared TextIndex.bm25Term; df(t) = pruned list
+  // length = q91's sum(tf_t > 0) by construction).
+  //
+  // Matched-docs semantics, the one deliberate delta from q91: a
+  // probe scores only documents containing ≥1 query term (real
+  // retrieval returns fewer than k when fewer match; it does not pad
+  // with zero-score rows) — so the oracle is q91's SQL plus the
+  // matched-docs predicate, and on any corpus where ≥25 docs match,
+  // the two queries' answers coincide row for row.
+  //
+  // 100 TB posture: build cost (one tokenize + one bucketed write)
+  // amortizes over every query q91 would otherwise pay a corpus scan
+  // for; probe reads |query terms| / |vocabulary| of the index. Bench
+  // time includes the build+write (honest one-shot cost).
+  private val q198 = Q(
+    (spark, dir) => {
+      val name = "bm25_" + math.abs(dir.hashCode).toString
+      val idxDir = sys.props("java.io.tmpdir") + "/graft-bm25-index"
+      val meta = graft.operators.TextIndex.build(spark,
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        name, idxDir)
+      graft.operators.TextIndex.probe(spark, name, idxDir, QTerms, meta,
+        topk = 25)
+    },
+    Some {
+      s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents),
+      tf AS (
+        SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS dl,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf)
+      SELECT doc_id, source, dl,
+             ((${bm25SqlTerm(QTerms(0))}
+              + ${bm25SqlTerm(QTerms(1))})
+              + ${bm25SqlTerm(QTerms(2))}) AS score
+      FROM tf, st
+      WHERE ${QTerms.map(t => s"tf_$t > 0").mkString(" OR ")}
       ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
       LIMIT 25"""
     })
@@ -1644,5 +1702,6 @@ object CorpusQueries {
     "q186_stride_interleave" -> q186,
     "q189_stratified_sample" -> q189,
     "q190_postings_cost" -> q190,
-    "q191_pmi_collocations" -> q191)
+    "q191_pmi_collocations" -> q191,
+    "q198_bm25_probe" -> q198)
 }

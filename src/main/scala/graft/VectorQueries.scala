@@ -1472,6 +1472,46 @@ object VectorQueries {
   // replays BOTH trainings (IVF k-means CTEs + PQ Lloyd CTEs, shared
   // generators with q40/q113) so routing, codebooks, ADC integers and
   // the rescore are all hash-checked cross-engine.
+  /** q115's full DuckDB oracle — IVF routing CTEs + PQ Lloyd CTEs +
+    * ADC + shortlist + exact rescore. Shared VERBATIM with q197 (the
+    * persisted-index probe): identical training math means the probe
+    * of the written index must reproduce these rows bit-for-bit. */
+  private def ivfPqOracle: String = s"""
+      WITH $ivfSqlCte,
+      ${pqChainCte("p")},
+      probes AS (SELECT vid, cell FROM ranked
+                 WHERE rn <= (SELECT np FROM kk) AND vid < 10),
+      cand AS (SELECT pr.vid AS qid, c.vid AS cid
+               FROM probes pr JOIN cells c
+                 ON c.cell = pr.cell AND c.vid <> pr.vid),
+      adc AS (SELECT cand.qid, cand.cid,
+                     CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+              FROM cand JOIN penc en ON en.vec_id = cand.cid
+                   JOIN plut l ON l.qid = cand.qid AND l.s = en.s
+                              AND l.code = en.code
+              GROUP BY 1, 2),
+      sl AS (SELECT qid, cid, adc_dot FROM (
+               SELECT qid, cid, adc_dot, row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY adc_dot DESC NULLS LAST, cid ASC) AS rn
+               FROM adc)
+             WHERE rn <= $PqCand),
+      xd AS (SELECT sl.qid, sl.cid, sl.adc_dot, sum(ea.v * eb.v) AS dot
+             FROM sl JOIN e ea ON ea.vec_id = sl.qid
+                     JOIN e eb ON eb.vec_id = sl.cid AND eb.i = ea.i
+             GROUP BY 1, 2, 3),
+      xc AS (SELECT qid, cid, adc_dot,
+                    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE))
+                      / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos_sim
+             FROM xd JOIN n nq ON nq.vec_id = qid
+                     JOIN n nc ON nc.vec_id = cid)
+      SELECT qid, cid, adc_dot, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC) AS rn
+        FROM xc)
+      WHERE rn <= $PqTopK
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""
+
   private val q115 = Q(
     (spark, dir) => {
       val (e, cents, cells, nprobe) = ivfTrained(spark, dir)
@@ -1523,41 +1563,7 @@ object VectorQueries {
         .orderBy(col("qid").asc_nulls_first, col("cos_sim").desc_nulls_last,
           col("cid").asc_nulls_first)
     },
-    Some(s"""
-      WITH $ivfSqlCte,
-      ${pqChainCte("p")},
-      probes AS (SELECT vid, cell FROM ranked
-                 WHERE rn <= (SELECT np FROM kk) AND vid < 10),
-      cand AS (SELECT pr.vid AS qid, c.vid AS cid
-               FROM probes pr JOIN cells c
-                 ON c.cell = pr.cell AND c.vid <> pr.vid),
-      adc AS (SELECT cand.qid, cand.cid,
-                     CAST(sum(l.pdot) AS BIGINT) AS adc_dot
-              FROM cand JOIN penc en ON en.vec_id = cand.cid
-                   JOIN plut l ON l.qid = cand.qid AND l.s = en.s
-                              AND l.code = en.code
-              GROUP BY 1, 2),
-      sl AS (SELECT qid, cid, adc_dot FROM (
-               SELECT qid, cid, adc_dot, row_number() OVER (
-                 PARTITION BY qid
-                 ORDER BY adc_dot DESC NULLS LAST, cid ASC) AS rn
-               FROM adc)
-             WHERE rn <= $PqCand),
-      xd AS (SELECT sl.qid, sl.cid, sl.adc_dot, sum(ea.v * eb.v) AS dot
-             FROM sl JOIN e ea ON ea.vec_id = sl.qid
-                     JOIN e eb ON eb.vec_id = sl.cid AND eb.i = ea.i
-             GROUP BY 1, 2, 3),
-      xc AS (SELECT qid, cid, adc_dot,
-                    CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE))
-                      / sqrt(CAST(nc.n2 AS DOUBLE)) AS cos_sim
-             FROM xd JOIN n nq ON nq.vec_id = qid
-                     JOIN n nc ON nc.vec_id = cid)
-      SELECT qid, cid, adc_dot, cos_sim FROM (
-        SELECT *, row_number() OVER (PARTITION BY qid
-          ORDER BY cos_sim DESC NULLS LAST, cid ASC) AS rn
-        FROM xc)
-      WHERE rn <= $PqTopK
-      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+    Some(ivfPqOracle))
 
   // --- q164: embedding centroid drift between labels --------------------
   // The vector-side q163: how far apart do the class centroids sit —
@@ -1979,6 +1985,45 @@ object VectorQueries {
       SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- q197: persisted IVF-PQ probe (compressed index READ) --------------
+  // q196's serving-path discipline applied to q115's compressed-codes
+  // layout: operators/IvfPqIndex trains the coarse quantizer AND the
+  // PQ codebooks once, writes centroids + codebooks (broadcast-sized
+  // parquet) + the cell-BUCKETED (cell, vid, s, code) postings, then
+  // answers the same 10 queries by reading them — statically
+  // bucket-pruned codes scan, broadcast ADC LUT from the persisted
+  // codebooks, exact rescore only for the bounded shortlist
+  // (IvfPqIndexSpec asserts no k-means argmax, no encode min_by, no
+  // training aggregate in the probe plan). Training math is identical
+  // to q115's in-plan twin, so the oracle IS q115's oracle, verbatim:
+  // the persisted compressed index serves exactly what the evaluated
+  // one promised, down to every ADC integer.
+  //
+  // 100 TB posture: this is the layout that fits 10^10 vectors in
+  // cluster memory — m small-int codes per vector (~64× under raw
+  // fp32), probes touch (nprobe/k) of the codes, and the only
+  // raw-vector reads are the queries × PqCand shortlist fetch. Bench
+  // time includes the build+write (honest one-shot cost).
+  private val q197 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val name = "ivfpq_" + math.abs(dir.hashCode).toString
+      val idxDir = sys.props("java.io.tmpdir") + "/graft-ivfpq-index"
+      val meta = graft.operators.IvfPqIndex.build(spark, e, name, idxDir,
+        PqM, PqSubDim, PqKsub, PqIters)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"))
+      val corpus = e.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+      graft.operators.IvfPqIndex
+        .probe(spark, name, idxDir, queries, corpus, meta,
+          cand = PqCand, topk = PqTopK)
+        .orderBy(col("qid").asc_nulls_first,
+          col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+    },
+    Some(ivfPqOracle))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -1999,5 +2044,6 @@ object VectorQueries {
     "q173_hard_negatives" -> q173,
     "q180_mmr_rerank" -> q180,
     "q181_ndcg_ann" -> q181,
-    "q196_ivf_probe" -> q196)
+    "q196_ivf_probe" -> q196,
+    "q197_ivfpq_probe" -> q197)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfPqIndex, VectorOps}
+
+/** Plan + parity proof for the persisted IVF-PQ index: the probe must
+  * READ the compressed index — statically bucket-pruned codes scan,
+  * no coarse-quantizer argmax, no PQ encode (min_by), no training
+  * aggregate — and serve exactly what q115's in-plan-trained IVFADC
+  * pipeline serves, down to every ADC integer.
+  */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val (m, subDim, ksub, iters) = (4, 16, 16, 2)
+
+  private def vectors = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+    .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  private def queries = vectors.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+
+  private def corpus = vectors
+    .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+
+  test("probe plan reads the index: bucket-pruned codes scan, no training") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val meta = IvfPqIndex.build(spark, vectors, "ivfpq_spec", idxDir,
+      m, subDim, ksub, iters)
+    try {
+      val probe = IvfPqIndex.probe(spark, "ivfpq_spec", idxDir, queries,
+        corpus, meta, cand = 20, topk = 5)
+      val plan = probe.queryExecution.executedPlan.toString
+
+      // 1. the codes scan is statically bucket-pruned
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"codes scan not bucket-pruned:\n$plan")
+      val (got, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(total == meta.buckets && got <= total,
+        s"bucket pruning shape off: $got/$total")
+
+      // 2. no training/encode subtree anywhere in the probe plan:
+      //    coarse-quantizer assignment (cell_argmax), PQ encode
+      //    (min_by), and the Lloyd-update exact sums must all be absent
+      val lower = plan.toLowerCase
+      assert(!lower.contains("argmax"),
+        s"probe plan contains the coarse-assignment argmax:\n$plan")
+      assert(!lower.contains("min_by"),
+        s"probe plan contains the PQ-encode min_by:\n$plan")
+
+      // 3. nonempty, shaped as promised
+      val rows = probe.collect()
+      assert(rows.nonEmpty)
+      assert(probe.columns.toSeq ==
+        Seq("qid", "cid", "adc_dot", "cos_sim"))
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_spec_codes")
+  }
+
+  test("probe of the persisted index == q115's in-plan IVFADC, bit for bit") {
+    // The registry pair IS the contract: q197 builds+probes the
+    // persisted index, q115 trains in-plan; identical math, identical
+    // rows. (This is also why q197 reuses q115's DuckDB oracle
+    // verbatim.)
+    val reg = VectorQueries.all.toMap
+    val got = reg("q197_ivfpq_probe").fn(spark, dir)
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    val want = reg("q115_ivfpq").fn(spark, dir)
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("build is deterministic: two builds serve identical probe answers") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val m1 = IvfPqIndex.build(spark, vectors, "ivfpq_det1", d1,
+      m, subDim, ksub, iters)
+    val m2 = IvfPqIndex.build(spark, vectors, "ivfpq_det2", d2,
+      m, subDim, ksub, iters)
+    try {
+      assert(m1 == m2)
+      val a = IvfPqIndex.probe(spark, "ivfpq_det1", d1, queries, corpus,
+        m1, cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      val b = IvfPqIndex.probe(spark, "ivfpq_det2", d2, queries, corpus,
+        m2, cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_det1_codes")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_det2_codes")
+    }
+  }
+}

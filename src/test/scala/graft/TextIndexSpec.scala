@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextIndex, TextOps}
+
+/** Plan + parity proof for the persisted BM25 postings index: the
+  * probe must READ the index — statically directory-pruned postings
+  * scan (term-hash hive partitions), no corpus/documents scan anywhere
+  * in the plan — and score exactly what q91's in-plan full-scan scorer
+  * scores for every matched doc.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("spark", "table", "hash")
+
+  private def documents = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("source"), col("text"))
+
+  /** Independent full-scan recomputation (q91's flow restricted to
+    * matched docs) — the expected answer the index must reproduce. */
+  private def expected = {
+    val ts = TextOps.tokens(col("text"))
+    def tf(t: String) = size(filter(ts, x => x === lit(t))).cast("long")
+    val base = documents.select(
+      (Seq(col("doc_id"), col("source"), size(ts).cast("long").as("dl")) ++
+        terms.map(t => tf(t).as(s"tf_$t"))): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("total_tokens") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    val score = terms.map(TextIndex.bm25Term).reduce(_ + _).as("score")
+    base.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("source"), col("dl"), score)
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+      .limit(25)
+  }
+
+  test("probe plan reads the index: pruned postings scan, no corpus scan") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val meta = TextIndex.build(spark, documents, "bm25_spec", idxDir)
+
+    val probe = TextIndex.probe(spark, "bm25_spec", idxDir, terms, meta,
+      topk = 25)
+    val plan = probe.queryExecution.executedPlan
+
+    // 1. the postings scan is statically partition-pruned to the
+    //    queried terms' hash buckets — at most |terms| of the written
+    //    bucket directories are listed, the rest are never touched
+    //    (AdaptiveSparkPlanExec hides its inner plan from collect —
+    //    unwrap it first)
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("postings")) => f
+    }
+    assert(scans.nonEmpty, s"no postings scan in probe plan:\n$plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"postings scan not partition-pruned:\n$plan")
+      val selected = f.selectedPartitions.partitionCount
+      assert(selected <= terms.size && selected > 0,
+        s"expected <= ${terms.size} pruned partitions, read $selected")
+    }
+
+    // 2. no corpus scan: the probe must read postings + stats only —
+    //    neither the documents table nor a tokenize (split) appears
+    val planStr = plan.toString
+    assert(!planStr.contains("documents"),
+      s"probe plan scans the corpus:\n$planStr")
+    assert(!planStr.contains("split("),
+      s"probe plan re-tokenizes:\n$planStr")
+
+    // 3. and the probe's answers are the full-scan scorer's answers
+    //    for matched docs, bit for bit (same BM25 arithmetic)
+    val gotRows = probe.collect().toSeq
+    val want = expected.collect().toSeq
+    assert(gotRows == want && want.nonEmpty)
+  }
+
+  test("build is deterministic: two builds serve identical probe answers") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val m1 = TextIndex.build(spark, documents, "bm25_det1", d1)
+    val m2 = TextIndex.build(spark, documents, "bm25_det2", d2)
+    val a = TextIndex.probe(spark, "bm25_det1", d1, terms, m1, 25)
+      .collect().toSeq
+    val b = TextIndex.probe(spark, "bm25_det2", d2, terms, m2, 25)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
