@@ -8,10 +8,24 @@ import org.apache.spark.sql.functions._
   * per-document term frequencies with a full corpus scan inside every
   * query, which is the evaluation harness's honesty, but a serving
   * system tokenizes ONCE, writes the postings, and answers queries by
-  * reading only the queried terms' lists. Layout:
+  * reading only the queried terms' lists.
   *
-  *  - `<name>_postings` — (term, doc_id, source, dl, tf) HIVE-
-  *    PARTITIONED by tb = pmod(hash(term), buckets): a probe filters
+  * The index is SEGMENTED (the LSM discipline): `build` writes
+  * segment 0, [[appendDelta]] adds new documents as further segments
+  * without touching existing ones (tokenize cost = the delta only),
+  * and [[compactTo]] rewrites all segments into one. A probe reads
+  * the union of segments and is BIT-IDENTICAL before and after either
+  * operation, and to a fresh rebuild on the full corpus — BM25's
+  * global statistics distribute over segments (n_docs/total_tokens
+  * are sums of per-segment one-row stats; df(t) counts the unioned
+  * pruned lists), so segment structure is unobservable in answers.
+  * Layout under `<dir>/<name>/` — `seg` is itself a hive partition
+  * level, so one read of each root sees every segment with uniform
+  * partition discovery:
+  *
+  *  - `postings/seg=<k>/tb=<b>/` — (term, doc_id, source, dl, tf)
+  *    HIVE-PARTITIONED by segment and by
+  *    tb = pmod(hash(term), buckets): a probe filters
   *    `tb IN (<query-term buckets>)`, which prunes at the DIRECTORY
   *    level in FileSourceStrategy — the read cost is the queried
   *    terms' buckets, never the corpus. Document length and source
@@ -27,9 +41,9 @@ import org.apache.spark.sql.functions._
   *    directory pruning has no such planner coupling, and any reader
   *    gets it.
   *
-  *  - `<name>_stats` — ONE row (n_docs, total_tokens): the corpus
-  *    constants BM25's length normalization needs, broadcast by
-  *    construction.
+  *  - `stats/seg=<k>/` — ONE row (n_docs, total_tokens) per segment:
+  *    the corpus constants BM25's length normalization needs,
+  *    broadcast by construction; a probe sums them.
   *
   * Per-term document frequency is NOT persisted: a posting exists iff
   * tf > 0, so df(t) = the pruned lists' per-term row count — one tiny
@@ -42,6 +56,11 @@ import org.apache.spark.sql.functions._
   * double arithmetic (IEEE doubles are deterministic given operand
   * order), same Robertson/Okapi constants folded to 2.2 / 0.3 / 0.9.
   *
+  * Atomic REPLACEMENT of a live index (swap compacted for segmented)
+  * is deliberately not this operator's job — that is the pipeline
+  * tier-commit's (manifest-pinned rename); compactTo is a pure
+  * rewrite to a new name the committer can then publish.
+  *
   * Reference capability analog: serving queries are index READS, not
   * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
   */
@@ -49,11 +68,24 @@ object TextIndex {
 
   final case class Meta(buckets: Int)
 
-  /** Tokenize `documents` = (doc_id, source, text) once and persist
-    * the index under `dir` as `<name>_postings` (term-bucket hive
-    * partitions) + `<name>_stats` (one-row parquet). */
-  def build(spark: SparkSession, documents: DataFrame, name: String,
-            dir: String, buckets: Int = 16): Meta = {
+  /** Existing segment ids, ascending (driver-side metadata listing —
+    * segment counts are compaction-bounded). `seg` is itself a hive
+    * partition level (`postings/seg=<k>/tb=<b>/`), so ONE read of the
+    * postings root sees every segment with uniform discovery, and the
+    * tb directory pruning applies across all of them. */
+  def segmentIds(spark: SparkSession, name: String, dir: String)
+      : Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName.stripPrefix("seg=").toInt)
+      .sorted
+  }
+
+  private def tokenize(documents: DataFrame, buckets: Int)
+      : (DataFrame, DataFrame) = {
     val toks = documents.select(col("doc_id"), col("source"),
       TextOps.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("source"),
@@ -66,10 +98,55 @@ object TextIndex {
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)).cast("int"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
-    stats.write.mode("overwrite").parquet(s"$dir/${name}_stats")
+    (postings, stats)
+  }
+
+  private def writeSegment(postings: DataFrame, stats: DataFrame,
+                           root: String, seg: Int): Unit = {
+    stats.write.mode("overwrite").parquet(s"$root/stats/seg=$seg")
     postings.write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/${name}_postings")
+      .parquet(s"$root/postings/seg=$seg")
+  }
+
+  /** Tokenize `documents` = (doc_id, source, text) once and persist
+    * the index under `<dir>/<name>` as segment 0. */
+  def build(spark: SparkSession, documents: DataFrame, name: String,
+            dir: String, buckets: Int = 16): Meta = {
+    val (p, s) = tokenize(documents, buckets)
+    writeSegment(p, s, s"$dir/$name", seg = 0)
     Meta(buckets)
+  }
+
+  /** Append `newDocuments` as the next segment. Tokenize/write cost is
+    * the DELTA only; existing segments are never read or touched.
+    * Contract: doc_ids must be disjoint from already-indexed ones
+    * (append-only corpus — the same contract a doc store gives its
+    * index). */
+  def appendDelta(spark: SparkSession, newDocuments: DataFrame,
+                  name: String, dir: String, meta: Meta): Unit = {
+    val segs = segmentIds(spark, name, dir)
+    require(segs.nonEmpty, s"index $name has no base segment")
+    val (p, s) = tokenize(newDocuments, meta.buckets)
+    writeSegment(p, s, s"$dir/$name", seg = segs.max + 1)
+  }
+
+  /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —
+    * a postings-level merge (documents are segment-disjoint, so the
+    * merge is a re-partitioned union; nothing re-tokenizes) plus a
+    * one-row stats sum. Probe answers are identical by construction;
+    * TextIndexSpec proves it bit-for-bit. */
+  def compactTo(spark: SparkSession, name: String, dir: String,
+                newName: String, meta: Meta): Meta = {
+    require(segmentIds(spark, name, dir).nonEmpty,
+      s"index $name has no segments")
+    val postings = spark.read.parquet(s"$dir/$name/postings")
+      .select(col("term"), col("doc_id"), col("source"), col("dl"),
+        col("tf"), col("tb"))
+    val stats = spark.read.parquet(s"$dir/$name/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
+    writeSegment(postings, stats, s"$dir/$newName", seg = 0)
+    meta
   }
 
   /** One BM25 term contribution — q91's EXACT arithmetic (operand
@@ -84,26 +161,30 @@ object TextIndex {
   }
 
   /** Probe the persisted index with a literal term list: read ONLY the
-    * queried terms' partitions (directory-pruned; the bucket ids are
-    * computed with the SAME hash the writer used — the serving-side
-    * routing decision, |terms| rows), fold them to one row per matched
-    * document, score with the q91-exact BM25, and return the
-    * top-`topk` (doc_id, source, dl, score). Matched-docs semantics:
-    * a document with no query term never surfaces (real retrieval
-    * returns fewer than k when fewer match — it does not pad with
-    * zero-score rows). The probe plan touches no corpus table:
-    * TextIndexSpec asserts partition pruning and the absence of any
-    * documents scan. */
+    * queried terms' partitions of every segment (directory-pruned; the
+    * bucket ids are computed with the SAME hash the writer used — the
+    * serving-side routing decision, |terms| rows), fold them to one
+    * row per matched document, score with the q91-exact BM25 against
+    * the segment-summed global stats, and return the top-`topk`
+    * (doc_id, source, dl, score). Matched-docs semantics: a document
+    * with no query term never surfaces (real retrieval returns fewer
+    * than k when fewer match — it does not pad with zero-score rows).
+    * The probe plan touches no corpus table: TextIndexSpec asserts
+    * partition pruning and the absence of any documents scan. */
   def probe(spark: SparkSession, name: String, dir: String,
             terms: Seq[String], meta: Meta, topk: Int): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val stats = spark.read.parquet(s"$dir/${name}_stats")
+    require(segmentIds(spark, name, dir).nonEmpty,
+      s"index $name has no segments")
+    val stats = spark.read.parquet(s"$dir/$name/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
     // route: term -> partition id via the writer's own hash (|terms|
     // rows collected — the per-request routing an IR frontend does)
     val ids = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
       .select(pmod(hash(col("term")), lit(meta.buckets)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val p = spark.read.parquet(s"$dir/${name}_postings")
+    val p = spark.read.parquet(s"$dir/$name/postings")
       .filter(col("tb").isin(ids: _*)     // static directory pruning
         && col("term").isin(terms: _*))   // row filter within buckets
     // fold the ≤|terms| postings per doc into one row of tf_t columns

@@ -85,6 +85,44 @@ class TextIndexSpec extends SparkSpec {
     assert(gotRows == want && want.nonEmpty)
   }
 
+  test("delta append: probe(base + delta) == probe(fresh full rebuild)") {
+    val dSeg = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val dFull = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // split the corpus in two disjoint halves: base indexes one,
+    // the other arrives later as a delta segment
+    val half1 = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val m = TextIndex.build(spark, half1, "bm25_seg", dSeg)
+    TextIndex.appendDelta(spark, half2, "bm25_seg", dSeg, m)
+    assert(TextIndex.segmentIds(spark, "bm25_seg", dSeg) == Seq(0, 1))
+    val mFull = TextIndex.build(spark, documents, "bm25_full", dFull)
+    val got = TextIndex.probe(spark, "bm25_seg", dSeg, terms, m, 25)
+      .collect().toSeq
+    val want = TextIndex.probe(spark, "bm25_full", dFull, terms, mFull, 25)
+      .collect().toSeq
+    // segment structure is unobservable: global stats are per-segment
+    // sums, df counts the unioned pruned lists — answers are the
+    // rebuilt index's answers, bit for bit (and the full-scan
+    // scorer's, via the first test's parity)
+    assert(got == want && want.nonEmpty)
+    assert(got == expected.collect().toSeq)
+  }
+
+  test("rewrite compaction: one segment afterwards, identical answers") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val half1 = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val m = TextIndex.build(spark, half1, "bm25_lsm", d)
+    TextIndex.appendDelta(spark, half2, "bm25_lsm", d, m)
+    val before = TextIndex.probe(spark, "bm25_lsm", d, terms, m, 25)
+      .collect().toSeq
+    val mc = TextIndex.compactTo(spark, "bm25_lsm", d, "bm25_lsm_c", m)
+    assert(TextIndex.segmentIds(spark, "bm25_lsm_c", d) == Seq(0))
+    val after = TextIndex.probe(spark, "bm25_lsm_c", d, terms, mc, 25)
+      .collect().toSeq
+    assert(after == before && before.nonEmpty)
+  }
+
   test("build is deterministic: two builds serve identical probe answers") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
