@@ -60,6 +60,31 @@ object IvfIndex {
     Meta(k, nprobe, buckets)
   }
 
+  /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
+    * retraining: assign them to the FROZEN persisted centroids (the
+    * same map-only codegen'd argmax the build used — FAISS's
+    * add-after-train, and IvfStream's frozen-centroid discipline) and
+    * append to the bucketed cells table; new files land in their
+    * cell's bucket, so probe pruning holds over old + new alike.
+    * Probe answers afterwards are BIT-IDENTICAL to an index whose
+    * build had seen all vectors under these centroids
+    * (IvfIndexSpec proves it). Routing quality for the delta is the
+    * centroids' business — retraining is a rebuild, by design (the
+    * recall-vs-freshness trade every ANN serving system makes).
+    * Contract: vec_ids disjoint from already-indexed ones. */
+  def append(spark: SparkSession, newVectors: DataFrame, name: String,
+             dir: String, meta: Meta): Unit = {
+    val cents = spark.read.parquet(s"$dir/${name}_centroids")
+    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+    val assigned = newVectors.crossJoin(broadcast(ca))
+      .select(col("vec_id").as("vid"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"),
+        col("q"), col("n2"))
+    Layout.appendBucketed(assigned, s"${name}_cells", "cell",
+      meta.buckets, s"$dir/${name}_cells")
+  }
+
   /** Probe the persisted index: for each query vector (qid, qq, qn2),
     * rank cells against the broadcast centroid table, then read ONLY
     * the probed cells from the bucketed postings table and return the

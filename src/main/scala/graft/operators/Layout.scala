@@ -31,6 +31,20 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append rows to an EXISTING bucketed table written by
+    * [[writeBucketed]] — the new files land in their key's bucket
+    * (same hash, same count), so bucket pruning and co-location keep
+    * holding over old + new files alike. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int, path: String): Unit =
+    df.write
+      .mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free
     * when both were written with the same `buckets` count. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -80,6 +80,41 @@ class IvfIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_spec_cells")
   }
 
+  test("frozen-quantizer append: probe(base + delta) == full build under the same centroids") {
+    val dA = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dB = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // index A: built on half1, half2 added later under FROZEN centroids
+    val mA = IvfIndex.build(spark, half1, "ivf_app", dA)
+    IvfIndex.append(spark, half2, "ivf_app", dA, mA)
+    try {
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val got = IvfIndex.probe(spark, "ivf_app", dA, queries, mA.nprobe, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      // expected: the SAME frozen centroids (copied from index A)
+      // assigning the FULL corpus — i.e. what a build would have
+      // written had it seen every vector under these centroids
+      val cents = spark.read.parquet(s"$dA/ivf_app_centroids")
+      cents.write.parquet(s"$dB/ivf_ref_centroids")
+      val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+      val allCells = vectors.crossJoin(broadcast(ca))
+        .select(col("vec_id").as("vid"),
+          VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"),
+          col("q"), col("n2"))
+      graft.operators.Layout.writeBucketed(allCells, "ivf_ref_cells",
+        "cell", mA.buckets, s"$dB/ivf_ref_cells")
+      val want = IvfIndex.probe(spark, "ivf_ref", dB, queries, mA.nprobe, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_app_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_ref_cells")
+    }
+  }
+
   test("build is deterministic: two builds serve identical probe answers") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
