@@ -77,6 +77,35 @@ object IvfPqIndex {
     Meta(k, nprobe, buckets, m, subDim, ksub, iters)
   }
 
+  /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
+    * retraining ANYTHING: assign to the FROZEN persisted centroids
+    * (coarse routing) and encode with the FROZEN persisted codebooks
+    * (PQ codes) — FAISS's add-after-train for IVFADC — then append
+    * the (cell, vid, s, code) rows to the bucketed codes table; new
+    * files land in their cell's bucket, so probe pruning holds over
+    * old + new alike. Probe answers afterwards are BIT-IDENTICAL to
+    * an index whose build had seen all vectors under these centroids
+    * and codebooks (IvfPqIndexSpec proves it). Quantization quality
+    * for the delta is the codebooks' business — retraining is a
+    * rebuild, by design. Contract: vec_ids disjoint. */
+  def append(spark: SparkSession, newVectors: DataFrame, name: String,
+             dir: String, meta: Meta): Unit = {
+    val cents = spark.read.parquet(s"$dir/${name}_centroids")
+    val books = spark.read.parquet(s"$dir/${name}_codebooks")
+    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+    val assigned = newVectors.crossJoin(broadcast(ca))
+      .select(col("vec_id").as("vid"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+    val sub = Pq.subvectors(newVectors, "vec_id", "q", meta.m, meta.subDim)
+    val codes = Pq.assignCodes(sub, "vec_id", books)
+    val postings = assigned
+      .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+      .select(col("cell"), col("vid"), col("s"), col("code"))
+    Layout.appendBucketed(postings, s"${name}_codes", "cell",
+      meta.buckets, s"$dir/${name}_codes")
+  }
+
   /** Probe the persisted index: route each query vector (qid, qq, qn2)
     * to its `meta.nprobe` nearest cells via the broadcast centroid
     * table, ADC-score ONLY the probed cells' codes against the

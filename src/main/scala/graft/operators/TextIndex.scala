@@ -74,13 +74,13 @@ object TextIndex {
     * postings root sees every segment with uniform discovery, and the
     * tb directory pruning applies across all of them. */
   def segmentIds(spark: SparkSession, name: String, dir: String)
-      : Seq[Int] = {
+      : Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name/postings")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName.stripPrefix("seg=").toInt)
+      .map(_.getPath.getName.stripPrefix("seg=").toLong)
       .sorted
   }
 
@@ -102,7 +102,7 @@ object TextIndex {
   }
 
   private def writeSegment(postings: DataFrame, stats: DataFrame,
-                           root: String, seg: Int): Unit = {
+                           root: String, seg: Long): Unit = {
     stats.write.mode("overwrite").parquet(s"$root/stats/seg=$seg")
     postings.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$root/postings/seg=$seg")
@@ -113,7 +113,7 @@ object TextIndex {
   def build(spark: SparkSession, documents: DataFrame, name: String,
             dir: String, buckets: Int = 16): Meta = {
     val (p, s) = tokenize(documents, buckets)
-    writeSegment(p, s, s"$dir/$name", seg = 0)
+    writeSegment(p, s, s"$dir/$name", seg = 0L)
     Meta(buckets)
   }
 
@@ -126,8 +126,21 @@ object TextIndex {
                   name: String, dir: String, meta: Meta): Unit = {
     val segs = segmentIds(spark, name, dir)
     require(segs.nonEmpty, s"index $name has no base segment")
+    writeDelta(spark, newDocuments, name, dir, meta, segId = segs.max + 1L)
+  }
+
+  /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
+    * ingestion path: a foreachBatch sink passes its batchId, and
+    * because each segment directory is written with mode=overwrite, a
+    * redelivered batch rewrites seg=<batchId> with identical content —
+    * replays are absorbed BY IDEMPOTENCE, no ledger needed (the
+    * BloomStream discipline). TextIndexSpec proves stream-built ==
+    * batch-built and replay no-op. */
+  def writeDelta(spark: SparkSession, newDocuments: DataFrame,
+                 name: String, dir: String, meta: Meta,
+                 segId: Long): Unit = {
     val (p, s) = tokenize(newDocuments, meta.buckets)
-    writeSegment(p, s, s"$dir/$name", seg = segs.max + 1)
+    writeSegment(p, s, s"$dir/$name", segId)
   }
 
   /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —
@@ -145,7 +158,7 @@ object TextIndex {
     val stats = spark.read.parquet(s"$dir/$name/stats")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"))
-    writeSegment(postings, stats, s"$dir/$newName", seg = 0)
+    writeSegment(postings, stats, s"$dir/$newName", seg = 0L)
     meta
   }
 

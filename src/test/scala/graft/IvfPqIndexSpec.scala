@@ -72,6 +72,47 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("frozen append: probe(base + delta) == full build under same centroids+codebooks") {
+    val dA = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val dB = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val mA = IvfPqIndex.build(spark, half1, "ivfpq_app", dA,
+      m, subDim, ksub, iters)
+    IvfPqIndex.append(spark, half2, "ivfpq_app", dA, mA)
+    try {
+      val got = IvfPqIndex.probe(spark, "ivfpq_app", dA, queries, corpus,
+        mA, cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      // expected: the SAME frozen centroids + codebooks assigning and
+      // encoding the FULL corpus — what a build would have written had
+      // it seen every vector under them
+      val cents = spark.read.parquet(s"$dA/ivfpq_app_centroids")
+      val books = spark.read.parquet(s"$dA/ivfpq_app_codebooks")
+      cents.write.parquet(s"$dB/ivfpq_ref_centroids")
+      books.write.parquet(s"$dB/ivfpq_ref_codebooks")
+      val ca = graft.operators.VectorOps.centroidArrays(cents, "cell", "cq")
+      val assigned = vectors.crossJoin(broadcast(ca))
+        .select(col("vec_id").as("vid"),
+          graft.operators.VectorOps.cellArgMax(col("q"), col("n2"),
+            col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+      val sub = graft.operators.Pq.subvectors(vectors, "vec_id", "q", m, subDim)
+      val codes = graft.operators.Pq.assignCodes(sub, "vec_id", books)
+      val postings = assigned
+        .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+        .select(col("cell"), col("vid"), col("s"), col("code"))
+      graft.operators.Layout.writeBucketed(postings, "ivfpq_ref_codes",
+        "cell", mA.buckets, s"$dB/ivfpq_ref_codes")
+      val want = IvfPqIndex.probe(spark, "ivfpq_ref", dB, queries, corpus,
+        mA, cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_app_codes")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_ref_codes")
+    }
+  }
+
   test("build is deterministic: two builds serve identical probe answers") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString

@@ -94,7 +94,7 @@ class TextIndexSpec extends SparkSpec {
     val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
     val m = TextIndex.build(spark, half1, "bm25_seg", dSeg)
     TextIndex.appendDelta(spark, half2, "bm25_seg", dSeg, m)
-    assert(TextIndex.segmentIds(spark, "bm25_seg", dSeg) == Seq(0, 1))
+    assert(TextIndex.segmentIds(spark, "bm25_seg", dSeg) == Seq(0L, 1L))
     val mFull = TextIndex.build(spark, documents, "bm25_full", dFull)
     val got = TextIndex.probe(spark, "bm25_seg", dSeg, terms, m, 25)
       .collect().toSeq
@@ -117,10 +117,56 @@ class TextIndexSpec extends SparkSpec {
     val before = TextIndex.probe(spark, "bm25_lsm", d, terms, m, 25)
       .collect().toSeq
     val mc = TextIndex.compactTo(spark, "bm25_lsm", d, "bm25_lsm_c", m)
-    assert(TextIndex.segmentIds(spark, "bm25_lsm_c", d) == Seq(0))
+    assert(TextIndex.segmentIds(spark, "bm25_lsm_c", d) == Seq(0L))
     val after = TextIndex.probe(spark, "bm25_lsm_c", d, terms, mc, 25)
       .collect().toSeq
     assert(after == before && before.nonEmpty)
+  }
+
+  test("streaming ingestion: foreachBatch writeDelta == batch build; replay no-op") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val m = TextIndex.Meta(buckets = 16)
+    val docsLocal = documents
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val (b1, rest) = docsLocal.splitAt(docsLocal.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+
+    // the delta path IS the streaming ingestion path: each micro-batch
+    // becomes segment <batchId>; per-segment overwrite makes replays
+    // idempotent (no ledger)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TextIndex.writeDelta(spark, batch, "bm25_stream", d, m, id)
+      }
+      .option("checkpointLocation", s"$d/_ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    assert(TextIndex.segmentIds(spark, "bm25_stream", d).size == 3)
+
+    val mRef = TextIndex.build(spark, documents, "bm25_ref", dRef)
+    val want = TextIndex.probe(spark, "bm25_ref", dRef, terms, mRef, 25)
+      .collect().toSeq
+    val got = TextIndex.probe(spark, "bm25_stream", d, terms, m, 25)
+      .collect().toSeq
+    assert(got == want && want.nonEmpty)
+
+    // exact redelivery of an already-committed batch: segment rewritten
+    // with identical content — answers unchanged
+    TextIndex.writeDelta(spark,
+      b2.toDF("doc_id", "source", "text"), "bm25_stream", d, m, 1L)
+    val replayed = TextIndex.probe(spark, "bm25_stream", d, terms, m, 25)
+      .collect().toSeq
+    assert(replayed == want)
   }
 
   test("build is deterministic: two builds serve identical probe answers") {
