@@ -365,11 +365,67 @@ object MultimodalQueries {
       FROM cand WHERE bit_count(xor(ha, hb)) <= $DhashMaxHam
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
+  // --- q199: real ISO-BMFF (MP4) header decode — video metadata ----------
+  // Completes the image/audio/VIDEO multimodal triple (q68/q70/q199):
+  // each document fabricates a spec-valid MP4 box tree (ftyp +
+  // moov{mvhd, trak{tkhd}} written literally from ISO/IEC 14496-12;
+  // every 11th doc a truncated non-video payload) with movie
+  // timescale/duration and track dimensions derived arithmetically
+  // from (doc_id, n_chars). The native video_meta_long expression
+  // parses duration-ms/width/height BACK out of the raw bytes — the
+  // oracle predicts them with pure arithmetic (duration_ms replayed
+  // as the same integer division) and never touches a byte, so the
+  // hash match proves the big-endian box encode→parse round-trip.
+  // Scale shape: fabricate + parse fuse into one codegen'd map pass,
+  // then a tiny (source, format) rollup.
+  private val q199 = Q(
+    (spark, dir) => {
+      val d = docs(spark, dir)
+        .select(col("source"), col("doc_id"),
+          (lit(600) + (col("doc_id") % 90) * 100).as("ts0"),
+          (col("n_chars") % 100000 + lit(600)).as("dur0"),
+          (col("doc_id") % 1920 + 16).as("w0"),
+          (col("n_chars") % 1080 + 16).as("h0"))
+        .withColumn("payload",
+          when(col("doc_id") % 11 === 0, unhex(lit("0000001466747970"))) // truncated
+            .otherwise(Multimodal.mp4Payload(
+              col("ts0"), col("dur0"), col("w0"), col("h0"))))
+      val m = Multimodal.videoMeta(col("payload"))
+      d.select(col("source"),
+          when(m.isNull, lit("unknown")).otherwise(lit("mp4")).as("format"),
+          Multimodal.metaDurationMs(m).as("dur_ms"),
+          Multimodal.metaVideoWidth(m).as("w"),
+          Multimodal.metaVideoHeight(m).as("h"))
+        .groupBy(col("source"), col("format"))
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("dur_ms")).as("sum_dur_ms"), max(col("dur_ms")).as("max_dur_ms"),
+          max(col("w")).as("max_width"), max(col("h")).as("max_height"))
+        .orderBy(col("source"), col("format"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT source,
+               CASE WHEN doc_id % 11 = 0 THEN 'unknown' ELSE 'mp4' END AS format,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE (1000 * (n_chars % 100000 + 600))
+                           // (600 + (doc_id % 90) * 100) END AS dur_ms,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id % 1920 + 16 END AS w,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars % 1080 + 16 END AS h
+        FROM documents)
+      SELECT source, format, count(*) AS n_videos,
+             CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+             CAST(max(dur_ms) AS BIGINT) AS max_dur_ms,
+             CAST(max(w) AS BIGINT) AS max_width,
+             CAST(max(h) AS BIGINT) AS max_height
+      FROM f GROUP BY 1, 2
+      ORDER BY source ASC NULLS FIRST, format ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q31_multimodal_features" -> q31,
     "q65_frame_sample" -> q65,
     "q68_image_dims" -> q68,
     "q70_audio_meta" -> q70,
     "q144_aspect_buckets" -> q144,
-    "q150_dhash_neardup" -> q150)
+    "q150_dhash_neardup" -> q150,
+    "q199_video_meta" -> q199)
 }

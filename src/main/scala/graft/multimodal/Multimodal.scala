@@ -169,6 +169,57 @@ object Multimodal {
       le32(byteRate), le16(channels * 2), le16(lit(16)))
   }
 
+  /** `(durationMs << 26) | (width << 13) | height` parsed from an
+    * ISO-BMFF (MP4/MOV) payload's moov/mvhd + trak/tkhd boxes, NULL
+    * for anything unrecognizable — video's [[imageDims]]
+    * ([[graft.plans.VideoMetaLong]], codegen'd). */
+  def videoMeta(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.VideoMetaLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+
+  /** Duration-ms / width / height fields of a [[videoMeta]] value. */
+  def metaDurationMs(m: Column): Column = shiftright(m, 26)
+  def metaVideoWidth(m: Column): Column = shiftright(m, 13).bitwiseAND(lit(8191L))
+  def metaVideoHeight(m: Column): Column = m.bitwiseAND(lit(8191L))
+
+  /** Minimal spec-valid ISO-BMFF (MP4) prefix: `ftyp` (isom) + `moov`
+    * holding an mvhd v0 with the given movie timescale/duration and
+    * one trak/tkhd v0 with the given 16.16 width/height — the box
+    * layout written LITERALLY from ISO/IEC 14496-12 §8.2.2 / §8.3.2
+    * (unity matrix, next_track_ID 2, track flags enabled|in_movie|
+    * in_preview). Enough container for any header parser; no mdat,
+    * which header parsing never reads. No JDK encoder exists for
+    * ISO-BMFF (unlike PNG/JPEG/BMP/WAV), so the spec verifies the
+    * parser against these literal layouts and hand-built v1 variants
+    * instead of a round-trip. */
+  def mp4Payload(timescale: Column, duration: Column,
+                 width: Column, height: Column): Column = {
+    val unityMatrix =
+      "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000"
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"
+    concat(
+      unhex(lit(ftyp)),
+      unhex(lit("000000D8" + "6D6F6F76")),              // moov (216)
+      unhex(lit("0000006C" + "6D766864" + "00000000" +  // mvhd v0 (108)
+        "00000000" + "00000000")),                      // creation, modification
+      be32(timescale), be32(duration),
+      unhex(lit("00010000" + "0100" + "0000" +          // rate, volume, reserved
+        "0000000000000000" + unityMatrix +              // reserved2, matrix
+        "0" * 48 + "00000002")),                        // pre_defined, next_track_ID
+      unhex(lit("00000064" + "7472616B")),              // trak (100)
+      unhex(lit("0000005C" + "746B6864" + "00000007" +  // tkhd v0 (92), flags 7
+        "00000000" + "00000000" + "00000001" +          // creation, mod, track_ID
+        "00000000")),                                   // reserved
+      be32(duration),
+      unhex(lit("0000000000000000" +                    // reserved
+        "0000" + "0000" + "0000" + "0000" +             // layer, alt, volume, rsvd
+        unityMatrix)),
+      be16(width), unhex(lit("0000")),                  // width  16.16
+      be16(height), unhex(lit("0000")))                 // height 16.16
+  }
+
   /** Decode with the REAL batch shape: partition-parallel
     * `mapPartitions` over typed media rows, one decoder session per
     * partition. Header decode (dimensions) is REAL — ImageHeader's

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeSegmentsArray)
     ext.injectFunction(GraftExtensions.multiMatchPackLong)
     ext.injectFunction(GraftExtensions.topKPairsLong)
+    ext.injectFunction(GraftExtensions.videoMetaLong)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -105,6 +106,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "audio_meta_long takes exactly 1 argument")
       AudioMetaLong(children.head)
+    })
+
+  private val videoMetaLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("video_meta_long"),
+    new ExpressionInfo(classOf[VideoMetaLong].getName, "video_meta_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "video_meta_long takes exactly 1 argument")
+      VideoMetaLong(children.head)
     })
 
   private val zorderLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -199,7 +208,7 @@ object GraftExtensions {
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
              imageDimsLong, audioMetaLong, misraGriesTerms, zorderLong,
              bmpDhashLong, bpeCountLong, bpeCountTextLong, bpeSegmentsArray,
-             multiMatchPackLong, topKPairsLong))
+             multiMatchPackLong, topKPairsLong, videoMetaLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
