@@ -762,6 +762,90 @@ object WarehouseQueries {
       ORDER BY child_col ASC, parent_col ASC"""
     })
 
+  // --- q200: feature hashing (hashing trick) with collision audit --------
+  // Model-input assembly for large-scale training (Weinberger et al.
+  // ICML'09, the vowpal-wabbit discipline): categorical features map
+  // to a FIXED D-slot space via slot = h(feature) mod D with a second
+  // hash supplying the ±1 sign, so the feature space never needs a
+  // fitted vocabulary — the property that makes it the only encoder
+  // that works on a 100 TB stream without a global distinct pass. The
+  // price is collisions, and this query is the AUDIT a pipeline runs
+  // before trusting D: per feature family, raw-feature count, slots
+  // used, features sharing a slot with another RAW feature anywhere in
+  // the (global, shared) slot space, the heaviest slot's load, plus
+  // row-instance counts and the signed checksum (the sum every
+  // hashed-feature vector assembly must conserve).
+  //
+  // Determinism: slots/signs are the suite's md5-derived hash60
+  // (replayed verbatim in the oracle), salted 'fh|'/'sg|' so slot and
+  // sign are independent. Scale shape: the per-row work is a 3-element
+  // explode + two md5s (map-only, codegen'd); every aggregate
+  // two-phases over the bounded DISTINCT feature set (vocabulary-
+  // sized, not row-sized), and the slot-load join is dimension-sized.
+  // D = 1024 with a ~3k-value family makes collisions certain and the
+  // audit's numbers non-trivial at every sf.
+  private val FhSlots = 1024L
+  private val q200 = Q(
+    (spark, dir) => {
+      val feats = Tables.customer(spark, dir).select(explode(array(
+        concat_ws("=", lit("seg"), col("c_mktsegment")),
+        concat_ws("=", lit("nat"), col("c_nationkey").cast("string")),
+        concat_ws("=", lit("key"), (col("c_custkey") % 3000).cast("string"))
+      )).as("feature"))
+      val w = feats.select(col("feature"),
+        substring_index(col("feature"), "=", 1).as("family"),
+        pmod(operators.Kmv.hash60(concat(lit("fh|"), col("feature"))),
+          lit(FhSlots)).as("slot"),
+        (lit(1L) - lit(2L) *
+          pmod(operators.Kmv.hash60(concat(lit("sg|"), col("feature"))),
+            lit(2L))).as("sign"))
+      val inst = w.groupBy(col("family"))
+        .agg(count(lit(1)).as("n_instances"), sum(col("sign")).as("sum_sign"))
+      val raw = w.select(col("family"), col("feature"), col("slot")).distinct()
+      val load = raw.groupBy(col("slot")).agg(count(lit(1)).as("slot_load"))
+      val audit = raw.join(load, Seq("slot"))
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("slot")).as("n_slots"),
+          sum(when(col("slot_load") > 1, 1L).otherwise(0L)).as("n_collided_raw"),
+          max(col("slot_load")).as("max_slot_load"))
+      audit.join(inst, Seq("family"))
+        .select(col("family"), col("n_raw"), col("n_slots"),
+          col("n_collided_raw"), col("max_slot_load"),
+          col("n_instances"), col("sum_sign"))
+        .orderBy(col("family").asc_nulls_first)
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT 'seg=' || c_mktsegment AS feature FROM customer
+        UNION ALL
+        SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'key=' || CAST(c_custkey % 3000 AS VARCHAR) FROM customer),
+      w AS (
+        SELECT feature, split_part(feature, '=', 1) AS family,
+               CAST(('0x' || substr(md5('fh|' || feature), 1, 15)) AS BIGINT)
+                 % $FhSlots AS slot,
+               1 - 2 * (CAST(('0x' || substr(md5('sg|' || feature), 1, 15))
+                 AS BIGINT) % 2) AS sign
+        FROM f),
+      inst AS (SELECT family, CAST(count(*) AS BIGINT) AS n_instances,
+                      CAST(sum(sign) AS BIGINT) AS sum_sign
+               FROM w GROUP BY 1),
+      raw AS (SELECT DISTINCT family, feature, slot FROM w),
+      ld AS (SELECT slot, count(*) AS slot_load FROM raw GROUP BY 1),
+      audit AS (
+        SELECT family, CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(count(DISTINCT r.slot) AS BIGINT) AS n_slots,
+               CAST(sum(CASE WHEN l.slot_load > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_collided_raw,
+               CAST(max(l.slot_load) AS BIGINT) AS max_slot_load
+        FROM raw r JOIN ld l ON l.slot = r.slot GROUP BY 1)
+      SELECT a.family, n_raw, n_slots, n_collided_raw, max_slot_load,
+             n_instances, sum_sign
+      FROM audit a JOIN inst i ON i.family = a.family
+      ORDER BY a.family ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q109_scd2" -> q109,
     "q110_grouping_sets" -> q110,
@@ -774,5 +858,6 @@ object WarehouseQueries {
     "q169_completeness" -> q169,
     "q170_benford" -> q170,
     "q187_k_anonymity" -> q187,
-    "q192_inclusion_deps" -> q192)
+    "q192_inclusion_deps" -> q192,
+    "q200_feature_hashing" -> q200)
 }
