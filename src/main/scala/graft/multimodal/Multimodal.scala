@@ -220,6 +220,52 @@ object Multimodal {
       be16(height), unhex(lit("0000")))                 // height 16.16
   }
 
+  /** [[mp4Payload]]'s adversarial sibling: an AUDIO-FIRST two-track
+    * ISO-BMFF file — trak 1 is a sound track (tkhd dims 0×0, mdia/hdlr
+    * handler_type 'soun'), trak 2 is the video track carrying the real
+    * 16.16 width/height and an mdia/hdlr of 'vide'. A first-trak-wins
+    * parser reports 0×0 for this file; the hdlr-walking selector must
+    * report the video track's dimensions (VERDICT r8 #4). Box sizes
+    * are the literal §8.3.2/§8.4.3 layouts: hdlr = 33 bytes (version/
+    * flags + pre_defined + handler_type + 12 reserved + NUL name),
+    * mdia = 41, trak = 141, moov = 398. */
+  def mp4TwoTrackPayload(timescale: Column, duration: Column,
+                         width: Column, height: Column): Column = {
+    val unityMatrix =
+      "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000"
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"
+    def hdlr(handler4cc: String) =
+      "00000021" + "68646C72" + "00000000" + "00000000" + handler4cc +
+        "0" * 24 + "00"
+    def mdia(handler4cc: String) = "00000029" + "6D646961" + hdlr(handler4cc)
+    def tkhdHead(trackId: String) =
+      "0000005C" + "746B6864" + "00000007" +              // tkhd v0 (92), flags 7
+        "00000000" + "00000000" + trackId + "00000000"    // creation, mod, ID, rsvd
+    val tkhdMid = "0000000000000000" +                    // reserved
+      "0000" + "0000" + "0000" + "0000" + unityMatrix     // layer, alt, vol, rsvd
+    concat(
+      unhex(lit(ftyp)),
+      unhex(lit("0000018E" + "6D6F6F76")),                // moov (398)
+      unhex(lit("0000006C" + "6D766864" + "00000000" +    // mvhd v0 (108)
+        "00000000" + "00000000")),                        // creation, modification
+      be32(timescale), be32(duration),
+      unhex(lit("00010000" + "0100" + "0000" +            // rate, volume, reserved
+        "0000000000000000" + unityMatrix +                // reserved2, matrix
+        "0" * 48 + "00000003")),                          // pre_defined, next_track_ID
+      // trak 1 (141): the AUDIO track — tkhd dims 0x0, hdlr 'soun'
+      unhex(lit("0000008D" + "7472616B" + tkhdHead("00000001"))),
+      be32(duration),
+      unhex(lit(tkhdMid + "00000000" + "00000000" + mdia("736F756E"))),
+      // trak 2 (141): the VIDEO track — real dims, hdlr 'vide'
+      unhex(lit("0000008D" + "7472616B" + tkhdHead("00000002"))),
+      be32(duration),
+      unhex(lit(tkhdMid)),
+      be16(width), unhex(lit("0000")),                    // width  16.16
+      be16(height), unhex(lit("0000")),                   // height 16.16
+      unhex(lit(mdia("76696465"))))
+  }
+
   /** Decode with the REAL batch shape: partition-parallel
     * `mapPartitions` over typed media rows, one decoder session per
     * partition. Header decode (dimensions) is REAL — ImageHeader's

@@ -16,12 +16,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * Subset honestly supported (and rejected otherwise, never guessed):
   * plain u32 box sizes only — `size == 1` (64-bit largesize) and
   * `size == 0` (box-extends-to-EOF) return -1; mvhd/tkhd versions 0
-  * AND 1; the FIRST tkhd in moov supplies the dimensions (fine for
-  * single-video-track files; a multi-track selector would walk mdia
-  * handlers). Every declared size is bounds-checked BEFORE use so a
-  * crafted header can neither overrun the buffer nor walk the cursor
-  * backwards (the AudioHeader lesson, ADVICE r7 on BmpPixels applied
-  * from birth: all size/offset arithmetic in Long).
+  * AND 1. Track selection walks each trak's mdia/hdlr (handler_type
+  * 4cc at byte 16 of the hdlr box, §8.4.3) and takes the FIRST trak
+  * whose handler is 'vide' — so an audio-first MP4 reports the video
+  * track's dimensions, not the audio track's 0×0; when no trak
+  * carries a parseable 'vide' handler, the first trak with a tkhd
+  * supplies the dimensions (the single-track fallback). Every
+  * declared size is bounds-checked BEFORE use — including the
+  * version byte, which needs the box to be at least 12 bytes
+  * (header + version/flags) — so a crafted header can neither
+  * overrun the buffer nor walk the cursor backwards (the AudioHeader
+  * lesson, ADVICE r7 on BmpPixels applied from birth: all
+  * size/offset arithmetic in Long).
   */
 object VideoHeader {
 
@@ -35,6 +41,7 @@ object VideoHeader {
   def parseMeta(b: Array[Byte]): Long = {
     if (b == null || b.length < 16) return -1L
     var ts = -1L; var dur = -1L; var w = -1L; var h = -1L
+    var vidFound = false // a 'vide'-handler trak already supplied w/h
     var i = 0L
     while (i + 8 <= b.length) {
       val size = be32(b, i)
@@ -47,6 +54,7 @@ object VideoHeader {
           val cs = be32(b, j)
           if (cs < 8 || j + cs > end) return -1L
           if (is4cc(b, j + 4, 'm', 'v', 'h', 'd')) {
+            if (cs < 12) return -1L // version byte needs a full header
             val ver = b((j + 8).toInt) & 0xff
             if (ver == 0) {
               if (cs < 28) return -1L
@@ -55,24 +63,42 @@ object VideoHeader {
               if (cs < 40) return -1L
               ts = be32(b, j + 28); dur = be64(b, j + 32)
             } else return -1L
-          } else if (is4cc(b, j + 4, 't', 'r', 'a', 'k') && w < 0) {
-            // first trak: find its tkhd
+          } else if (is4cc(b, j + 4, 't', 'r', 'a', 'k') && !vidFound) {
+            // this trak's tkhd dims + whether its mdia/hdlr says 'vide'
+            var tw = -1L; var th = -1L; var isVide = false
             var k = j + 8
             val tend = j + cs
-            while (k + 8 <= tend && w < 0) {
+            while (k + 8 <= tend) {
               val ks = be32(b, k)
               if (ks < 8 || k + ks > tend) return -1L
-              if (is4cc(b, k + 4, 't', 'k', 'h', 'd')) {
+              if (is4cc(b, k + 4, 't', 'k', 'h', 'd') && tw < 0) {
+                if (ks < 12) return -1L // version byte needs a full header
                 val ver = b((k + 8).toInt) & 0xff
                 val (wOff, hOff) =
                   if (ver == 0) (84L, 88L)
                   else if (ver == 1) (96L, 100L)
                   else return -1L
                 if (ks < hOff + 4) return -1L
-                w = be32(b, k + wOff) >> 16 // 16.16 integer part
-                h = be32(b, k + hOff) >> 16
+                tw = be32(b, k + wOff) >> 16 // 16.16 integer part
+                th = be32(b, k + hOff) >> 16
+              } else if (is4cc(b, k + 4, 'm', 'd', 'i', 'a') && !isVide) {
+                // hdlr: handler_type 4cc at byte 16 of the box (§8.4.3);
+                // a box too short to hold it is simply not a handler
+                var m = k + 8
+                val mend = k + ks
+                while (m + 8 <= mend && !isVide) {
+                  val ms = be32(b, m)
+                  if (ms < 8 || m + ms > mend) return -1L
+                  if (is4cc(b, m + 4, 'h', 'd', 'l', 'r') && ms >= 20 &&
+                      is4cc(b, m + 16, 'v', 'i', 'd', 'e')) isVide = true
+                  m += ms
+                }
               }
               k += ks
+            }
+            if (tw >= 0) {
+              if (w < 0 || isVide) { w = tw; h = th }
+              if (isVide) vidFound = true
             }
           }
           j += cs

@@ -44,7 +44,9 @@ class HeaderFuzzSpec extends SparkSpec {
       Multimodal.jpegPayload(lit(640), lit(480)).as("jpg"),
       Multimodal.wavPayload(lit(44100), lit(2)).as("wav"),
       Multimodal.mp4Payload(lit(600), lit(90000), lit(1280), lit(720)).as("mp4"),
-      Multimodal.bmpPayload((x, y) => lit(x * 8 + y)).as("bmp"))
+      Multimodal.bmpPayload((x, y) => lit(x * 8 + y)).as("bmp"),
+      Multimodal.mp4TwoTrackPayload(lit(600), lit(90000), lit(1280), lit(720))
+        .as("mp4v2"))
       .collect().head.toSeq.map(_.asInstanceOf[Array[Byte]])
   }
 
@@ -85,11 +87,52 @@ class HeaderFuzzSpec extends SparkSpec {
     })
   }
 
+  /** STRUCTURED mutations — the band random byte flips miss (ADVICE
+    * r8: the mvhd-at-exact-buffer-end crash needed a box ending
+    * precisely where the buffer does): declared-size off-by-one at
+    * every 32-bit position, truncation at every prefix length, and
+    * truncation with a bare 4cc re-appended at the new end. */
+  private lazy val structuredMutation: Gen[Array[Byte]] = for {
+    base <- Gen.oneOf(validPayloads)
+    kind <- Gen.choose(0, 2)
+    off <- Gen.choose(0, math.max(0, base.length - 4))
+    delta <- Gen.oneOf(-1L, 1L)
+    cut <- Gen.choose(0, base.length)
+    cc <- Gen.oneOf("mvhd", "tkhd", "trak", "moov", "hdlr", "mdia", "fmt ")
+  } yield kind match {
+    case 0 => // u32 off-by-one: a box that claims one byte more/less
+      val out = base.clone()
+      val v = ((out(off) & 0xffL) << 24) | ((out(off + 1) & 0xffL) << 16) |
+        ((out(off + 2) & 0xffL) << 8) | (out(off + 3) & 0xffL)
+      val nv = v + delta
+      out(off) = ((nv >> 24) & 0xff).toByte
+      out(off + 1) = ((nv >> 16) & 0xff).toByte
+      out(off + 2) = ((nv >> 8) & 0xff).toByte
+      out(off + 3) = (nv & 0xff).toByte
+      out
+    case 1 => base.take(cut) // truncation anywhere, incl. mid-header
+    case 2 => // a 4cc landing EXACTLY at the buffer end
+      base.take(cut) ++ cc.getBytes("US-ASCII")
+  }
+
+  test("property: no header parser ever throws on structured mutations") {
+    pass(Prop.forAll(structuredMutation) { b =>
+      parsers.forall { case (name, f) =>
+        try { f(b); true }
+        catch { case e: Throwable =>
+          throw new AssertionError(
+            s"$name threw on a ${b.length}-byte structured mutation", e)
+        }
+      }
+    })
+  }
+
   test("sanity: the unmutated payloads parse in their own parser") {
-    val Seq(png, jpg, wav, mp4, bmp) = validPayloads
+    val Seq(png, jpg, wav, mp4, bmp, mp4v2) = validPayloads
     assert(ImageHeader.parseDims(png) >= 0 && ImageHeader.parseDims(jpg) >= 0)
     assert(AudioHeader.parseMeta(wav) >= 0)
     assert(VideoHeader.parseMeta(mp4) >= 0)
+    assert(VideoHeader.parseMeta(mp4v2) >= 0)
     assert(BmpPixels.dhash(bmp) >= -1L) // -1 only for the degenerate hash
   }
 }

@@ -40,6 +40,15 @@ class VideoMetaSpec extends SparkSpec {
     box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
       "isom".getBytes("US-ASCII"))
 
+  /** Hand-built hdlr (§8.4.3): version/flags + pre_defined +
+    * handler_type + 12 reserved + NUL name. */
+  private def hdlr(handler: String): Array[Byte] =
+    box("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+      handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++ Array[Byte](0))
+
+  private def trak(tkhd: Array[Byte], handler: Option[String]): Array[Byte] =
+    box("trak", tkhd ++ handler.map(h => box("mdia", hdlr(h))).toSeq.flatten)
+
   test("builder payloads round-trip through the expression (codegen'd)") {
     val out = Seq((1L, 600L, 90000L, 640L, 360L), (2L, 90000L, 123456L, 1920L, 1080L),
       (3L, 1000L, 1L, 16L, 16L))
@@ -89,6 +98,80 @@ class VideoMetaSpec extends SparkSpec {
         s"crafted ${b.length}-byte payload must reject")
     }
     assert(VideoHeader.parseMeta(good) >= 0L)
+  }
+
+  test("audio-first MP4 reports the VIDEO track's dims (hdlr selection)") {
+    // trak 1 is a sound track (0x0 dims, hdlr 'soun'); trak 2 carries
+    // the real dimensions under hdlr 'vide' — first-trak-wins would
+    // report 0x0 (VERDICT r8 #4); the hdlr walk must pick trak 2
+    val m = VideoHeader.parseMeta(ftyp ++ box("moov",
+      mvhdV1(90000L, 9000000L) ++
+        trak(tkhdV1(0L, 0L), Some("soun")) ++
+        trak(tkhdV1(1920L, 1080L), Some("vide"))))
+    assert(m >= 0L, "two-track file did not parse")
+    assert(((m >> 13) & 8191L, m & 8191L) == ((1920L, 1080L)),
+      "must report the video track's dims, not the audio track's 0x0")
+    // selection stops at the FIRST video track: a second 'vide' trak
+    // never overrides it
+    val m2 = VideoHeader.parseMeta(ftyp ++ box("moov",
+      mvhdV1(600L, 600L) ++
+        trak(tkhdV1(0L, 0L), Some("soun")) ++
+        trak(tkhdV1(640L, 360L), Some("vide")) ++
+        trak(tkhdV1(3840L, 2160L), Some("vide"))))
+    assert(((m2 >> 13) & 8191L, m2 & 8191L) == ((640L, 360L)))
+  }
+
+  test("builder two-track payload round-trips through the expression (codegen'd)") {
+    val out = Seq((1L, 600L, 90000L, 640L, 360L), (2L, 90000L, 123456L, 1920L, 1080L))
+      .toDF("id", "ts", "dur", "w", "h")
+      .select(col("id"), col("ts"), col("dur"), col("w"), col("h"),
+        Multimodal.videoMeta(Multimodal.mp4TwoTrackPayload(
+          col("ts"), col("dur"), col("w"), col("h"))).as("m"))
+      .select(col("id"),
+        ((Multimodal.metaDurationMs(col("m")) ===
+          expr("(dur * 1000) div ts")) &&
+          (Multimodal.metaVideoWidth(col("m")) === col("w")) &&
+          (Multimodal.metaVideoHeight(col("m")) === col("h"))).as("ok"))
+      .collect()
+    assert(out.forall(_.getBoolean(1)),
+      "two-track builder fields must round-trip to the VIDEO track's values")
+  }
+
+  test("no parseable 'vide' handler: first trak with a tkhd is the fallback") {
+    // no hdlr anywhere (the q199 fixture shape): first trak wins
+    val m = VideoHeader.parseMeta(ftyp ++ box("moov",
+      mvhdV1(600L, 600L) ++
+        trak(tkhdV1(100L, 50L), None) ++
+        trak(tkhdV1(640L, 360L), None)))
+    assert(((m >> 13) & 8191L, m & 8191L) == ((100L, 50L)))
+    // explicit non-video handlers only: still the first-trak fallback
+    val m2 = VideoHeader.parseMeta(ftyp ++ box("moov",
+      mvhdV1(600L, 600L) ++
+        trak(tkhdV1(7L, 9L), Some("soun")) ++
+        trak(tkhdV1(640L, 360L), Some("text"))))
+    assert(((m2 >> 13) & 8191L, m2 & 8191L) == ((7L, 9L)))
+  }
+
+  test("boundary boxes at exact buffer end reject, never throw (ADVICE r8)") {
+    // an 8-byte mvhd whose version byte would sit AT the buffer end —
+    // the exact payload that used to throw ArrayIndexOutOfBounds
+    assert(VideoHeader.parseMeta(box("moov", box("mvhd", Array.empty))) == -1L)
+    // the tkhd analog: 8-byte tkhd at the very end of the buffer
+    assert(VideoHeader.parseMeta(box("moov",
+      mvhdV1(600L, 600L) ++ box("trak", box("tkhd", Array.empty)))) == -1L)
+    // 9..11-byte boxes (header present, version byte inside but flags
+    // truncated) are also rejected by the cs >= 12 guard
+    (1 to 3).foreach { n =>
+      assert(VideoHeader.parseMeta(box("moov",
+        box("mvhd", Array.fill[Byte](n)(0)))) == -1L)
+      assert(VideoHeader.parseMeta(box("moov", mvhdV1(600L, 600L) ++
+        box("trak", box("tkhd", Array.fill[Byte](n)(0))))) == -1L)
+    }
+    // an 8-byte hdlr (too short for a handler_type) is not a video
+    // handler but must not reject the file either
+    val m = VideoHeader.parseMeta(ftyp ++ box("moov", mvhdV1(600L, 600L) ++
+      box("trak", tkhdV1(640L, 360L) ++ box("mdia", box("hdlr", Array.empty)))))
+    assert(((m >> 13) & 8191L, m & 8191L) == ((640L, 360L)))
   }
 
   test("SQL surface: video_meta_long registered") {
