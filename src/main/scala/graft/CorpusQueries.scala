@@ -690,15 +690,25 @@ object CorpusQueries {
   // amortizes over every query q91 would otherwise pay a corpus scan
   // for; probe reads |query terms| / |vocabulary| of the index. Bench
   // time includes the build+write (honest one-shot cost).
+  /** (index name, index dir) for the persisted BM25 index — shared by
+    * the build+probe registry query and the probe-only bench twin. */
+  private def bm25Handle(dir: String): (String, String) =
+    ("bm25_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-bm25-index")
+
+  private def bm25ProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = bm25Handle(dir)
+    graft.operators.TextIndex.probe(spark, name, idxDir, QTerms, topk = 25)
+  }
+
   private val q198 = Q(
     (spark, dir) => {
-      val name = "bm25_" + math.abs(dir.hashCode).toString
-      val idxDir = sys.props("java.io.tmpdir") + "/graft-bm25-index"
-      val meta = graft.operators.TextIndex.build(spark,
+      val (name, idxDir) = bm25Handle(dir)
+      graft.operators.TextIndex.build(spark,
         docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
         name, idxDir)
-      graft.operators.TextIndex.probe(spark, name, idxDir, QTerms, meta,
-        topk = 25)
+      // probe discovers geometry from the persisted meta sidecar
+      bm25ProbeOnly(spark, dir)
     },
     Some {
       s"""
@@ -1704,4 +1714,9 @@ object CorpusQueries {
     "q190_postings_cost" -> q190,
     "q191_pmi_collocations" -> q191,
     "q198_bm25_probe" -> q198)
+
+  /** Probe-ONLY serving twin of q198 (VERDICT r8 #5) — see
+    * [[VectorQueries.probeOnly]] for the contract. */
+  val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q198_bm25_probe" -> (bm25ProbeOnly(_, _)))
 }

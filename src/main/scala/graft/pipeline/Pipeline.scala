@@ -113,6 +113,12 @@ object TierCommit {
   private def swapTmp(t: Path) = new Path(t.getParent, t.getName + ".__swap_tmp")
   private def swapOld(t: Path) = new Path(t.getParent, t.getName + ".__swap_old")
 
+  /** Where a stage for `target` must land — for writers that stage a
+    * whole directory TREE themselves (a segmented index: postings +
+    * stats + meta) rather than one DataFrame/file. Write the tree at
+    * this path, then [[commit]] promotes it under `target` atomically. */
+  def stagePath(target: String): String = swapTmp(new Path(target)).toString
+
   /** Stage a DataFrame at `target`'s tmp sibling (not yet visible). */
   def stageDf(spark: SparkSession, df: DataFrame, target: String,
               partitionBy: Seq[String] = Nil): Unit = {

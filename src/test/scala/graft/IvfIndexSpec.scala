@@ -24,7 +24,7 @@ class IvfIndexSpec extends SparkSpec {
       val queries = vectors.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
       val probe = IvfIndex.probe(spark, "ivf_spec", idxDir, queries,
-        meta.nprobe, topk = 3)
+        topk = 3)
       val plan = probe.queryExecution.executedPlan.toString
 
       // 1. the cell scan is statically bucket-pruned: fewer buckets
@@ -87,11 +87,11 @@ class IvfIndexSpec extends SparkSpec {
     val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
     // index A: built on half1, half2 added later under FROZEN centroids
     val mA = IvfIndex.build(spark, half1, "ivf_app", dA)
-    IvfIndex.append(spark, half2, "ivf_app", dA, mA)
+    IvfIndex.append(spark, half2, "ivf_app", dA)
     try {
       val queries = vectors.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
-      val got = IvfIndex.probe(spark, "ivf_app", dA, queries, mA.nprobe, 3)
+      val got = IvfIndex.probe(spark, "ivf_app", dA, queries, 3)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       // expected: the SAME frozen centroids (copied from index A)
       // assigning the FULL corpus — i.e. what a build would have
@@ -106,13 +106,49 @@ class IvfIndexSpec extends SparkSpec {
           col("q"), col("n2"))
       graft.operators.Layout.writeBucketed(allCells, "ivf_ref_cells",
         "cell", mA.buckets, s"$dB/ivf_ref_cells")
-      val want = IvfIndex.probe(spark, "ivf_ref", dB, queries, mA.nprobe, 3)
+      IvfIndex.writeMeta(spark, "ivf_ref", dB, mA) // hand-built index: sidecar too
+      val want = IvfIndex.probe(spark, "ivf_ref", dB, queries, 3)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       assert(got == want && want.nonEmpty)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_app_cells")
       spark.sql("DROP TABLE IF EXISTS ivf_ref_cells")
     }
+  }
+
+  test("FRESH session opens the index with only (name, dir): meta sidecar + catalog re-registration") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val mBuilt = IvfIndex.build(spark, vectors, "ivf_fresh", idxDir)
+    try {
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val want = IvfIndex.probe(spark, "ivf_fresh", idxDir, queries, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      // simulate the serving frontend: a session that never ran the
+      // build — no catalog entry, no Meta value in scope. Everything
+      // it has is (name, dir).
+      spark.sql("DROP TABLE ivf_fresh_cells")
+      val fresh = spark.newSession()
+      assert(!fresh.catalog.tableExists("ivf_fresh_cells"))
+      assert(IvfIndex.readMeta(fresh, "ivf_fresh", idxDir) == mBuilt,
+        "geometry must be discoverable from the persisted sidecar alone")
+      val freshQueries = Tables.embeddings(fresh, dir)
+        .select(col("vec_id"), graft.operators.VectorOps.quantized(col("embedding")).as("q"))
+        .withColumn("n2", VectorOps.qnorm2(col("q")))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val probe = IvfIndex.probe(fresh, "ivf_fresh", idxDir, freshQueries, 3)
+      // the re-registered table must still plan a statically
+      // bucket-pruned scan — the fresh session loses nothing
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"fresh-session cell scan not bucket-pruned:\n$plan")
+      assert(sel.get.group(2).toInt == mBuilt.buckets)
+      val got = probe.orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty,
+        "fresh-session probe must serve the building session's answers")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_fresh_cells")
   }
 
   test("build is deterministic: two builds serve identical probe answers") {
@@ -124,9 +160,9 @@ class IvfIndexSpec extends SparkSpec {
       assert(m1 == m2)
       val queries = vectors.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
-      val a = IvfIndex.probe(spark, "ivf_det1", d1, queries, m1.nprobe, 3)
+      val a = IvfIndex.probe(spark, "ivf_det1", d1, queries, 3)
         .orderBy(col("qid"), col("cid")).collect().toSeq
-      val b = IvfIndex.probe(spark, "ivf_det2", d2, queries, m2.nprobe, 3)
+      val b = IvfIndex.probe(spark, "ivf_det2", d2, queries, 3)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       assert(a == b && a.nonEmpty)
     } finally {

@@ -31,7 +31,7 @@ class IvfPqIndexSpec extends SparkSpec {
       m, subDim, ksub, iters)
     try {
       val probe = IvfPqIndex.probe(spark, "ivfpq_spec", idxDir, queries,
-        corpus, meta, cand = 20, topk = 5)
+        corpus, cand = 20, topk = 5)
       val plan = probe.queryExecution.executedPlan.toString
 
       // 1. the codes scan is statically bucket-pruned
@@ -79,10 +79,10 @@ class IvfPqIndexSpec extends SparkSpec {
     val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
     val mA = IvfPqIndex.build(spark, half1, "ivfpq_app", dA,
       m, subDim, ksub, iters)
-    IvfPqIndex.append(spark, half2, "ivfpq_app", dA, mA)
+    IvfPqIndex.append(spark, half2, "ivfpq_app", dA)
     try {
       val got = IvfPqIndex.probe(spark, "ivfpq_app", dA, queries, corpus,
-        mA, cand = 20, topk = 5)
+        cand = 20, topk = 5)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       // expected: the SAME frozen centroids + codebooks assigning and
       // encoding the FULL corpus — what a build would have written had
@@ -103,14 +103,47 @@ class IvfPqIndexSpec extends SparkSpec {
         .select(col("cell"), col("vid"), col("s"), col("code"))
       graft.operators.Layout.writeBucketed(postings, "ivfpq_ref_codes",
         "cell", mA.buckets, s"$dB/ivfpq_ref_codes")
+      IvfPqIndex.writeMeta(spark, "ivfpq_ref", dB, mA) // hand-built: sidecar too
       val want = IvfPqIndex.probe(spark, "ivfpq_ref", dB, queries, corpus,
-        mA, cand = 20, topk = 5)
+        cand = 20, topk = 5)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       assert(got == want && want.nonEmpty)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivfpq_app_codes")
       spark.sql("DROP TABLE IF EXISTS ivfpq_ref_codes")
     }
+  }
+
+  test("FRESH session opens the index with only (name, dir): meta sidecar + catalog re-registration") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val mBuilt = IvfPqIndex.build(spark, vectors, "ivfpq_fresh", idxDir,
+      m, subDim, ksub, iters)
+    try {
+      val want = IvfPqIndex.probe(spark, "ivfpq_fresh", idxDir, queries,
+        corpus, cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      spark.sql("DROP TABLE ivfpq_fresh_codes")
+      val fresh = spark.newSession()
+      assert(!fresh.catalog.tableExists("ivfpq_fresh_codes"))
+      assert(IvfPqIndex.readMeta(fresh, "ivfpq_fresh", idxDir) == mBuilt,
+        "full geometry (incl. PQ m/subDim/ksub) must round-trip the sidecar")
+      val fv = Tables.embeddings(fresh, dir)
+        .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+        .withColumn("n2", VectorOps.qnorm2(col("q")))
+      val fq = fv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val fc = fv.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+      val probe = IvfPqIndex.probe(fresh, "ivfpq_fresh", idxDir, fq, fc,
+        cand = 20, topk = 5)
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"fresh-session codes scan not bucket-pruned:\n$plan")
+      assert(sel.get.group(2).toInt == mBuilt.buckets)
+      val got = probe.orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_fresh_codes")
   }
 
   test("build is deterministic: two builds serve identical probe answers") {
@@ -123,10 +156,10 @@ class IvfPqIndexSpec extends SparkSpec {
     try {
       assert(m1 == m2)
       val a = IvfPqIndex.probe(spark, "ivfpq_det1", d1, queries, corpus,
-        m1, cand = 20, topk = 5)
+        cand = 20, topk = 5)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       val b = IvfPqIndex.probe(spark, "ivfpq_det2", d2, queries, corpus,
-        m2, cand = 20, topk = 5)
+        cand = 20, topk = 5)
         .orderBy(col("qid"), col("cid")).collect().toSeq
       assert(a == b && a.nonEmpty)
     } finally {

@@ -43,7 +43,7 @@ class TextIndexSpec extends SparkSpec {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val meta = TextIndex.build(spark, documents, "bm25_spec", idxDir)
 
-    val probe = TextIndex.probe(spark, "bm25_spec", idxDir, terms, meta,
+    val probe = TextIndex.probe(spark, "bm25_spec", idxDir, terms,
       topk = 25)
     val plan = probe.queryExecution.executedPlan
 
@@ -93,12 +93,12 @@ class TextIndexSpec extends SparkSpec {
     val half1 = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
     val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
     val m = TextIndex.build(spark, half1, "bm25_seg", dSeg)
-    TextIndex.appendDelta(spark, half2, "bm25_seg", dSeg, m)
+    TextIndex.appendDelta(spark, half2, "bm25_seg", dSeg)
     assert(TextIndex.segmentIds(spark, "bm25_seg", dSeg) == Seq(0L, 1L))
     val mFull = TextIndex.build(spark, documents, "bm25_full", dFull)
-    val got = TextIndex.probe(spark, "bm25_seg", dSeg, terms, m, 25)
+    val got = TextIndex.probe(spark, "bm25_seg", dSeg, terms, 25)
       .collect().toSeq
-    val want = TextIndex.probe(spark, "bm25_full", dFull, terms, mFull, 25)
+    val want = TextIndex.probe(spark, "bm25_full", dFull, terms, 25)
       .collect().toSeq
     // segment structure is unobservable: global stats are per-segment
     // sums, df counts the unioned pruned lists — answers are the
@@ -113,12 +113,13 @@ class TextIndexSpec extends SparkSpec {
     val half1 = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
     val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
     val m = TextIndex.build(spark, half1, "bm25_lsm", d)
-    TextIndex.appendDelta(spark, half2, "bm25_lsm", d, m)
-    val before = TextIndex.probe(spark, "bm25_lsm", d, terms, m, 25)
+    TextIndex.appendDelta(spark, half2, "bm25_lsm", d)
+    val before = TextIndex.probe(spark, "bm25_lsm", d, terms, 25)
       .collect().toSeq
-    val mc = TextIndex.compactTo(spark, "bm25_lsm", d, "bm25_lsm_c", m)
+    val mc = TextIndex.compactTo(spark, "bm25_lsm", d, "bm25_lsm_c")
+    assert(mc == m, "compaction must carry the geometry over")
     assert(TextIndex.segmentIds(spark, "bm25_lsm_c", d) == Seq(0L))
-    val after = TextIndex.probe(spark, "bm25_lsm_c", d, terms, mc, 25)
+    val after = TextIndex.probe(spark, "bm25_lsm_c", d, terms, 25)
       .collect().toSeq
     assert(after == before && before.nonEmpty)
   }
@@ -154,9 +155,9 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.segmentIds(spark, "bm25_stream", d).size == 3)
 
     val mRef = TextIndex.build(spark, documents, "bm25_ref", dRef)
-    val want = TextIndex.probe(spark, "bm25_ref", dRef, terms, mRef, 25)
+    val want = TextIndex.probe(spark, "bm25_ref", dRef, terms, 25)
       .collect().toSeq
-    val got = TextIndex.probe(spark, "bm25_stream", d, terms, m, 25)
+    val got = TextIndex.probe(spark, "bm25_stream", d, terms, 25)
       .collect().toSeq
     assert(got == want && want.nonEmpty)
 
@@ -164,9 +165,95 @@ class TextIndexSpec extends SparkSpec {
     // with identical content — answers unchanged
     TextIndex.writeDelta(spark,
       b2.toDF("doc_id", "source", "text"), "bm25_stream", d, m, 1L)
-    val replayed = TextIndex.probe(spark, "bm25_stream", d, terms, m, 25)
+    val replayed = TextIndex.probe(spark, "bm25_stream", d, terms, 25)
       .collect().toSeq
     assert(replayed == want)
+  }
+
+  test("atomic in-place compaction: probes see all-old or all-new across a crash") {
+    import graft.pipeline.TierCommit
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val half1 = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val half2 = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+    TextIndex.build(spark, half1, "bm25_live", d)
+    TextIndex.appendDelta(spark, half2, "bm25_live", d)
+    assert(TextIndex.segmentIds(spark, "bm25_live", d) == Seq(0L, 1L))
+    val answers = TextIndex.probe(spark, "bm25_live", d, terms, 25)
+      .collect().toSeq
+
+    // CRASH 1: after the compaction is staged but BEFORE the manifest
+    // rename (= before the commit point). A reader healing first sees
+    // the index untouched: ALL-OLD, both segments, same answers.
+    TextIndex.stageCompactInPlace(spark, "bm25_live", d)
+    assert(!TierCommit.heal(spark, d), "no manifest yet: heal is a no-op")
+    assert(TextIndex.segmentIds(spark, "bm25_live", d) == Seq(0L, 1L))
+    assert(TextIndex.probe(spark, "bm25_live", d, terms, 25)
+      .collect().toSeq == answers)
+
+    // CRASH 2: after the manifest rename (= the commit point) but
+    // before any promotion ran. The reader's heal rolls the swap
+    // FORWARD: ALL-NEW — one compacted segment, identical answers.
+    TierCommit.writeManifest(spark, d, Seq(s"$d/bm25_live"))
+    assert(TierCommit.heal(spark, d), "manifest present: heal must promote")
+    assert(TextIndex.segmentIds(spark, "bm25_live", d) == Seq(0L),
+      "healed index must be the compacted one-segment layout")
+    assert(TextIndex.probe(spark, "bm25_live", d, terms, 25)
+      .collect().toSeq == answers,
+      "compaction is answer-invariant across the crash-healed swap")
+
+    // and the uninterrupted path: rebuild-in-place from the full
+    // corpus over the live index — same answers, single segment
+    TextIndex.rebuildInPlace(spark, documents, "bm25_live", d)
+    assert(TextIndex.segmentIds(spark, "bm25_live", d) == Seq(0L))
+    assert(TextIndex.probe(spark, "bm25_live", d, terms, 25)
+      .collect().toSeq == answers)
+    TextIndex.compactInPlace(spark, "bm25_live", d)
+    assert(TextIndex.probe(spark, "bm25_live", d, terms, 25)
+      .collect().toSeq == answers)
+  }
+
+  test("FRESH session opens the index with only (name, dir) via the meta sidecar") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val built = TextIndex.build(spark, documents, "bm25_fresh", d)
+    val want = TextIndex.probe(spark, "bm25_fresh", d, terms, 25)
+      .collect().toSeq
+    val fresh = spark.newSession()
+    assert(TextIndex.readMeta(fresh, "bm25_fresh", d) == built)
+    val got = TextIndex.probe(fresh, "bm25_fresh", d, terms, 25)
+      .collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("probe terms are not restricted to identifier-safe strings (ADVICE r8)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // terms with '.' and '`' are legal postings keys the tokenizer
+    // emits; the probe's positional tf_i/df_i fold must handle them
+    val docsDf = Seq(
+      (1L, "s", "a.b a.b x`y plain"),
+      (2L, "s", "plain plain other"),
+      (3L, "s", "other other other"))
+      .toDF("doc_id", "source", "text")
+    TextIndex.build(spark, docsDf, "bm25_dots", d)
+    val got = TextIndex.probe(spark, "bm25_dots", d,
+      Seq("a.b", "x`y"), topk = 10).collect().toSeq
+    assert(got.map(_.getLong(0)) == Seq(1L),
+      "only doc 1 contains the dotted/backticked terms")
+    assert(got.head.getAs[Double]("score") > 0.0)
+  }
+
+  test("a stray non-numeric seg= directory never breaks probes (ADVICE r8)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextIndex.build(spark, documents, "bm25_stray", d)
+    val want = TextIndex.probe(spark, "bm25_stray", d, terms, 25)
+      .collect().toSeq
+    // an interrupted writer's tmp directory (or a foreign tool's)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$d/bm25_stray/postings/seg=__tmp"))
+    assert(TextIndex.segmentIds(spark, "bm25_stray", d) == Seq(0L),
+      "non-numeric directories are not segments")
+    assert(TextIndex.probe(spark, "bm25_stray", d, terms, 25)
+      .collect().toSeq == want)
   }
 
   test("build is deterministic: two builds serve identical probe answers") {
@@ -174,9 +261,10 @@ class TextIndexSpec extends SparkSpec {
     val d2 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val m1 = TextIndex.build(spark, documents, "bm25_det1", d1)
     val m2 = TextIndex.build(spark, documents, "bm25_det2", d2)
-    val a = TextIndex.probe(spark, "bm25_det1", d1, terms, m1, 25)
+    assert(m1 == TextIndex.readMeta(spark, "bm25_det1", d1))
+    val a = TextIndex.probe(spark, "bm25_det1", d1, terms, 25)
       .collect().toSeq
-    val b = TextIndex.probe(spark, "bm25_det2", d2, terms, m2, 25)
+    val b = TextIndex.probe(spark, "bm25_det2", d2, terms, 25)
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
