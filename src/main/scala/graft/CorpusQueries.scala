@@ -1509,17 +1509,22 @@ object CorpusQueries {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
-      val wAll = Window.partitionBy()
-      val quotas = d.groupBy(col("lang"), col("source"))
+      // grand totals ride broadcast digests, not unpartitioned windows
+      // (the suite-wide no-global-window discipline); the ORDERED
+      // global row_number stays — largest-remainder needs a total rank
+      // over the bounded strata grid, which no digest can express
+      val strata = d.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_s"))
-        .withColumn("n_total", sum(col("n_s")).over(wAll))
+      val based = strata
+        .crossJoin(broadcast(strata.agg(sum(col("n_s")).as("n_total"))))
         .withColumn("target", expr(s"n_total div $StratDenominator"))
         .withColumn("base", expr("(n_s * target) div n_total"))
         .withColumn("rem", expr("n_s * target - base * n_total"))
+      val quotas = based
+        .crossJoin(broadcast(based.agg(sum(col("base")).as("base_total"))))
         .withColumn("xr", row_number().over(
           Window.orderBy(col("rem").desc, col("lang").asc, col("source").asc))
           .cast("long"))
-        .withColumn("base_total", sum(col("base")).over(wAll))
         .select(col("lang"), col("source"),
           (col("base") + when(col("xr") <= col("target") - col("base_total"),
             1L).otherwise(0L)).as("quota"))

@@ -1769,10 +1769,14 @@ object TextQueries {
       val totl = clt.groupBy(col("lang")).agg(sum(col("c_lt")).as("tot"))
       val vocab = clt.select(col("term")).distinct()
         .agg(count(lit(1)).as("v"))
+      // corpus-total docs ride a broadcast digest (like every other
+      // digest in the suite) — not an unpartitioned window, which
+      // plans a single-partition WindowExec and spams the scale-killer
+      // WARN even on this bounded |langs|-row frame (VERDICT r8 #6)
+      val nAll = docs(spark, dir).agg(count(lit(1)).as("n_all"))
       val ndocs = docs(spark, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_l"))
-        .withColumn("n_all", sum(col("n_l")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .crossJoin(broadcast(nAll))
       val langs = totl.crossJoin(broadcast(vocab))
         .join(ndocs, Seq("lang"))
         .select(col("lang").as("l"),

@@ -589,14 +589,16 @@ object WarehouseQueries {
     (spark, dir) => {
       val exp = BenfordPermille
         .map { case (d, e) => s"WHEN $d THEN ${e}L" }.mkString(" ")
-      Tables.orders(spark, dir)
+      val counts = Tables.orders(spark, dir)
         .select(Exact.quantize(col("o_totalprice")).as("cents"))
         .filter(col("cents") > 0L)
         .select(substring(col("cents").cast("string"), 1, 1).cast("int")
           .as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+      // grand total rides a broadcast digest, not an unpartitioned
+      // window (the suite-wide no-global-window discipline)
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
         .select(col("digit"), col("n"),
           expr("(1000 * n) div total").as("obs_permille"),
           expr(s"CASE digit $exp END").as("exp_permille"))

@@ -40,6 +40,41 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("plan guard: no unordered global Window anywhere; ordered ones only above bounded subtrees") {
+    // generalizes the CartesianProduct ban (VERDICT r8 #7): a Window
+    // with no partition spec plans a SINGLE-partition WindowExec — a
+    // scale killer on data-plane rows. Two-tier discipline:
+    //  - UNORDERED global windows (sum(x) OVER ()) are banned OUTRIGHT:
+    //    they compute one constant for every row, which is always a
+    //    crossJoin(broadcast(agg)) digest in disguise — this is the
+    //    rule that catches q193/q170/q189 if their digests revert;
+    //  - ORDERED global windows (row_number/cumsum over a total order)
+    //    genuinely need a single total frame, so they are legitimate
+    //    ONLY above a subtree bounded by construction: every path to a
+    //    leaf passes an Aggregate or a Limit (digests, top-k frames),
+    //    or ends in driver-local rows (LocalRelation / OneRowRelation).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case _: LeafNode => false
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val offenders = Queries.all.flatMap { case (name, q) =>
+      q.fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty
+            && (w.orderSpec.isEmpty || !bounded(w.child)) =>
+          val why = if (w.orderSpec.isEmpty) "unordered global window (use a broadcast digest)"
+            else "ordered global window over an UNBOUNDED subtree"
+          s"$name: $why — ${w.windowExpressions.map(_.sql).mkString(", ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global-Window discipline violated in:\n${offenders.mkString("\n")}")
+  }
+
   test("q48 funnel counts are monotonically non-increasing per stage") {
     Queries.queries("q48_quality_funnel")(spark, sfDir).collect().foreach { r =>
       val (n, l, rp, s) = (r.getAs[Long]("n_docs"), r.getAs[Long]("after_len"),
