@@ -52,30 +52,84 @@ object IvfIndex {
     Meta(m("k").toInt, m("nprobe").toInt, m("buckets").toInt)
   }
 
-  /** Train on `vectors` = (vec_id, q ARRAY<BIGINT>, n2) and persist the
-    * index under `dir` as catalog tables `<name>_centroids` /
-    * `<name>_cells`. Returns the geometry. */
-  def build(spark: SparkSession, vectors: DataFrame, name: String,
-            dir: String, buckets: Int = 8): Meta = {
+  /** The training half shared by [[build]] and [[rebuildInPlace]]:
+    * k-means centroids (+ norms) and the map-only codegen'd cell
+    * assignment of the corpus — no corpus shuffle on the write path
+    * beyond the bucketed write's own exchange. */
+  private def train(vectors: DataFrame): (DataFrame, DataFrame, Int, Int) = {
     val n = vectors.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val cents = KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
       .withColumn("cn2", VectorOps.qnorm2(col("cq")))
     val ca = VectorOps.centroidArrays(cents, "cell", "cq")
-    // map-only codegen'd assignment (the ivfTrained shape): no corpus
-    // shuffle on the write path beyond the bucketed write's own exchange
     val assigned = vectors.crossJoin(broadcast(ca))
       .select(col("vec_id").as("vid"),
         VectorOps.cellArgMax(col("q"), col("n2"),
           col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"),
         col("q"), col("n2"))
+    (cents, assigned, k, nprobe)
+  }
+
+  /** Train on `vectors` = (vec_id, q ARRAY<BIGINT>, n2) and persist the
+    * index under `dir` as catalog tables `<name>_centroids` /
+    * `<name>_cells`. Returns the geometry. */
+  def build(spark: SparkSession, vectors: DataFrame, name: String,
+            dir: String, buckets: Int = 8): Meta = {
+    val (cents, assigned, k, nprobe) = train(vectors)
     cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
     Layout.writeBucketed(assigned, s"${name}_cells", "cell", buckets,
       s"$dir/${name}_cells")
     val meta = Meta(k, nprobe, buckets)
     writeMeta(spark, name, dir, meta)
     meta
+  }
+
+  /** Atomically REPLACE live index `name` with a full RETRAIN on
+    * `vectors` — the rebuild [[append]]'s frozen-centroid contract
+    * defers to (the recall-vs-freshness trade): centroids, cells, and
+    * the meta sidecar are staged at their tier-commit swap paths and
+    * promoted through ONE manifest, so a probe never observes mixed
+    * geometry (new centroids routing into old cells, or a meta whose
+    * k disagrees with the centroid table). Crash anywhere → all-old
+    * or (after [[graft.pipeline.TierCommit.heal]]) all-new; readers
+    * entering from outside the writing process call
+    * `TierCommit.heal(spark, dir)` first, like every tier. */
+  def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
+                     dir: String, buckets: Int = 8): Unit = {
+    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+    stageRebuildInPlace(spark, vectors, name, dir, buckets)
+    graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
+    // the catalog's bucket spec must describe the NEW layout (a
+    // rebuild may change the bucket count); external DROP keeps files
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
+    Layout.ensureBucketedTable(spark, s"${name}_cells", "cell", buckets,
+      s"$dir/${name}_cells")
+  }
+
+  private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
+    Seq(s"$dir/${name}_centroids", s"$dir/${name}_cells",
+      s"$dir/${name}_meta.json")
+
+  /** The staging half of [[rebuildInPlace]] — split out so the spec
+    * can stop the world at the crash point between stage and commit.
+    * The bucketed cells stage rides a throwaway `__stage` catalog
+    * entry (saveAsTable needs one) pointed at the swap path; the
+    * entry is dropped right after the write — the promoted table
+    * needs only the bucket-id file names, which the rename keeps. */
+  private[graft] def stageRebuildInPlace(spark: SparkSession,
+                                         vectors: DataFrame, name: String,
+                                         dir: String, buckets: Int): Unit = {
+    import graft.pipeline.TierCommit.stagePath
+    val (cents, assigned, k, nprobe) = train(vectors)
+    cents.write.mode("overwrite")
+      .parquet(stagePath(s"$dir/${name}_centroids"))
+    Layout.writeBucketed(assigned, s"${name}_cells__stage", "cell", buckets,
+      stagePath(s"$dir/${name}_cells"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells__stage")
+    IndexMeta.write(spark, stagePath(s"$dir/${name}_meta.json"), Map(
+      "k" -> k.toLong, "nprobe" -> nprobe.toLong,
+      "buckets" -> buckets.toLong))
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without

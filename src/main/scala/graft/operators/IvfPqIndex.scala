@@ -66,26 +66,8 @@ object IvfPqIndex {
   def build(spark: SparkSession, vectors: DataFrame, name: String,
             dir: String, m: Int, subDim: Int, ksub: Int, iters: Int,
             buckets: Int = 8): Meta = {
-    val n = vectors.count()
-    val k = math.ceil(math.sqrt(n.toDouble)).toInt
-    val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    // coarse quantizer + map-only codegen'd cell assignment (q40 shape)
-    val cents = KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
-      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
-    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
-    val assigned = vectors.crossJoin(broadcast(ca))
-      .select(col("vec_id").as("vid"),
-        VectorOps.cellArgMax(col("q"), col("n2"),
-          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
-    // PQ codebooks + encode (q113 shape): broadcast codebook joins,
-    // the ksub-way expansion consumed map-side by the partial min_by
-    val sub = Pq.subvectors(vectors, "vec_id", "q", m, subDim)
-      .localCheckpoint()
-    val books = Pq.trainCodebooks(sub, "vec_id", ksub, iters)
-    val codes = Pq.assignCodes(sub, "vec_id", books)
-    val postings = assigned
-      .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
-      .select(col("cell"), col("vid"), col("s"), col("code"))
+    val (cents, books, postings, k, nprobe) = train(vectors, m, subDim,
+      ksub, iters)
     cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
     books.write.mode("overwrite").parquet(s"$dir/${name}_codebooks")
     Layout.writeBucketed(postings, s"${name}_codes", "cell", buckets,
@@ -93,6 +75,77 @@ object IvfPqIndex {
     val meta = Meta(k, nprobe, buckets, m, subDim, ksub, iters)
     writeMeta(spark, name, dir, meta)
     meta
+  }
+
+  /** The training half shared by [[build]] and [[rebuildInPlace]]:
+    * coarse quantizer + map-only codegen'd cell assignment (q40
+    * shape), PQ codebooks + encode (q113 shape — broadcast codebook
+    * joins, the ksub-way expansion consumed map-side by the partial
+    * min_by). */
+  private def train(vectors: DataFrame, m: Int, subDim: Int, ksub: Int,
+                    iters: Int)
+      : (DataFrame, DataFrame, DataFrame, Int, Int) = {
+    val n = vectors.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val cents = KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
+      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    val ca = VectorOps.centroidArrays(cents, "cell", "cq")
+    val assigned = vectors.crossJoin(broadcast(ca))
+      .select(col("vec_id").as("vid"),
+        VectorOps.cellArgMax(col("q"), col("n2"),
+          col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
+    val sub = Pq.subvectors(vectors, "vec_id", "q", m, subDim)
+      .localCheckpoint()
+    val books = Pq.trainCodebooks(sub, "vec_id", ksub, iters)
+    val codes = Pq.assignCodes(sub, "vec_id", books)
+    val postings = assigned
+      .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+      .select(col("cell"), col("vid"), col("s"), col("code"))
+    (cents, books, postings, k, nprobe)
+  }
+
+  /** Atomically REPLACE live index `name` with a full RETRAIN on
+    * `vectors` (see [[IvfIndex.rebuildInPlace]]): centroids,
+    * codebooks, codes, and the meta sidecar promote through ONE
+    * tier-commit manifest — a probe never observes mixed geometry
+    * across the four (e.g. new codebooks decoding old codes). */
+  def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
+                     dir: String, m: Int, subDim: Int, ksub: Int,
+                     iters: Int, buckets: Int = 8): Unit = {
+    graft.pipeline.TierCommit.heal(spark, dir)
+    stageRebuildInPlace(spark, vectors, name, dir, m, subDim, ksub,
+      iters, buckets)
+    graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_codes")
+    Layout.ensureBucketedTable(spark, s"${name}_codes", "cell", buckets,
+      s"$dir/${name}_codes")
+  }
+
+  private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
+    Seq(s"$dir/${name}_centroids", s"$dir/${name}_codebooks",
+      s"$dir/${name}_codes", s"$dir/${name}_meta.json")
+
+  private[graft] def stageRebuildInPlace(spark: SparkSession,
+                                         vectors: DataFrame, name: String,
+                                         dir: String, m: Int, subDim: Int,
+                                         ksub: Int, iters: Int,
+                                         buckets: Int): Unit = {
+    import graft.pipeline.TierCommit.stagePath
+    val (cents, books, postings, k, nprobe) = train(vectors, m, subDim,
+      ksub, iters)
+    cents.write.mode("overwrite")
+      .parquet(stagePath(s"$dir/${name}_centroids"))
+    books.write.mode("overwrite")
+      .parquet(stagePath(s"$dir/${name}_codebooks"))
+    Layout.writeBucketed(postings, s"${name}_codes__stage", "cell", buckets,
+      stagePath(s"$dir/${name}_codes"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_codes__stage")
+    IndexMeta.write(spark, stagePath(s"$dir/${name}_meta.json"), Map(
+      "k" -> k.toLong, "nprobe" -> nprobe.toLong,
+      "buckets" -> buckets.toLong, "m" -> m.toLong,
+      "sub_dim" -> subDim.toLong, "ksub" -> ksub.toLong,
+      "iters" -> iters.toLong))
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without

@@ -151,6 +151,55 @@ class IvfIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_fresh_cells")
   }
 
+  test("atomic in-place rebuild: probes see all-old or all-new across a crash") {
+    import graft.pipeline.TierCommit
+    val d = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    IvfIndex.build(spark, half1, "ivf_reb", d)
+    try {
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val oldAns = IvfIndex.probe(spark, "ivf_reb", d, queries, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+
+      // CRASH 1: retrain staged, commit point not reached — a healing
+      // reader sees ALL-OLD: the half-corpus index, byte for byte
+      IvfIndex.stageRebuildInPlace(spark, vectors, "ivf_reb", d, buckets = 8)
+      assert(!TierCommit.heal(spark, d), "no manifest yet: heal is a no-op")
+      assert(IvfIndex.probe(spark, "ivf_reb", d, queries, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq == oldAns)
+
+      // CRASH 2: manifest renamed (commit point), no promotion ran —
+      // heal rolls centroids+cells+meta forward TOGETHER: ALL-NEW,
+      // identical to a fresh full build (training is deterministic)
+      TierCommit.writeManifest(spark, d, IvfIndex.rebuildTargets("ivf_reb", d))
+      assert(TierCommit.heal(spark, d), "manifest present: heal must promote")
+      spark.catalog.refreshTable("ivf_reb_cells") // same-session reader
+      val got = IvfIndex.probe(spark, "ivf_reb", d, queries, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      IvfIndex.build(spark, vectors, "ivf_rebref", dRef)
+      val want = IvfIndex.probe(spark, "ivf_rebref", dRef, queries, 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty)
+      assert(got != oldAns, "full-corpus rebuild must change the answers here")
+
+      // uninterrupted path, with a CHANGED bucket count: the catalog
+      // spec must follow the new layout (DROP + re-register inside)
+      IvfIndex.rebuildInPlace(spark, vectors, "ivf_reb", d, buckets = 4)
+      val probe2 = IvfIndex.probe(spark, "ivf_reb", d, queries, 3)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(probe2.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(2).toInt == 4,
+        "catalog bucket spec must describe the rebuilt 4-bucket layout")
+      assert(probe2.orderBy(col("qid"), col("cid")).collect().toSeq == want,
+        "bucket count is physical layout only — answers unchanged")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_reb_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_rebref_cells")
+    }
+  }
+
   test("build is deterministic: two builds serve identical probe answers") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ivf").toString

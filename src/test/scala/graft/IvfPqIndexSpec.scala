@@ -146,6 +146,42 @@ class IvfPqIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfpq_fresh_codes")
   }
 
+  test("atomic in-place rebuild: all four artifacts promote together across a crash") {
+    import graft.pipeline.TierCommit
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    IvfPqIndex.build(spark, half1, "ivfpq_reb", d, m, subDim, ksub, iters)
+    try {
+      val oldAns = IvfPqIndex.probe(spark, "ivfpq_reb", d, queries, corpus,
+        cand = 20, topk = 5).orderBy(col("qid"), col("cid")).collect().toSeq
+
+      // staged retrain invisible before the commit point: ALL-OLD
+      IvfPqIndex.stageRebuildInPlace(spark, vectors, "ivfpq_reb", d,
+        m, subDim, ksub, iters, buckets = 8)
+      assert(!TierCommit.heal(spark, d))
+      assert(IvfPqIndex.probe(spark, "ivfpq_reb", d, queries, corpus, 20, 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq == oldAns)
+
+      // after the manifest rename, heal promotes centroids + codebooks
+      // + codes + meta TOGETHER — never new codebooks over old codes
+      TierCommit.writeManifest(spark, d,
+        IvfPqIndex.rebuildTargets("ivfpq_reb", d))
+      assert(TierCommit.heal(spark, d))
+      spark.catalog.refreshTable("ivfpq_reb_codes")
+      val got = IvfPqIndex.probe(spark, "ivfpq_reb", d, queries, corpus,
+        20, 5).orderBy(col("qid"), col("cid")).collect().toSeq
+      IvfPqIndex.build(spark, vectors, "ivfpq_rebref", dRef,
+        m, subDim, ksub, iters)
+      val want = IvfPqIndex.probe(spark, "ivfpq_rebref", dRef, queries,
+        corpus, 20, 5).orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(got == want && want.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_reb_codes")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_rebref_codes")
+    }
+  }
+
   test("build is deterministic: two builds serve identical probe answers") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
