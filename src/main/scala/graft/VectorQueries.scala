@@ -2045,6 +2045,145 @@ object VectorQueries {
     },
     Some(ivfPqOracle))
 
+  // --- q201: greedy k-center coreset (diversity data selection) ----------
+  // Farthest-point traversal (Gonzalez 1985), the classic diversity
+  // pruner a training-data pipeline runs to pick a small cover of
+  // embedding space (coreset selection / dedup-by-coverage). Metric is
+  // EXACT squared Euclidean in quantized-integer space —
+  // d2(a,b) = n2a + n2b - 2*dot(a,b), all BIGINT — so the argmax and
+  // every tie-break are engine-exact and the DuckDB oracle replays the
+  // greedy walk bit for bit. Seed = smallest vec_id; each round picks
+  // the point maximizing its distance to the nearest selected center
+  // (tie -> smaller id) and reports that covering distance.
+  //
+  // Scale shape: k driver rounds (k is the COMPACTION knob, small by
+  // construction); each round is one broadcast of <= k center vectors
+  // against a map-only scored scan, a per-vector min (map-side — the
+  // corpus never shuffles wider than (vec_id, d2)), and a 1-row argmax
+  // collect. The greedy max-min sequence is provably non-increasing —
+  // QueriesSmokeSpec asserts it as the algebraic law.
+  private val KCenters = 5
+  private val q201 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir).localCheckpoint() // k rounds fan out
+      val seed = e.agg(min(col("vec_id"))).head.getLong(0)
+      var picked = Vector((seed, 0L)) // (vec_id, d2 to nearest at pick)
+      while (picked.size < KCenters) {
+        val ids = picked.map(_._1)
+        val cents = e.filter(col("vec_id").isin(ids: _*))
+          .select(col("q").as("cq"), col("n2").as("cn2"))
+        val best = e.filter(!col("vec_id").isin(ids: _*))
+          .crossJoin(broadcast(cents)) // bounded side: <= k rows
+          .select(col("vec_id"),
+            (col("n2") + col("cn2")
+              - lit(2L) * VectorOps.qdot(col("q"), col("cq"))).as("d2"))
+          .groupBy(col("vec_id")).agg(min(col("d2")).as("d2min"))
+          .agg(max(struct(col("d2min"), (-col("vec_id")).as("nid"))).as("b"))
+          .select(col("b.d2min"), (-col("b.nid")).as("vec_id"))
+          .head
+        picked :+= ((best.getLong(1), best.getLong(0)))
+      }
+      import spark.implicits._
+      picked.zipWithIndex
+        .map { case ((v, d2), i) => (i + 1L, v, d2) }
+        .toDF("rank", "vec_id", "d2_nearest")
+        .orderBy(col("rank"))
+    },
+    Some {
+      // all-pairs d2 once (the oracle's honesty at oracle scale), then
+      // the same greedy rounds as scalar CTE steps
+      def sel(r: Int) = (1 to r).map(i => s"SELECT v FROM c$i").mkString(" UNION ")
+      val rounds = (2 to KCenters).map { r =>
+        s"""m$r AS (SELECT x, min(d2) AS dm FROM p
+              WHERE y IN (${sel(r - 1)}) AND x NOT IN (${sel(r - 1)})
+              GROUP BY x),
+           c$r AS (SELECT x AS v, dm FROM m$r
+                   ORDER BY dm DESC, x ASC LIMIT 1)"""
+      }.mkString(",\n")
+      val out = (2 to KCenters)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, v AS vec_id, dm AS d2_nearest FROM c$r")
+        .mkString("\n UNION ALL ")
+      s"""
+      WITH $qnormSqlCte,
+      p AS (
+        SELECT a.vec_id AS x, b.vec_id AS y,
+               CAST(na.n2 + nb.n2 - 2 * sum(a.v * b.v) AS BIGINT) AS d2
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        GROUP BY 1, 2, na.n2, nb.n2),
+      c1 AS (SELECT min(vec_id) AS v FROM n),
+      $rounds
+      SELECT 1::BIGINT AS rank, v AS vec_id, 0::BIGINT AS d2_nearest FROM c1
+       UNION ALL $out
+      ORDER BY rank ASC NULLS FIRST"""
+    })
+
+  // --- q202: binary sign-hash ANN (1-bit quantization, Hamming) ----------
+  // The 1-bit member of the compression ladder (SQ8 q86, PQ q113/q115):
+  // each embedding collapses to a 64-bit SIGNATURE — bit i set iff
+  // element i > 0 (random-hyperplane LSH with axis planes) — and
+  // candidate ranking is popcount(xor) Hamming distance, refined by the
+  // exact integer-cosine rescore on the top-3. 64 bits per vector is
+  // 1/256 the bytes of fp32x64: the layout that keeps 10^11 vectors'
+  // signatures in cluster RAM with SIMD-class scan cost.
+  //
+  // Spark side packs the signature ONCE per vector (map-only, codegen'd
+  // bit fold) and broadcasts the 10 query signatures; the oracle scores
+  // sign disagreements per element — same integers, bit for bit.
+  private val q202 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+        .withColumn("sig", expr(
+          // dim is 64 in this corpus: one BIGINT word; OR-fold keeps
+          // bit 63 exact where a SUM would overflow BIGINT
+          "aggregate(zip_with(q, sequence(0, 63), (v, i) -> " +
+            "IF(v > 0L, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc | x)"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+          col("q").as("qq"), col("n2").as("qn2"))
+      val scored = e
+        .select(col("vec_id").as("cid"), col("sig").as("csig"),
+          col("q").as("cq"), col("n2").as("cn2"))
+        .join(broadcast(qs), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("hamming").asc_nulls_first, col("cid").asc_nulls_first)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("hamming"), col("cos_sim"))
+        .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
+          col("cid").asc_nulls_first)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, cid, hamming, row_number() OVER (PARTITION BY qid
+                 ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
+        FROM h),
+      t AS (SELECT qid, cid, hamming FROM r WHERE rn <= 3),
+      d AS (
+        SELECT t.qid, t.cid, t.hamming, sum(ea.v * eb.v) AS dot
+        FROM t JOIN e ea ON ea.vec_id = t.qid
+               JOIN e eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3)
+      SELECT d.qid, d.cid, d.hamming,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+      FROM d JOIN n na ON na.vec_id = d.qid
+             JOIN n nb ON nb.vec_id = d.cid
+      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2066,7 +2205,9 @@ object VectorQueries {
     "q180_mmr_rerank" -> q180,
     "q181_ndcg_ann" -> q181,
     "q196_ivf_probe" -> q196,
-    "q197_ivfpq_probe" -> q197)
+    "q197_ivfpq_probe" -> q197,
+    "q201_kcenter_coreset" -> q201,
+    "q202_binary_sign_ann" -> q202)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —

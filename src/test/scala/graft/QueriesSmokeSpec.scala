@@ -550,6 +550,36 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q201 k-center: distinct picks, seed first, covering distance non-increasing") {
+    val rows = Queries.queries("q201_kcenter_coreset")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 5)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "a center may be picked once")
+    // greedy farthest-point law: each pick's distance to the selected
+    // set is the max-min over remaining points, so the sequence of
+    // covering distances never increases (Gonzalez 1985)
+    val d2 = rows.map(_.getAs[Long]("d2_nearest")).drop(1) // rank 1 is the seed
+    d2.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"covering distance grew: $a -> $b")
+      case _ =>
+    }
+    assert(d2.forall(_ > 0), "distinct vectors: min distance must be positive")
+  }
+
+  test("q202 binary-hash ANN: hamming within [0,64], ranked, cosine valid") {
+    val rows = Queries.queries("q202_binary_sign_ann")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length == 3, s"qid $q returned ${rs.length} neighbors")
+      val h = rs.map(_.getAs[Long]("hamming"))
+      assert(h.forall(x => x >= 0 && x <= 64), s"qid $q hamming out of range")
+      assert(h.sorted.sameElements(h), s"qid $q not hamming-ranked")
+      rs.map(_.getAs[Double]("cos_sim")).foreach(c =>
+        assert(c >= -1.0000001 && c <= 1.0000001))
+    }
+  }
+
   test("q190 postings: varint never beats 1 byte/posting or loses to raw") {
     val rows = Queries.queries("q190_postings_cost")(spark, sfDir).collect()
     assert(rows.length <= 50 && rows.nonEmpty)
