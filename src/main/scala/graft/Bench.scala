@@ -19,8 +19,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *    number (same discipline as JMH);
   *  - SELF-DEFENSE (VERDICT r8 #1): /proc/loadavg is recorded per
   *    query and suite-wide, and after the suite drains an end-of-suite
-  *    retry pass re-samples any query whose min exceeds 2x its
-  *    committed-reference time (same sf) by >0.5 s with zero spill,
+  *    retry pass re-samples any query whose min exceeds 1.5x its
+  *    committed-reference time (same sf; the bench gate's own
+  *    regression ratio) by >0.5 s with zero spill,
   *    recording suite value, retry value, and ambient load — a
   *    contended session now convicts itself in the artifact instead of
   *    masquerading as a plan regression;
@@ -168,17 +169,19 @@ object Bench {
     }
 
     // END-OF-SUITE RETRY PASS (VERDICT r8 #1): any query whose min
-    // exceeds 2x its committed-reference time by more than 0.5 s with
-    // ZERO spill (memory exonerated — so either a plan regression or a
-    // contended session) gets ONE extra sample after the suite drains,
-    // with the suite value, the retry value, and the ambient load all
-    // recorded. A contended session now convicts itself in the
-    // artifact: suite>>retry + high load = environment, not plans.
+    // exceeds 1.5x its committed-reference time by more than 0.5 s
+    // with ZERO spill (memory exonerated — so either a plan regression
+    // or a contended session) gets ONE extra sample after the suite
+    // drains, with the suite value, the retry value, and the ambient
+    // load all recorded. 1.5x matches tools/bench_gate.py's regression
+    // ratio, so everything the gate would flag gets its self-defense
+    // sample. A contended session now convicts itself in the artifact:
+    // suite>>retry + high load = environment, not plans.
     val fnByName = selected.toMap
     val retried = collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val defended = results.map { case r @ (name, t, n, peak, spill) =>
       val ref = refTimes.getOrElse(name, -1.0)
-      if (t > 0 && ref > 0 && spill == 0L && t > 2.0 * ref && t - ref > 0.5) {
+      if (t > 0 && ref > 0 && spill == 0L && t > 1.5 * ref && t - ref > 0.5) {
         System.gc()
         spark.catalog.clearCache()
         val l = loadAvg()
