@@ -181,7 +181,7 @@ object Bench {
     val retried = collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val defended = results.map { case r @ (name, t, n, peak, spill) =>
       val ref = refTimes.getOrElse(name, -1.0)
-      if (t > 0 && ref > 0 && spill == 0L && t > 1.5 * ref && t - ref > 0.5) {
+      if (t > 0 && ref > 0 && spill == 0L && t - 1.5 * ref > 0.5) {
         System.gc()
         spark.catalog.clearCache()
         val l = loadAvg()

@@ -2131,34 +2131,55 @@ object VectorQueries {
   // Spark side packs the signature ONCE per vector (map-only, codegen'd
   // bit fold) and broadcasts the 10 query signatures; the oracle scores
   // sign disagreements per element — same integers, bit for bit.
+  //
+  // Plan shape (VERDICT r9 #1): the Hamming scan carries ONLY
+  // (qid, cid, hamming); per-query ranking is the bounded map-side-
+  // combining top-k aggregate (plans/TopKPairsLong — the q125
+  // discipline; hamming is negated because the aggregate's total order
+  // is value DESC, id ASC), so no row_number window ever funnels the
+  // corpus through |queries| partitions; and the exact integer-cosine
+  // rescore runs on ONLY the <= queries x 3 survivors, joined back to
+  // the corpus as two broadcast sides of one streamed scan — the work
+  // the 1-bit quantization exists to avoid never touches the full
+  // candidate set (QueriesSmokeSpec asserts no Window and no dot
+  // product below the top-k on this exact plan).
   private val q202 = Q(
     (spark, dir) => {
       val e = quantized(spark, dir)
-        .withColumn("sig", expr(
-          // dim is 64 in this corpus: one BIGINT word; OR-fold keeps
-          // bit 63 exact where a SUM would overflow BIGINT
-          "aggregate(zip_with(q, sequence(0, 63), (v, i) -> " +
-            "IF(v > 0L, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc | x)"))
+        .withColumn("sig", VectorOps.signSig("q"))
       val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("sig").as("qsig"),
-          col("q").as("qq"), col("n2").as("qn2"))
-      val scored = e
-        .select(col("vec_id").as("cid"), col("sig").as("csig"),
-          col("q").as("cq"), col("n2").as("cn2"))
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+      val top = e
+        .select(col("vec_id").as("cid"), col("sig").as("csig"))
         .join(broadcast(qs), col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"),
+          expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"))
+        .groupBy(col("qid"))
+        .agg(graft.operators.TopK.topKPairs(-col("hamming"), col("cid"), 3)
+          .as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), (-col("col.v")).as("hamming"),
+          col("col.id").as("cid"))
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"))
+      e.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"))
+        .join(broadcast(top), Seq("cid"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("cid"), col("hamming"),
           VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
             col("qn2"), col("cn2")).as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid"))
-        .orderBy(col("hamming").asc_nulls_first, col("cid").asc_nulls_first)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("qid"), col("cid"), col("hamming"), col("cos_sim"))
         .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
           col("cid").asc_nulls_first)
     },
-    Some(s"""
+    Some(sigAnnOracle))
+
+  /** q202's oracle, shared VERBATIM with q203 (the q196/q40 pattern):
+    * the persisted signature index must serve exactly what the
+    * evaluated in-plan packing promised, down to every Hamming integer
+    * and rescore double. */
+  private lazy val sigAnnOracle = s"""
       WITH $qnormSqlCte,
       s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
       h AS (
@@ -2182,7 +2203,45 @@ object VectorQueries {
                / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
       FROM d JOIN n na ON na.vec_id = d.qid
              JOIN n nb ON nb.vec_id = d.cid
-      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST, cid ASC NULLS FIRST"""))
+      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST, cid ASC NULLS FIRST"""
+
+  // --- q203: persisted sign-hash probe (signature index READ) ------------
+  // q196/q197/q198's serving-path discipline applied to q202's 1-bit
+  // layout, completing the serving ladder (VERDICT r9 #2):
+  // operators/SigIndex packs the signatures ONCE, persists
+  // (vid, sig, q, n2) + the nbits meta sidecar, then answers the same
+  // 10 queries by reading it — a (vid, sig) column-pruned Hamming scan
+  // ranked by the bounded top-k aggregate (no window), and an exact
+  // rescore that re-enters the table as a pushed `vid IN (survivors)`
+  // point read (SigIndexSpec asserts all three on this plan). Packing
+  // math is identical to q202's in-plan fold, so the probe result is
+  // bit-identical and the oracle IS q202's oracle, verbatim.
+  //
+  // 100 TB posture: 64 bits/vector keeps 10^11 signatures in cluster
+  // RAM; a probe's ranking pass reads 16 bytes/vector and the raw
+  // vector bytes are only ever fetched for queries x topk survivors.
+  // Bench time includes the pack+write (honest one-shot cost); the
+  // probe-only twin carries the serving latency.
+  private def sigHandle(dir: String): (String, String) =
+    ("sig_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-sig-index")
+
+  private def sigProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = sigHandle(dir)
+    graft.operators.SigIndex
+      .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = 3)
+      .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
+        col("cid").asc_nulls_first)
+  }
+
+  private val q203 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val (name, idxDir) = sigHandle(dir)
+      graft.operators.SigIndex.build(spark, e, name, idxDir)
+      sigProbeOnly(spark, dir)
+    },
+    Some(sigAnnOracle))
 
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
@@ -2207,7 +2266,8 @@ object VectorQueries {
     "q196_ivf_probe" -> q196,
     "q197_ivfpq_probe" -> q197,
     "q201_kcenter_coreset" -> q201,
-    "q202_binary_sign_ann" -> q202)
+    "q202_binary_sign_ann" -> q202,
+    "q203_sig_probe" -> q203)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2218,5 +2278,6 @@ object VectorQueries {
     * from the honest one-shot build cost. */
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q196_ivf_probe" -> (ivfProbeOnly(_, _)),
-    "q197_ivfpq_probe" -> (ivfPqProbeOnly(_, _)))
+    "q197_ivfpq_probe" -> (ivfPqProbeOnly(_, _)),
+    "q203_sig_probe" -> (sigProbeOnly(_, _)))
 }

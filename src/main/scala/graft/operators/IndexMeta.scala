@@ -18,15 +18,27 @@ import org.apache.spark.sql.SparkSession
 private[graft] object IndexMeta {
   import org.apache.hadoop.fs.Path
 
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def write(spark: SparkSession, path: String, fields: Map[String, Long]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json = fields.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\": " + v }
       .mkString("{", ", ", "}\n")
-    val out = fs.create(p, true) // creates parent dirs, overwrites
+    // write-then-rename: a crash mid-write (or a probe reading during a
+    // rewrite) must never observe a truncated sidecar over a healthy
+    // index (ADVICE r9) — the rename is the single publication point
+    val tmp = new Path(p.getParent,
+      "." + p.getName + ".tmp") // dot-prefixed: invisible to parquet/json readers
+    val out = fs.create(tmp, true) // creates parent dirs, overwrites
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // rename target must be free
+    require(fs.rename(tmp, p), s"could not publish index meta at $path")
   }
 
   def read(spark: SparkSession, path: String): Map[String, Long] = {

@@ -242,10 +242,16 @@ object IvfPqIndex {
       .join(broadcast(lut), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("vid").as("cid"))
       .agg(sum(col("pdot")).as("adc_dot"))
-    val wCand = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dot").desc_nulls_last, col("cid").asc)
-    val short = adc.withColumn("rn", row_number().over(wCand))
-      .filter(col("rn") <= cand).drop("rn")
+    // ADC shortlist through the BOUNDED map-side-combining top-k
+    // aggregate (VERDICT r9 #3) — a row_number window here funnels all
+    // probed-cell ADC rows through |queries| partitions; the aggregate
+    // shuffles queries x cand pairs. Rank order is the window's
+    // exactly: adc_dot DESC, cid ASC (adc_dot is an exact BIGINT sum).
+    val short = adc
+      .groupBy(col("qid"))
+      .agg(TopK.topKPairs(col("adc_dot"), col("cid"), cand).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.v").as("adc_dot"), col("col.id").as("cid"))
     // IVFADC refinement: exact cosine over the bounded shortlist —
     // the shortlist (queries × cand rows) is the broadcast side, so
     // the raw-vector fetch is one streamed corpus scan, never a shuffle
@@ -255,10 +261,19 @@ object IvfPqIndex {
       .select(col("qid"), col("cid"), col("adc_dot"),
         VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
           col("qn2"), col("cn2")).as("cos_sim"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc_nulls_last, col("cid").asc)
-    scored.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topk)
-      .select(col("qid"), col("cid"), col("adc_dot"), col("cos_sim"))
+    // final top-k: same aggregate shape, double-ranked (cosine DESC,
+    // cid ASC). adc_dot rides through the SAME aggregation pass as a
+    // per-query cid->adc_dot map (bounded by `cand` entries per query
+    // by construction), so the shortlist subtree is evaluated exactly
+    // once — no self-join, no re-scan of the codes table.
+    scored
+      .groupBy(col("qid"))
+      .agg(TopK.topKPairsDouble(col("cos_sim"), col("cid"), topk).as("tk"),
+        map_from_entries(collect_list(struct(col("cid"), col("adc_dot"))))
+          .as("adcm"))
+      .select(col("qid"), col("adcm"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cid"),
+        element_at(col("adcm"), col("col.id")).as("adc_dot"),
+        col("col.v").as("cos_sim"))
   }
 }

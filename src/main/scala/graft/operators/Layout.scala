@@ -53,16 +53,37 @@ object Layout {
     * schema is recovered from the parquet footers; the bucket spec
     * (key, count) comes from the index's persisted meta. Writer and
     * reader DDL agree by construction, so bucket pruning and
-    * co-location hold exactly as in the writing session. */
+    * co-location hold exactly as in the writing session.
+    *
+    * When the table ALREADY exists its registered bucket spec is
+    * VALIDATED against the expected (key, buckets) instead of trusted
+    * (ADVICE r9): after an out-of-process rebuild that changed the
+    * bucket count, a long-lived serving session would otherwise keep
+    * planning with the stale spec over the new files — bucket pruning
+    * selecting the wrong buckets returns silently wrong rows. On
+    * mismatch the entry is dropped (external table — files untouched)
+    * and recreated from the expected spec; this also makes the catalog
+    * SELF-HEALING after a crash between a tier-commit promotion and
+    * its catalog fix-up, because probe/append pass the freshly-read
+    * meta's values here. */
   def ensureBucketedTable(spark: SparkSession, table: String, key: String,
-                          buckets: Int, path: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val ddl = spark.read.parquet(path).schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE $table ($ddl) USING parquet
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
+                          buckets: Int, path: String): Unit = {
+    if (spark.catalog.tableExists(table)) {
+      val desc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val okBuckets = desc.get("Num Buckets").exists(_.trim == buckets.toString)
+      val okKey = desc.get("Bucket Columns")
+        .exists(_.replaceAll("[\\[\\]`\\s]", "") == key)
+      if (okBuckets && okKey) return
+      spark.sql(s"DROP TABLE IF EXISTS $table") // external: files kept
     }
+    val ddl = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($ddl) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.catalog.refreshTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free
     * when both were written with the same `buckets` count. */

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted binary sign-hash (1-bit LSH) index — the fourth serving
+  * index beside [[IvfIndex]]/[[IvfPqIndex]]/[[TextIndex]], completing
+  * the compression ladder's serving story (VERDICT r9 #2): q202
+  * evaluates the 1-bit quantization in-plan, which is the harness's
+  * honesty, but the layout's whole pitch is "10^11 signatures in
+  * cluster RAM" — a serving system packs signatures ONCE, persists
+  * them, and answers every query with a map-only Hamming scan of the
+  * signature column.
+  *
+  * Layout under `<dir>/<name>/` — SEGMENTED like [[TextIndex]] (`seg`
+  * is a hive partition level, so one read of the root sees every
+  * segment with uniform discovery, appends touch nothing existing, and
+  * a redelivered streaming batch rewrites its own segment with
+  * identical content — replays absorbed by idempotence, no ledger):
+  *
+  *  - `sigs/seg=<k>/` — (vid, sig, q, n2) parquet: the 64-bit
+  *    signature PLUS the raw quantized vector it summarizes. A probe's
+  *    Hamming scan column-prunes to (vid, sig) — 16 bytes/vector, the
+  *    SIMD-class pass that ranks 10^11 candidates from RAM — and the
+  *    exact rescore re-enters the same table as a `vid IN (<top-k
+  *    survivors>)` point read (parquet pushed filter + row-group
+  *    stats pruning), so the raw-vector bytes are only ever read for
+  *    queries x topk rows (SigIndexSpec asserts both on the plan).
+  *  - `meta.json` — the geometry sidecar (nbits): opening the index
+  *    needs only (name, dir), even from a session that never built it.
+  *
+  * Signature math is [[VectorOps.signSig]] — identical to q202's
+  * in-plan packing, so a probe of the persisted index returns
+  * BIT-IDENTICAL results to q202, which is what lets q203 reuse q202's
+  * DuckDB oracle verbatim (the q196/q40 pattern). Ranking is the
+  * bounded map-side-combining top-k aggregate
+  * ([[graft.plans.TopKPairsLong]]), never a row_number window — the
+  * shuffle moves queries x topk pairs, not the candidate set.
+  *
+  * Atomic REPLACEMENT of a live index rides the pipeline tier-commit
+  * exactly like the other three: [[rebuildInPlace]] stages the new
+  * signatures and sidecar at the swap paths and promotes both through
+  * ONE manifest, so a probe never sees a meta whose nbits disagrees
+  * with the signature table (SigIndexSpec crash-injects both sides of
+  * the commit point).
+  *
+  * Reference capability analog: serving queries are index READS, not
+  * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
+  */
+object SigIndex {
+
+  /** Index geometry, fixed at build time: signature width in bits
+    * (<= 64 — one BIGINT word; [[VectorOps.signSig]] raises on more).
+    * Persisted as `<dir>/<name>/meta.json`; probes read it, so opening
+    * the index needs only (name, dir). */
+  final case class Meta(nbits: Int)
+
+  def writeMeta(spark: SparkSession, name: String, dir: String,
+                meta: Meta): Unit =
+    IndexMeta.write(spark, s"$dir/$name/meta.json",
+      Map("nbits" -> meta.nbits.toLong))
+
+  def readMeta(spark: SparkSession, name: String, dir: String): Meta =
+    Meta(IndexMeta.read(spark, s"$dir/$name/meta.json")("nbits").toInt)
+
+  /** Existing segment ids, ascending (driver-side metadata listing —
+    * segment counts are compaction-bounded). Non-numeric directories
+    * (an interrupted write's tmp, a foreign tool's droppings) are
+    * skipped, the [[TextIndex.segmentIds]] discipline. */
+  def segmentIds(spark: SparkSession, name: String, dir: String)
+      : Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name/sigs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName.stripPrefix("seg="))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .sorted
+  }
+
+  /** Map-only signature packing of `vectors` = (vec_id, q ARRAY<BIGINT>,
+    * n2) — one codegen'd bit fold per vector, no shuffle anywhere. */
+  private def pack(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id").as("vid"),
+      VectorOps.signSig("q").as("sig"), col("q"), col("n2"))
+
+  /** Pack `vectors` once and persist the index under `<dir>/<name>` as
+    * segment 0. */
+  def build(spark: SparkSession, vectors: DataFrame, name: String,
+            dir: String, nbits: Int = 64): Meta = {
+    pack(vectors).write.mode("overwrite")
+      .parquet(s"$dir/$name/sigs/seg=0")
+    val meta = Meta(nbits)
+    writeMeta(spark, name, dir, meta)
+    meta
+  }
+
+  /** Add `newVectors` as the next segment. Pack/write cost is the
+    * DELTA only; existing segments are never read or touched.
+    * Contract: vec_ids disjoint from already-indexed ones. */
+  def appendDelta(spark: SparkSession, newVectors: DataFrame,
+                  name: String, dir: String): Unit = {
+    val segs = segmentIds(spark, name, dir)
+    require(segs.nonEmpty, s"index $name has no base segment")
+    writeDelta(spark, newVectors, name, dir,
+      readMeta(spark, name, dir), segId = segs.max + 1L)
+  }
+
+  /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
+    * ingestion path ([[graft.streaming.SigStream]]): a foreachBatch
+    * sink passes its batchId; per-segment overwrite makes a redelivered
+    * batch rewrite seg=<batchId> with identical content, so replays are
+    * absorbed BY IDEMPOTENCE (the [[TextIndex.writeDelta]] discipline).
+    * The sidecar is published by the FIRST delta and never rewritten
+    * afterwards (its content cannot change across deltas — ADVICE r9's
+    * no-live-rewrite rule). */
+  def writeDelta(spark: SparkSession, newVectors: DataFrame,
+                 name: String, dir: String, meta: Meta,
+                 segId: Long): Unit = {
+    pack(newVectors).write.mode("overwrite")
+      .parquet(s"$dir/$name/sigs/seg=$segId")
+    if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
+      writeMeta(spark, name, dir, meta)
+  }
+
+  /** Atomically REPLACE live index `name` with a full repack of
+    * `vectors`: signatures and sidecar staged at the tier-commit swap
+    * path and promoted through ONE manifest — a probe sees all-old or
+    * (after [[graft.pipeline.TierCommit.heal]]) all-new, never a mixed
+    * root. Readers entering from outside the writing process call
+    * `TierCommit.heal(spark, dir)` first, like every tier. */
+  def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
+                     dir: String, nbits: Int = 64): Unit = {
+    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+    stageRebuildInPlace(spark, vectors, name, dir, nbits)
+    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+  }
+
+  /** The staging half of [[rebuildInPlace]] — split out so the spec
+    * can stop the world at the crash point between stage and commit. */
+  private[graft] def stageRebuildInPlace(spark: SparkSession,
+                                         vectors: DataFrame, name: String,
+                                         dir: String, nbits: Int): Unit = {
+    val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
+    pack(vectors).write.mode("overwrite").parquet(s"$root/sigs/seg=0")
+    IndexMeta.write(spark, s"$root/meta.json",
+      Map("nbits" -> nbits.toLong))
+  }
+
+  /** Probe the persisted index: pack each query vector's signature
+    * (queryVecs = (qid, qq ARRAY<BIGINT>, qn2) — the same quantized
+    * form the index stores), broadcast the query signatures against a
+    * map-only Hamming scan of the signature column, keep the top-`topk`
+    * candidates per query by (hamming ASC, vid ASC) with the BOUNDED
+    * top-k aggregate (no row_number window anywhere — the shuffle
+    * moves queries x topk pairs, not the candidate set), then
+    * exact-rescore ONLY those survivors: their ids are collected
+    * (queries x topk longs — the serving frontend's shortlist) and the
+    * raw vectors come back as a `vid IN (...)` point read of the same
+    * table, pushed into the parquet scan. Returns
+    * (qid, cid, hamming, cos_sim) — bit-identical to q202's in-plan
+    * ranking of the same corpus.
+    *
+    * Opening the index needs only (name, dir): the sidecar proves the
+    * index was built and carries its geometry — a FRESH session probes
+    * with no catalog state at all (plain parquet reads). */
+  def probe(spark: SparkSession, name: String, dir: String,
+            queryVecs: DataFrame, topk: Int): DataFrame = {
+    val meta = readMeta(spark, name, dir)
+    require(meta.nbits <= 64, s"nbits ${meta.nbits} exceeds one BIGINT word")
+    require(segmentIds(spark, name, dir).nonEmpty,
+      s"index $name has no segments")
+    val sigs = spark.read.parquet(s"$dir/$name/sigs")
+    val qs = queryVecs.select(col("qid"), VectorOps.signSig("qq").as("qsig"))
+    val top = sigs
+      .select(col("vid"), col("sig")) // column-pruned: 16 bytes/vector
+      .join(broadcast(qs), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr("CAST(bit_count(qsig ^ sig) AS BIGINT)").as("hamming"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKPairs(-col("hamming"), col("vid"), topk).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (-col("col.v")).as("hamming"),
+        col("col.id").as("cid"))
+    // the survivors' ids become a literal IN list (queries x topk longs
+    // — the routing decision a serving frontend makes per request), so
+    // the raw-vector fetch is a PUSHED parquet point read, never a
+    // second full pass over the vector bytes
+    val survivors = top.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    sigs.filter(col("vid").isin(survivors: _*)) // pushed: In(vid, ...)
+      .select(col("vid").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      .join(broadcast(top), Seq("cid"))
+      .join(broadcast(queryVecs), Seq("qid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cos_sim"))
+  }
+}

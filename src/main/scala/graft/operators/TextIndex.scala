@@ -166,9 +166,12 @@ object TextIndex {
     val (p, s) = tokenize(newDocuments, meta.buckets)
     writeSegment(p, s, s"$dir/$name", segId)
     // a stream-built index (writeDelta only, no build) is just as
-    // self-describing; the rewrite is byte-identical, so replays stay
-    // idempotent
-    writeMeta(spark, name, dir, meta)
+    // self-describing — the FIRST delta publishes the sidecar. Once it
+    // exists it is never rewritten (its content cannot change across
+    // deltas), so a concurrent probe never races a live meta rewrite
+    // (ADVICE r9); replays stay idempotent either way.
+    if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
+      writeMeta(spark, name, dir, meta)
   }
 
   /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —

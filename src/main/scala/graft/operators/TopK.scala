@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.plans.TopKPairsLong
+import graft.plans.{TopKPairsDouble, TopKPairsLong}
 
 /** Bounded top-k-per-group — the aggregate-shaped alternative to a
   * `row_number` window + filter (see plans/TopKPairsLong for the
@@ -17,5 +17,12 @@ object TopK {
   def topKPairs(value: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKPairsLong(ColumnBridge.expression(value),
+        ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** [[topKPairs]] with a DOUBLE rank key (VERDICT r9 #3 — the serving
+    * probes' cosine-ranked final top-k). Value DOUBLE, id BIGINT. */
+  def topKPairsDouble(value: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKPairsDouble(ColumnBridge.expression(value),
         ColumnBridge.expression(id), k).toAggregateExpression())
 }

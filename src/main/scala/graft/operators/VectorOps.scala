@@ -86,6 +86,24 @@ object VectorOps {
       b.expression(cqs), b.expression(cn2s)))
   }
 
+  /** 64-bit sign SIGNATURE of a quantized vector column (by name): bit i
+    * set iff element i > 0 — random-hyperplane LSH with axis planes,
+    * OR-folded into ONE BIGINT so bit 63 stays exact where a SUM would
+    * overflow. The 1-bit member of the compression ladder (q202 /
+    * [[SigIndex]]): 64 bits per vector is 1/256 the bytes of fp32x64,
+    * and candidate ranking is popcount(xor) Hamming distance.
+    *
+    * Dimensions above 64 RAISE instead of silently corrupting ranks
+    * (ADVICE r9): `shiftleft` masks its shift count to 6 bits, so bit
+    * i >= 64 would alias onto bit i-64 — a dim change must fail loudly. */
+  def signSig(colName: String): Column = expr(
+    s"""CASE WHEN size($colName) > 64 THEN
+          CAST(raise_error(concat('sign signature supports dim <= 64, got ',
+            CAST(size($colName) AS STRING))) AS BIGINT)
+        ELSE aggregate(zip_with($colName, sequence(0, size($colName) - 1),
+          (v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),
+          0L, (acc, x) -> acc | x) END""")
+
   /** Sign-bit LSH bucket over the first `bits` dimensions (axis-aligned
     * random-hyperplane hashing). 2^bits buckets; vectors only compete
     * within their bucket — the approximate-search scale path that replaces

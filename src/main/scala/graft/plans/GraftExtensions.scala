@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeSegmentsArray)
     ext.injectFunction(GraftExtensions.multiMatchPackLong)
     ext.injectFunction(GraftExtensions.topKPairsLong)
+    ext.injectFunction(GraftExtensions.topKPairsDouble)
     ext.injectFunction(GraftExtensions.videoMetaLong)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -202,13 +203,23 @@ object GraftExtensions {
         literalInt(children(2), "top_k_pairs_long k"))
     })
 
+  private val topKPairsDouble: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_pairs_double"),
+    new ExpressionInfo(classOf[TopKPairsDouble].getName, "top_k_pairs_double"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "top_k_pairs_double takes (value DOUBLE, id BIGINT, k INT)")
+      TopKPairsDouble(children(0), children(1),
+        literalInt(children(2), "top_k_pairs_double k"))
+    })
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     for ((id, info, builder) <-
            Seq(arrayDotLong, kmvSketchLong, quantilePairSketch, cellArgmaxCosineLong,
              imageDimsLong, audioMetaLong, misraGriesTerms, zorderLong,
              bmpDhashLong, bpeCountLong, bpeCountTextLong, bpeSegmentsArray,
-             multiMatchPackLong, topKPairsLong, videoMetaLong))
+             multiMatchPackLong, topKPairsLong, topKPairsDouble, videoMetaLong))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -41,8 +41,15 @@ class IvfIndexSpec extends SparkSpec {
       //    not appear anywhere in the probe plan
       assert(!plan.toLowerCase.contains("argmax"),
         s"probe plan contains the training-side argmax:\n$plan")
-      assert(!plan.contains("posexplode"),
-        s"probe plan contains the k-means update explode:\n$plan")
+
+      // 2b. the final top-k is the BOUNDED aggregate, never a
+      //     row_number window over the probed candidates (VERDICT r9
+      //     #3; the routing window runs in the collected routing job,
+      //     not in this plan)
+      assert(plan.contains("top_k_pairs"),
+        s"probe must rank through the bounded top-k aggregate:\n$plan")
+      assert(!plan.contains("Window"),
+        s"probe plan must not contain a Window:\n$plan")
 
       // 3. and the probe answers are the in-plan-trained pipeline's
       //    answers, bit for bit (same math as q40: rank cells, read

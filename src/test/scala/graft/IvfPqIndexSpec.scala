@@ -51,6 +51,16 @@ class IvfPqIndexSpec extends SparkSpec {
       assert(!lower.contains("min_by"),
         s"probe plan contains the PQ-encode min_by:\n$plan")
 
+      // 2b. shortlist AND final top-k are the BOUNDED aggregates,
+      //     never row_number windows over the ADC candidate set
+      //     (VERDICT r9 #3; the routing window runs in the collected
+      //     routing job, not in this plan)
+      assert(plan.contains("top_k_pairs_long")
+          && plan.contains("top_k_pairs_double"),
+        s"probe must rank through the bounded top-k aggregates:\n$plan")
+      assert(!plan.contains("Window"),
+        s"probe plan must not contain a Window:\n$plan")
+
       // 3. nonempty, shaped as promised
       val rows = probe.collect()
       assert(rows.nonEmpty)

@@ -218,6 +218,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("ensureBucketedTable revalidates a stale catalog bucket spec (ADVICE r9)") {
+    // After an out-of-process rebuild changed the bucket count, a
+    // long-lived serving session still holds the OLD spec — planning
+    // with it over the new files makes bucket pruning select the wrong
+    // buckets and silently return wrong rows. ensureBucketedTable must
+    // compare the registered spec against the expected (meta-sidecar)
+    // values and drop + recreate on mismatch, instead of trusting
+    // whatever exists.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-revalidate").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Layout.writeBucketed(orders, "b_reval", "o_orderkey", 8, s"$dir/t")
+    try {
+      // out-of-process rebuild: same path, 4 buckets, via a throwaway
+      // catalog entry (this session's b_reval spec still says 8)
+      Layout.writeBucketed(orders, "b_reval__other", "o_orderkey", 4, s"$dir/t")
+      spark.sql("DROP TABLE IF EXISTS b_reval__other")
+      def numBuckets = spark.sql("DESCRIBE FORMATTED b_reval").collect()
+        .find(_.getString(0) == "Num Buckets").map(_.getString(1).trim)
+      assert(numBuckets.contains("8"), "precondition: stale spec registered")
+      // matching spec: validation is a no-op (entry kept)
+      Layout.ensureBucketedTable(spark, "b_reval", "o_orderkey", 8, s"$dir/t")
+      assert(numBuckets.contains("8"))
+      // mismatched count: entry must be dropped and recreated at 4
+      Layout.ensureBucketedTable(spark, "b_reval", "o_orderkey", 4, s"$dir/t")
+      assert(numBuckets.contains("4"),
+        "stale bucket spec must be replaced by the expected one")
+      assert(spark.table("b_reval").count() == orders.count())
+      // mismatched KEY likewise
+      Layout.ensureBucketedTable(spark, "b_reval", "o_custkey", 4, s"$dir/t")
+      val keyCols = spark.sql("DESCRIBE FORMATTED b_reval").collect()
+        .find(_.getString(0) == "Bucket Columns").map(_.getString(1))
+      assert(keyCols.exists(_.contains("o_custkey")))
+    } finally spark.sql("DROP TABLE IF EXISTS b_reval")
+  }
+
   test("compactionPlan bin-packs a file listing toward the target size") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

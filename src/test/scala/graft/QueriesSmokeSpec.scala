@@ -75,6 +75,35 @@ class QueriesSmokeSpec extends SparkSpec {
       s"global-Window discipline violated in:\n${offenders.mkString("\n")}")
   }
 
+  test("q202 plan: Hamming ranks through the bounded top-k; exact cosine only above it (VERDICT r9 #1)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = Queries.all.toMap.apply("q202_binary_sign_ann")
+      .fn(spark, sfDir).queryExecution.optimizedPlan
+    // ranking must never ride a row_number window (10 partitions each
+    // holding the full candidate set — the q63/q120 anti-pattern)
+    assert(plan.collect { case w: Window => w }.isEmpty,
+      s"q202 plans a Window:\n$plan")
+    // the bounded top-k aggregate is the ranking stage, and the exact
+    // integer-cosine rescore (the dot product the 1-bit quantization
+    // exists to avoid) must not be computed anywhere BELOW it
+    val topkAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case _: graft.plans.TopKPairsLong => true
+        case _ => false
+      }) => a
+    }
+    assert(topkAggs.nonEmpty, s"q202 must rank through top_k_pairs_long:\n$plan")
+    topkAggs.foreach { a =>
+      val dotBelow = a.child.collect { case p => p }
+        .exists(_.expressions.exists(_.exists {
+          case _: graft.plans.ArrayDotLong => true
+          case _ => false
+        }))
+      assert(!dotBelow,
+        s"q202 computes the exact rescore below the top-k filter:\n$plan")
+    }
+  }
+
   test("q48 funnel counts are monotonically non-increasing per stage") {
     Queries.queries("q48_quality_funnel")(spark, sfDir).collect().foreach { r =>
       val (n, l, rp, s) = (r.getAs[Long]("n_docs"), r.getAs[Long]("after_len"),

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SigIndex, VectorOps}
+import graft.streaming.SigStream
+
+/** Plan + parity proof for the persisted sign-hash index (VERDICT r9
+  * #2): the probe must READ the index — (vid, sig) column-pruned
+  * Hamming scan, bounded top-k aggregate (no window), pushed
+  * `vid IN (survivors)` point read for the exact rescore — and return
+  * exactly what q202's in-plan packing returns, bit for bit.
+  */
+class SigIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+    .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  private def queries = vectors.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+
+  /** Independent in-plan reference — q202's semantics through the
+    * WINDOW formulation (deliberately NOT the probe's top-k aggregate,
+    * so the two rankings check each other). */
+  private def expected = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors.withColumn("sig", VectorOps.signSig("q"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val scored = e
+      .select(col("vec_id").as("cid"), col("sig").as("csig"),
+        col("q").as("cq"), col("n2").as("cn2"))
+      .join(broadcast(qs), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc_nulls_first, col("cid").asc_nulls_first)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("hamming"), col("cos_sim"))
+      .orderBy(col("qid"), col("cid"))
+  }
+
+  private def probeSorted(s: org.apache.spark.sql.SparkSession,
+                          name: String, d: String) =
+    SigIndex.probe(s, name, d, queries, topk = 3)
+      .orderBy(col("qid"), col("cid"))
+
+  test("probe plan reads the index: pruned Hamming scan, pushed rescore, no window") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark, vectors, "sig_spec", d)
+
+    val probe = SigIndex.probe(spark, "sig_spec", d, queries, topk = 3)
+    val plan = probe.queryExecution.executedPlan
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("sigs")) => f
+    }
+    assert(scans.size == 2, s"expected Hamming scan + rescore scan:\n$plan")
+
+    // 1. the ranking pass reads ONLY (vid, sig) — 16 bytes/vector; the
+    //    raw vector bytes never enter the Hamming scan (ReadSchema is
+    //    the data-column set; `seg` rides as a hive partition column)
+    def readCols(f: org.apache.spark.sql.execution.FileSourceScanExec) =
+      f.metadata.get("ReadSchema").toSeq
+        .flatMap(_.stripPrefix("struct<").stripSuffix(">").split(",(?![^<]*>)"))
+        .map(_.split(":")(0).trim).toSet
+    val hammingScan = scans.find(f => readCols(f) == Set("vid", "sig"))
+    assert(hammingScan.isDefined,
+      s"Hamming scan must column-prune to (vid, sig):\n$plan")
+
+    // 2. the rescore is a PUSHED point read of the topk survivors
+    val rescoreScan = scans.find(f => readCols(f).contains("q"))
+    assert(rescoreScan.isDefined, s"no rescore scan:\n$plan")
+    assert(rescoreScan.get.metadata.get("PushedFilters")
+      .exists(_.contains("In(vid")),
+      s"survivor fetch must push In(vid, ...) into parquet:\n$plan")
+
+    // 3. ranking is the bounded aggregate, never a row_number window
+    val planStr = plan.toString
+    assert(planStr.contains("top_k_pairs_long"),
+      s"probe must rank through the bounded top-k aggregate:\n$planStr")
+    assert(!planStr.contains("Window"),
+      s"probe must not plan a Window:\n$planStr")
+
+    // 4. and the probe answers are q202's in-plan answers, bit for bit
+    val got = probeSorted(spark, "sig_spec", d).collect().toSeq
+    val want = expected.collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("delta append: probe(base + delta) == probe(fresh full build)") {
+    val dSeg = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val dFull = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
+    SigIndex.build(spark, half1, "sig_seg", dSeg)
+    SigIndex.appendDelta(spark, half2, "sig_seg", dSeg)
+    assert(SigIndex.segmentIds(spark, "sig_seg", dSeg) == Seq(0L, 1L))
+    SigIndex.build(spark, vectors, "sig_full", dFull)
+    val got = probeSorted(spark, "sig_seg", dSeg).collect().toSeq
+    val want = probeSorted(spark, "sig_full", dFull).collect().toSeq
+    // packing is a per-row pure function — segment structure is
+    // unobservable in answers (and both equal the in-plan reference)
+    assert(got == want && want.nonEmpty)
+    assert(got == expected.collect().toSeq)
+  }
+
+  test("streaming ingestion: SigStream == batch build; replay no-op") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val m = SigIndex.Meta(nbits = 64)
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    // an ARBITRARY split — batch boundaries must be unobservable
+    val (b1, rest) = rows.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = SigStream.start(input.toDF().toDF("vec_id", "embedding"),
+      "sig_stream", d, m, s"$d/_ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    assert(SigIndex.segmentIds(spark, "sig_stream", d).size == 3)
+    assert(SigIndex.readMeta(spark, "sig_stream", d) == m,
+      "a stream-built index must be self-describing (sidecar from delta 0)")
+
+    SigIndex.build(spark, vectors, "sig_sref", dRef)
+    val want = probeSorted(spark, "sig_sref", dRef).collect().toSeq
+    val got = probeSorted(spark, "sig_stream", d).collect().toSeq
+    assert(got == want && want.nonEmpty)
+
+    // exact redelivery of an already-committed batch: its segment is
+    // rewritten with identical content — answers unchanged
+    SigStream.processBatch(b2.toDF("vec_id", "embedding"),
+      "sig_stream", d, m, batchId = 1L)
+    assert(probeSorted(spark, "sig_stream", d).collect().toSeq == want)
+  }
+
+  test("atomic in-place rebuild: probes see all-old or all-new across a crash") {
+    import graft.pipeline.TierCommit
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    SigIndex.build(spark, half1, "sig_reb", d)
+    val oldAns = probeSorted(spark, "sig_reb", d).collect().toSeq
+
+    // CRASH 1: rebuild staged, commit point not reached — a healing
+    // reader sees ALL-OLD: the half-corpus index, byte for byte
+    SigIndex.stageRebuildInPlace(spark, vectors, "sig_reb", d, nbits = 64)
+    assert(!TierCommit.heal(spark, d), "no manifest yet: heal is a no-op")
+    assert(SigIndex.segmentIds(spark, "sig_reb", d) == Seq(0L))
+    assert(probeSorted(spark, "sig_reb", d).collect().toSeq == oldAns)
+
+    // CRASH 2: manifest renamed (the commit point), no promotion ran —
+    // heal rolls sigs + sidecar forward TOGETHER: ALL-NEW, identical
+    // to a fresh full build (packing is deterministic)
+    TierCommit.writeManifest(spark, d, Seq(s"$d/sig_reb"))
+    assert(TierCommit.heal(spark, d), "manifest present: heal must promote")
+    val got = probeSorted(spark, "sig_reb", d).collect().toSeq
+    assert(got == expected.collect().toSeq)
+    assert(got != oldAns, "full-corpus rebuild must change the answers here")
+
+    // and the uninterrupted path over the live index: same answers
+    SigIndex.rebuildInPlace(spark, vectors, "sig_reb", d)
+    assert(probeSorted(spark, "sig_reb", d).collect().toSeq == got)
+  }
+
+  test("FRESH session opens the index with only (name, dir) via the meta sidecar") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val built = SigIndex.build(spark, vectors, "sig_fresh", d)
+    val want = probeSorted(spark, "sig_fresh", d).collect().toSeq
+    val fresh = spark.newSession()
+    assert(SigIndex.readMeta(fresh, "sig_fresh", d) == built)
+    val freshQueries = Tables.embeddings(fresh, dir)
+      .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val got = SigIndex.probe(fresh, "sig_fresh", d, freshQueries, topk = 3)
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("dim > 64 fails loudly instead of silently corrupting ranks (ADVICE r9)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val wide = Seq((1L, (0 until 65).map(_.toLong))).toDF("vec_id", "q")
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+    val e = intercept[Exception] {
+      SigIndex.build(spark, wide, "sig_wide", d)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sign signature supports dim <= 64")),
+      s"unexpected failure: $e")
+  }
+}

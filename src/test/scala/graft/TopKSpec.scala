@@ -57,6 +57,35 @@ class TopKSpec extends SparkSpec {
     assert(arr == Seq(30L, 30L, 20L) && arr.size == 3)
   }
 
+  test("double-ranked top-k equals the window reference on every layout (VERDICT r9 #3)") {
+    val drows = Seq(
+      ("a", 0.31, 1L), ("a", -0.75, 2L), ("a", 0.31, 3L), ("a", 0.99, 4L),
+      ("a", 0.0, 5L), ("b", -0.1, 6L), ("b", -0.1, 7L), ("c", 2.5, 8L))
+    def ref(k: Int) = drows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(k).map(r => (g, r._2, r._3))
+    }.sortBy(r => (r._1, -r._2, r._3))
+    for (parts <- Seq(1, 3, 8); k <- Seq(1, 2, 3, 10)) {
+      val got = drows.toDF("g", "v", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(TopK.topKPairsDouble(col("v"), col("id"), k).as("top"))
+        .select(col("g"), explode(col("top")).as("p"))
+        .select(col("g"), col("p.v"), col("p.id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSeq.sortBy(r => (r._1, -r._2, r._3))
+      assert(got == ref(k), s"parts=$parts k=$k")
+    }
+  }
+
+  test("top_k_pairs_double is SQL-registered with ties toward the smaller id") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT top_k_pairs_double(v, id, 2) AS top FROM VALUES
+         (CAST(1.5 AS DOUBLE), 9L), (CAST(1.5 AS DOUBLE), 3L),
+         (CAST(0.5 AS DOUBLE), 1L) AS t(v, id)""")
+      .select(col("top.id")).head().getSeq[Long](0)
+    assert(got == Seq(3L, 9L))
+  }
+
   test("q124 conservation: attributed cents equal converted cents") {
     val sfDir = "/root/testdata/sf0.001"
     val attributed = Queries.queries("q124_attribution")(spark, sfDir)
