@@ -31,6 +31,19 @@ object Explain {
       case "sql" :: stmt :: Nil =>
         graft.plans.GraftExtensions.register(spark)
         spark.sql(stmt).show(20, truncate = false)
+      case "kcenter" :: sfDir :: k :: Nil =>
+        // time the parameterized greedy k-center walk (VERDICT r9 #6):
+        // one warm-up, then min-of-2 — documents the k-knee of the
+        // driver-loop design in docs/SCALING.md
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          VectorQueries.kCenterCoreset(spark, sfDir, k.toInt)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up: codegen/JIT
+        val t = Seq(once(), once()).min
+        println(f"kcenter k=$k sf=$sfDir min_sec=$t%.2f")
       case "audit" :: sfDir :: Nil =>
         // One summary line per query: shuffle/join/agg shape + pushdown.
         println("| query | joins | aggs | exchanges | pushed filters |")

@@ -2062,33 +2062,54 @@ object VectorQueries {
   // corpus never shuffles wider than (vec_id, d2)), and a 1-row argmax
   // collect. The greedy max-min sequence is provably non-increasing —
   // QueriesSmokeSpec asserts it as the algebraic law.
+  // k is the COMPACTION knob — small by construction for a coreset.
+  // Cost model (measured, docs/SCALING.md round-10 k-knee table): the
+  // driver loop pays k-1 rounds of (one broadcast + map-only scan +
+  // 1-row argmax collect), so runtime is ~linear in k on a per-round
+  // cost of max(scan, scheduler floor). At bench scale the FLOOR
+  // dominates — k=50 costs ~6.2 s at BOTH sf0.01 and sf0.1 (~0.13
+  // s/round, data-independent) — so wall-clock is k x latency there;
+  // on a real corpus the map-only scan dominates and wall-clock is
+  // k x scan. Either way the design holds through coreset-sized k;
+  // when k grows toward clustering-sized values (k >> 100 — no longer
+  // a coreset), the right successor is a batched multi-center round
+  // (pick the p farthest points per scan, Gonzalez-with-oversampling):
+  // fewer rounds at the price of an approximation the exact oracle
+  // could no longer replay.
   private val KCenters = 5
+
+  /** Parameterized greedy k-center walk (VERDICT r9 #6) — q201 runs it
+    * at [[KCenters]]; Explain's `kcenter` subcommand times other k to
+    * document where the driver-loop design stops being right. */
+  private[graft] def kCenterCoreset(spark: SparkSession, dir: String,
+                                    k: Int): DataFrame = {
+    val e = quantized(spark, dir).localCheckpoint() // k rounds fan out
+    val seed = e.agg(min(col("vec_id"))).head.getLong(0)
+    var picked = Vector((seed, 0L)) // (vec_id, d2 to nearest at pick)
+    while (picked.size < k) {
+      val ids = picked.map(_._1)
+      val cents = e.filter(col("vec_id").isin(ids: _*))
+        .select(col("q").as("cq"), col("n2").as("cn2"))
+      val best = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(cents)) // bounded side: <= k rows
+        .select(col("vec_id"),
+          (col("n2") + col("cn2")
+            - lit(2L) * VectorOps.qdot(col("q"), col("cq"))).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2min"))
+        .agg(max(struct(col("d2min"), (-col("vec_id")).as("nid"))).as("b"))
+        .select(col("b.d2min"), (-col("b.nid")).as("vec_id"))
+        .head
+      picked :+= ((best.getLong(1), best.getLong(0)))
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((v, d2), i) => (i + 1L, v, d2) }
+      .toDF("rank", "vec_id", "d2_nearest")
+      .orderBy(col("rank"))
+  }
+
   private val q201 = Q(
-    (spark, dir) => {
-      val e = quantized(spark, dir).localCheckpoint() // k rounds fan out
-      val seed = e.agg(min(col("vec_id"))).head.getLong(0)
-      var picked = Vector((seed, 0L)) // (vec_id, d2 to nearest at pick)
-      while (picked.size < KCenters) {
-        val ids = picked.map(_._1)
-        val cents = e.filter(col("vec_id").isin(ids: _*))
-          .select(col("q").as("cq"), col("n2").as("cn2"))
-        val best = e.filter(!col("vec_id").isin(ids: _*))
-          .crossJoin(broadcast(cents)) // bounded side: <= k rows
-          .select(col("vec_id"),
-            (col("n2") + col("cn2")
-              - lit(2L) * VectorOps.qdot(col("q"), col("cq"))).as("d2"))
-          .groupBy(col("vec_id")).agg(min(col("d2")).as("d2min"))
-          .agg(max(struct(col("d2min"), (-col("vec_id")).as("nid"))).as("b"))
-          .select(col("b.d2min"), (-col("b.nid")).as("vec_id"))
-          .head
-        picked :+= ((best.getLong(1), best.getLong(0)))
-      }
-      import spark.implicits._
-      picked.zipWithIndex
-        .map { case ((v, d2), i) => (i + 1L, v, d2) }
-        .toDF("rank", "vec_id", "d2_nearest")
-        .orderBy(col("rank"))
-    },
+    (spark, dir) => kCenterCoreset(spark, dir, KCenters),
     Some {
       // all-pairs d2 once (the oracle's honesty at oracle scale), then
       // the same greedy rounds as scalar CTE steps

@@ -2,7 +2,7 @@
 """Bench regression gate: fail loudly when any query slows down.
 
 Usage: python3 tools/bench_gate.py <prev_bench.json> <new_bench.json> \
-           [--ratio 1.5] [--floor 0.75]
+           [--ratio 1.5] [--floor 0.75] [--round-ref BENCH_rNN.json]
 
 Compares the per-query times of two bench JSON lines (the one-line
 format Bench.scala prints / the driver records as BENCH_r{N}.json) and
@@ -14,6 +14,17 @@ actionable). New queries and removed queries are reported, not gated.
 
 Rationale (VERDICT r3 #7): q39 regressed 2.1x between rounds and nothing
 flagged it; this makes the next silent regression a red exit code.
+
+DRIFT-ADOPTION GUARD (VERDICT r9 #4): the in-bench retry pass and this
+gate both compare against the COMMITTED reference — if a genuinely
+regressed time is ever committed, both silently adopt it as the new
+normal. `--round-ref` (auto-discovered as the highest-numbered
+BENCH_r*.json beside the new file when not given) adds an INDEPENDENT
+anchor: the previous round's driver record. Any query that passes the
+committed comparison but exceeds ratio x its round-record time is
+reported as DRIFT and fails the gate — a committed baseline that
+slipped round-over-round without a disclosed plan change now names
+itself.
 """
 import argparse
 import json
@@ -34,9 +45,26 @@ def _git_fallback(path: str, text: str) -> dict | None:
     match, fall back to the salvaged pairs themselves (a partial but
     real comparison point); never silently substitute a different run's
     numbers.
+
+    Pairs are salvaged ONLY from inside the `"queries"` object: the
+    bench line carries several other qNN-keyed objects (load, samples,
+    peak_mem, probe_only, retried), and a head-truncated artifact that
+    lost the `"queries"` key would otherwise salvage loadavg values as
+    seconds (BENCH_r09.json did exactly this). No queries region → no
+    salvage → the caller refuses to gate on the file.
     """
-    pairs = {m.group(1): float(m.group(2)) for m in re.finditer(
-        r'\\?"(q[a-zA-Z0-9_]+)\\?":\s*(-?[0-9]+(?:\.[0-9]+)?)', text)}
+    region = None
+    i = text.find('"queries"')
+    if i < 0:
+        i = text.find('\\"queries\\"')  # tail-log-escaped form
+    if i >= 0:
+        j = text.find("{", i)
+        if j >= 0:
+            k = text.find("}", j)  # flat name:number object — no nesting
+            region = text[j:k + 1] if k > 0 else text[j:]
+    pairs = {} if region is None else {
+        m.group(1): float(m.group(2)) for m in re.finditer(
+            r'\\?"(q[a-zA-Z0-9_]+)\\?":\s*(-?[0-9]+(?:\.[0-9]+)?)', region)}
     cwd = os.path.dirname(os.path.abspath(path)) or "."
     try:
         revs = subprocess.run(
@@ -106,12 +134,32 @@ def load(path: str) -> dict:
     return dict(queries), doc.get("peak_mem") or {}, doc.get("spill_bytes") or {}
 
 
+def discover_round_ref(new_path: str, prev_path: str) -> str | None:
+    """Highest-numbered BENCH_r*.json in the new file's directory (the
+    previous round's driver record) — skipped when it IS one of the two
+    compared files already."""
+    d = os.path.dirname(os.path.abspath(new_path)) or "."
+    best_n, best = -1, None
+    for f in os.listdir(d):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), os.path.join(d, f)
+    if best and best not in (os.path.abspath(new_path),
+                             os.path.abspath(prev_path)):
+        return best
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("prev")
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.75)
+    ap.add_argument("--round-ref", default=None,
+                    help="previous round's BENCH_rNN.json (auto-discovered "
+                         "beside the new file when omitted); independent "
+                         "drift-adoption anchor")
     args = ap.parse_args()
 
     (prev, _, _), (new, new_peak, new_spill) = load(args.prev), load(args.new)
@@ -150,12 +198,35 @@ def main() -> int:
                    f" spill {new_spill.get(q, 0) / 1e6:.0f}MB]")
         print(f"REGRESSION {q}: {p:.2f}s -> {n:.2f}s "
               f"({n / p:.2f}x > {args.ratio}x){mem}")
+    # DRIFT-ADOPTION GUARD: compare against the previous ROUND's record
+    # too — queries the committed comparison passed but whose time
+    # exceeds ratio x the round anchor reveal a baseline that slipped
+    # between rounds (the committed file agreeing is exactly the
+    # symptom, not an alibi).
+    drifts = []
+    round_ref = args.round_ref or discover_round_ref(args.new, args.prev)
+    if round_ref:
+        try:
+            ref, _, _ = load(round_ref)
+        except SystemExit:
+            ref = {}
+        flagged = {q for q, _, _ in regressions}
+        for q in sorted(set(new_ok) & {k for k, v in ref.items() if v >= 0}):
+            if (q not in flagged and new_ok[q] > ref[q] * args.ratio
+                    and new_ok[q] > args.floor):
+                drifts.append((q, ref[q], new_ok[q]))
+        for q, r, n in drifts:
+            committed = f"{prev[q]:.2f}s" if q in prev else "absent"
+            print(f"DRIFT {q}: {r:.2f}s ({os.path.basename(round_ref)}) -> "
+                  f"{n:.2f}s ({n / r:.2f}x > {args.ratio}x) — committed "
+                  f"baseline agrees ({committed}): possible drift-adoption")
     tot_prev = sum(prev[q] for q in shared)
     tot_new = sum(new_ok[q] for q in shared)
     print(f"\nshared-query total: {tot_prev:.2f}s -> {tot_new:.2f}s "
           f"({len(shared)} queries); {len(regressions)} regression(s), "
+          f"{len(drifts)} drift(s), "
           f"{len(broken) + len(new_broken)} newly broken")
-    return 1 if regressions or broken or new_broken else 0
+    return 1 if regressions or drifts or broken or new_broken else 0
 
 
 if __name__ == "__main__":
