@@ -1850,6 +1850,96 @@ object TextQueries {
       GROUP BY 1, 2
       ORDER BY actual ASC, predicted ASC"""))
 
+  // --- q204: distributed BPE tokenizer TRAINING (merge induction) --------
+  // The tokenizer family's missing first step: q24/q56/q175 all COUNT
+  // under a fixture merge table; this LEARNS one from the corpus
+  // (Sennrich et al. ACL 2016 — operators/BpeTrain). The corpus is
+  // read once into a (word, count) vocabulary (Heaps' law: sublinear
+  // state — the collapse every industrial BPE trainer performs), then
+  // each of the 8 rounds is a vocabulary-sized pair count + a 1-row
+  // argmax collect + a map-only codegen'd merge fold (bounded driver
+  // rounds, the q201 k-center discipline). The ORACLE unrolls all 8
+  // rounds as generated CTEs (the q112/q201 discipline) with the merge
+  // application stated RELATIONALLY: match positions island-grouped,
+  // alternation keeps even offsets within a run — provably the same
+  // rule as the Spark fold (overlap runs only arise when left == right;
+  // BpeTrainSpec cross-checks the two formulations property-wise), so
+  // every learned (rank, pair, count) row hash-matches bit for bit.
+  // No streaming twin by design: each merge changes the statistics the
+  // next argmax reads — training is inherently sequential in rounds.
+  private val BpeTrainRounds = 8
+  private val BpeMaxWordLen = 32
+
+  private val q204 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
+      import spark.implicits._
+      merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
+        .toDF("rank", "lft", "rgt", "pair_cnt")
+        .orderBy(col("rank"))
+    },
+    Some {
+      // one CTE block per training round, generated from the SAME
+      // Scala constants (rounds, word-length cap) the Spark path uses
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS (
+        SELECT a.tok AS lft, b.tok AS rgt, CAST(sum(a.cnt) AS BIGINT) AS c
+        FROM $prev a JOIN $prev b ON b.word = a.word AND b.rn = a.rn + 1
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (SELECT lft, rgt, c FROM p$r
+              ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+      m$r AS (
+        SELECT a.word, a.rn FROM $prev a
+        JOIN $prev nx ON nx.word = a.word AND nx.rn = a.rn + 1
+        JOIN b$r bb ON a.tok = bb.lft AND nx.tok = bb.rgt),
+      k$r AS MATERIALIZED (
+        SELECT word, rn FROM (
+          SELECT word, rn, rn - min(rn) OVER (PARTITION BY word, grp) AS off
+          FROM (SELECT word, rn,
+                       rn - row_number() OVER (PARTITION BY word ORDER BY rn)
+                         AS grp
+                FROM m$r))
+        WHERE off % 2 = 0),
+      s$r AS MATERIALIZED (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY rn) AS rn, tok
+        FROM (
+          SELECT s.word, s.cnt, s.rn,
+                 CASE WHEN k.rn IS NOT NULL THEN s.tok || nx.tok
+                      ELSE s.tok END AS tok
+          FROM $prev s
+          LEFT JOIN k$r k ON k.word = s.word AND k.rn = s.rn
+          LEFT JOIN $prev nx ON nx.word = s.word AND nx.rn = s.rn + 1
+          LEFT JOIN k$r ka ON ka.word = s.word AND ka.rn = s.rn - 1
+          WHERE ka.rn IS NULL))"""
+      }.mkString(",\n      ")
+      val out = (1 to BpeTrainRounds)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt, c AS pair_cnt FROM b$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH w AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        WHERE wd <> '' AND len(wd) <= $BpeMaxWordLen
+        GROUP BY 1),
+      s0 AS MATERIALIZED (
+        SELECT word, cnt,
+               CAST(generate_subscripts(toks, 1) AS BIGINT) AS rn,
+               unnest(toks) AS tok
+        FROM (SELECT wd AS word, cnt,
+                     list_transform(range(1, len(wd) + 1),
+                       i -> substr(wd, CAST(i AS INT), 1)) AS toks
+              FROM w)),
+      $rounds
+      SELECT * FROM ($out)
+      ORDER BY rank ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1885,5 +1975,6 @@ object TextQueries {
     "q148_hll_distinct" -> q148,
     "q175_bpe_fertility" -> q175,
     "q183_split_leakage" -> q183,
-    "q193_nb_langid" -> q193)
+    "q193_nb_langid" -> q193,
+    "q204_bpe_train" -> q204)
 }
