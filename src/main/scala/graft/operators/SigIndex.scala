@@ -149,6 +149,30 @@ object SigIndex {
       Map("nbits" -> nbits.toLong))
   }
 
+  /** The LAZY ranking half of a probe: pack each query's signature,
+    * broadcast the query signatures against a (vid, sig) column-pruned
+    * Hamming scan of `sigs` (16 bytes/vector — the SIMD-class pass
+    * that ranks 10^11 candidates from RAM), and keep the top-`topk`
+    * per query by (hamming ASC, vid ASC) through the BOUNDED
+    * map-side-combining aggregate — no row_number window anywhere, so
+    * the shuffle moves queries x topk pairs, never the candidate set.
+    * Exposed package-private so SigIndexSpec asserts its plan shape
+    * (the scan the serving path actually pays) directly. */
+  private[graft] def rank(spark: SparkSession, sigs: DataFrame,
+                          queryVecs: DataFrame, topk: Int): DataFrame = {
+    val qs = queryVecs.select(col("qid"), VectorOps.signSig("qq").as("qsig"))
+    sigs
+      .select(col("vid"), col("sig")) // column-pruned: 16 bytes/vector
+      .join(broadcast(qs), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        expr("CAST(bit_count(qsig ^ sig) AS BIGINT)").as("hamming"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKPairs(-col("hamming"), col("vid"), topk).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (-col("col.v")).as("hamming"),
+        col("col.id").as("cid"))
+  }
+
   /** Probe the persisted index: pack each query vector's signature
     * (queryVecs = (qid, qq ARRAY<BIGINT>, qn2) — the same quantized
     * form the index stores), broadcast the query signatures against a
@@ -173,26 +197,32 @@ object SigIndex {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
     val sigs = spark.read.parquet(s"$dir/$name/sigs")
-    val qs = queryVecs.select(col("qid"), VectorOps.signSig("qq").as("qsig"))
-    val top = sigs
-      .select(col("vid"), col("sig")) // column-pruned: 16 bytes/vector
-      .join(broadcast(qs), col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"),
-        expr("CAST(bit_count(qsig ^ sig) AS BIGINT)").as("hamming"))
-      .groupBy(col("qid"))
-      .agg(TopK.topKPairs(-col("hamming"), col("vid"), topk).as("tk"))
-      .select(col("qid"), posexplode(col("tk")))
-      .select(col("qid"), (-col("col.v")).as("hamming"),
-        col("col.id").as("cid"))
-    // the survivors' ids become a literal IN list (queries x topk longs
-    // — the routing decision a serving frontend makes per request), so
-    // the raw-vector fetch is a PUSHED parquet point read, never a
-    // second full pass over the vector bytes
-    val survivors = top.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val top = rank(spark, sigs, queryVecs, topk)
+    // the ranked shortlist is COLLECTED ONCE (queries x topk rows —
+    // the routing decision a serving frontend makes per request) and
+    // re-enters the plan as a LocalRelation (the IvfIndex.probe
+    // pattern), so the Hamming scan — the corpus-wide pass the index
+    // exists to make cheap — runs exactly once per probe; its ids
+    // become a literal IN list, making the raw-vector fetch a PUSHED
+    // parquet point read, never a second full pass over the vectors.
+    // (The first cut of this probe kept the ranking subtree INSIDE the
+    // returned plan and collected survivors separately — two full
+    // Hamming passes per probe, caught in round-10 self-review.)
+    val shortlist = top.collect() // bounded: queries x topk
+    val survivors = shortlist.map(_.getLong(2)).distinct.toSeq
+    val topLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortlist.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          shortlist.headOption.map(_.schema("qid").dataType)
+            .getOrElse(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("hamming",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType))))
     sigs.filter(col("vid").isin(survivors: _*)) // pushed: In(vid, ...)
       .select(col("vid").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-      .join(broadcast(top), Seq("cid"))
+      .join(broadcast(topLocal), Seq("cid"))
       .join(broadcast(queryVecs), Seq("qid"))
       .select(col("qid"), col("cid"), col("hamming"),
         VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
