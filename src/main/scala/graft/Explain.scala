@@ -44,6 +44,19 @@ object Explain {
         once() // warm-up: codegen/JIT
         val t = Seq(once(), once()).min
         println(f"kcenter k=$k sf=$sfDir min_sec=$t%.2f")
+      case "bpetrain" :: sfDir :: rounds :: Nil =>
+        // time the parameterized BPE training walk — documents the
+        // rounds-knee of the driver-loop design (the q201 k-knee
+        // discipline) in docs/SCALING.md
+        def onceB(): Double = {
+          val t0 = System.nanoTime()
+          TextQueries.bpeTrain(spark, sfDir, rounds.toInt)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        onceB() // warm-up: codegen/JIT
+        val tB = Seq(onceB(), onceB()).min
+        println(f"bpetrain rounds=$rounds sf=$sfDir min_sec=$tB%.2f")
       case "audit" :: sfDir :: Nil =>
         // One summary line per query: shuffle/join/agg shape + pushdown.
         println("| query | joins | aggs | exchanges | pushed filters |")

@@ -1870,18 +1870,25 @@ object TextQueries {
   private val BpeTrainRounds = 8
   private val BpeMaxWordLen = 32
 
+  /** Parameterized BPE training walk — q204 runs it at
+    * [[BpeTrainRounds]]; Explain's `bpetrain` subcommand times other
+    * round counts to document the rounds-knee of the driver-loop
+    * design (the q201 k-knee discipline, docs/SCALING.md). */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+                              rounds: Int): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.BpeTrain.fit(words, rounds)
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
+      .toDF("rank", "lft", "rgt", "pair_cnt")
+      .orderBy(col("rank"))
+  }
+
   private val q204 = Q(
-    (spark, dir) => {
-      val words = docs(spark, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
-      import spark.implicits._
-      merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
-        .toDF("rank", "lft", "rgt", "pair_cnt")
-        .orderBy(col("rank"))
-    },
+    (spark, dir) => bpeTrain(spark, dir, BpeTrainRounds),
     Some {
       // one CTE block per training round, generated from the SAME
       // Scala constants (rounds, word-length cap) the Spark path uses
