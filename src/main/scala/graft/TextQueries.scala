@@ -1947,6 +1947,119 @@ object TextQueries {
       ORDER BY rank ASC NULLS FIRST"""
     })
 
+  // --- q205: BATCHED BPE training (top-p compatible merges per round) ----
+  // q204's documented successor at production vocabulary sizes: each
+  // round computes pair counts ONCE, collects the top-64 candidates
+  // (TakeOrdered — bounded), keeps up to 4 COMPATIBLE pairs (token-
+  // disjoint, and no member/concatenation collisions — the
+  // BpeTrain.selectCompatible contract that makes simultaneous
+  // application well-defined), and applies the whole batch in one
+  // fold: 4x fewer driver round-trips for the same merge count (the
+  // SentencePiece trainer's trick). The candidate window IS part of
+  // the algorithm contract, so the ORACLE replays the walk exactly:
+  // per round, an unrolled chain of 4 rank-ordered selections each
+  // excluding the prior picks' tokens and concats, then the SAME
+  // match-island/alternation apply as q204 extended to a multi-pair
+  // batch (compatible pairs can never overlap positionally — the
+  // invariant BpeTrainSpec pins). With p = 1 the walk degenerates to
+  // q204's greedy, merge for merge (spec law).
+  private val BpeBatchRounds = 4
+  private val BpeBatchP = 4
+  private val BpeBatchCap = 64
+
+  private val q205 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.operators.BpeTrain
+        .fitBatched(words, BpeBatchRounds, BpeBatchP, BpeBatchCap)
+      import spark.implicits._
+      merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
+        .toDF("rank", "lft", "rgt", "pair_cnt")
+        .orderBy(col("rank"))
+    },
+    Some {
+      def selCte(r: Int, j: Int): String =
+        if (j == 1)
+          s"b${r}x1 AS MATERIALIZED (SELECT lft, rgt, c, rn FROM t$r ORDER BY rn LIMIT 1)"
+        else {
+          val prev = (1 until j)
+            .map(i => s"SELECT lft, rgt FROM b${r}x$i").mkString(" UNION ALL ")
+          s"""b${r}x$j AS MATERIALIZED (
+        SELECT lft, rgt, c, rn FROM t$r t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ($prev) q
+          WHERE t.lft IN (q.lft, q.rgt, q.lft || q.rgt)
+             OR t.rgt IN (q.lft, q.rgt, q.lft || q.rgt)
+             OR (t.lft || t.rgt) IN (q.lft, q.rgt))
+        ORDER BY rn LIMIT 1)"""
+        }
+      val rounds = (1 to BpeBatchRounds).map { r =>
+        val prev = s"s${r - 1}"
+        val sels = (1 to BpeBatchP).map(selCte(r, _)).mkString(",\n      ")
+        val pk = (1 to BpeBatchP)
+          .map(j => s"SELECT lft, rgt, c, $j AS sel FROM b${r}x$j")
+          .mkString(" UNION ALL ")
+        s"""p$r AS (
+        SELECT a.tok AS lft, b.tok AS rgt, CAST(sum(a.cnt) AS BIGINT) AS c
+        FROM $prev a JOIN $prev b ON b.word = a.word AND b.rn = a.rn + 1
+        GROUP BY 1, 2),
+      t$r AS MATERIALIZED (
+        SELECT lft, rgt, c,
+               row_number() OVER (ORDER BY c DESC, lft ASC, rgt ASC) AS rn
+        FROM p$r ORDER BY c DESC, lft ASC, rgt ASC LIMIT $BpeBatchCap),
+      $sels,
+      pk$r AS MATERIALIZED ($pk),
+      m$r AS (
+        SELECT a.word, a.rn, q.lft || q.rgt AS ntok
+        FROM $prev a
+        JOIN $prev nx ON nx.word = a.word AND nx.rn = a.rn + 1
+        JOIN pk$r q ON a.tok = q.lft AND nx.tok = q.rgt),
+      k$r AS MATERIALIZED (
+        SELECT word, rn, ntok FROM (
+          SELECT word, rn, ntok, rn - min(rn) OVER (PARTITION BY word, grp) AS off
+          FROM (SELECT word, rn, ntok,
+                       rn - row_number() OVER (PARTITION BY word ORDER BY rn) AS grp
+                FROM m$r))
+        WHERE off % 2 = 0),
+      s$r AS MATERIALIZED (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY rn) AS rn, tok
+        FROM (
+          SELECT s.word, s.cnt, s.rn,
+                 CASE WHEN k.rn IS NOT NULL THEN k.ntok ELSE s.tok END AS tok
+          FROM $prev s
+          LEFT JOIN k$r k ON k.word = s.word AND k.rn = s.rn
+          LEFT JOIN k$r ka ON ka.word = s.word AND ka.rn = s.rn - 1
+          WHERE ka.rn IS NULL))"""
+      }.mkString(",\n      ")
+      val out = (1 to BpeBatchRounds)
+        .map(r => s"SELECT $r AS rnd, sel, lft, rgt, c FROM pk$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH w AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        WHERE wd <> '' AND len(wd) <= $BpeMaxWordLen
+        GROUP BY 1),
+      s0 AS MATERIALIZED (
+        SELECT word, cnt,
+               CAST(generate_subscripts(toks, 1) AS BIGINT) AS rn,
+               unnest(toks) AS tok
+        FROM (SELECT wd AS word, cnt,
+                     list_transform(range(1, len(wd) + 1),
+                       i -> substr(wd, CAST(i AS INT), 1)) AS toks
+              FROM w)),
+      $rounds,
+      allp AS ($out)
+      SELECT CAST(row_number() OVER (ORDER BY rnd, sel) AS BIGINT) AS rank,
+             lft, rgt, c AS pair_cnt
+      FROM allp
+      ORDER BY rank ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -1983,5 +2096,6 @@ object TextQueries {
     "q175_bpe_fertility" -> q175,
     "q183_split_leakage" -> q183,
     "q193_nb_langid" -> q193,
-    "q204_bpe_train" -> q204)
+    "q204_bpe_train" -> q204,
+    "q205_bpe_train_batched" -> q205)
 }

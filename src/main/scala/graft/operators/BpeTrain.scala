@@ -78,6 +78,103 @@ object BpeTrain {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(t)))))
 
+  /** Greedy compatible-subset selection for BATCHED training
+    * ([[fitBatched]]): walk `cands` in rank order (the caller passes
+    * them sorted by count DESC, left ASC, right ASC) and keep up to
+    * `p` pairs such that every kept pair
+    *  - shares NO token with an earlier-kept pair (token-disjoint
+    *    matches can never overlap positionally, so applying the batch
+    *    simultaneously is well-defined), and
+    *  - has no member equal to an earlier-kept pair's CONCATENATION,
+    *    and no concatenation equal to an earlier-kept pair's member
+    *    (the merged token is new this round; without these rules a
+    *    left-to-right fold could re-match a just-merged token the
+    *    simultaneous relational rule never sees).
+    * Pure driver-side function over a bounded candidate list —
+    * separated out so the spec can pin the rule directly. */
+  def selectCompatible(cands: Seq[(String, String, Long)], p: Int)
+      : Seq[(String, String, Long)] = {
+    val picked = scala.collection.mutable.Buffer[(String, String, Long)]()
+    val it = cands.iterator
+    while (picked.size < p && it.hasNext) {
+      val (l, r, c) = it.next()
+      val clash = picked.exists { case (pl, pr, _) =>
+        val toks = Set(pl, pr, pl + pr)
+        toks(l) || toks(r) || Set(pl, pr)(l + r)
+      }
+      if (!clash) picked += ((l, r, c))
+    }
+    picked.toSeq
+  }
+
+  /** Simultaneous application of a COMPATIBLE batch of merges (see
+    * [[selectCompatible]] for the compatibility contract) — one
+    * codegen'd fold; at each token the accumulator's last token and
+    * the current token are checked against every pair in the batch
+    * (unambiguous: compatible pairs are token-disjoint, so at most
+    * one can match). Equal to applying the pairs one at a time in any
+    * order, and to the relational match-island rule the q205 oracle
+    * states (BpeTrainSpec proves both). */
+  def applyMergeBatch(toks: Column, pairs: Seq[(String, String)]): Column = {
+    require(pairs.nonEmpty, "empty merge batch")
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) =>
+        when(size(acc) === 0, array(t))
+          .otherwise(pairs.foldRight(concat(acc, array(t))) {
+            case ((l, r), els) =>
+              when(element_at(acc, -1) === lit(l) && t === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(els)
+          }))
+  }
+
+  /** BATCHED training — the production shape for large vocabularies
+    * (the SentencePiece trainer's trick): each round computes pair
+    * counts ONCE, collects the top-`topCap` candidates (bounded —
+    * rank-ordered by count DESC, left ASC, right ASC), keeps up to
+    * `p` compatible pairs ([[selectCompatible]]), and applies them
+    * simultaneously in one fold. p x fewer driver round-trips than
+    * [[fit]] for the same merge count; the `topCap` candidate window
+    * is PART OF THE ALGORITHM CONTRACT (a round picks fewer than p
+    * only if the window runs out of compatible pairs), so a DuckDB
+    * oracle replays the walk exactly — q205 does. With p = 1 the walk
+    * degenerates to [[fit]]'s greedy, merge for merge (BpeTrainSpec
+    * asserts it as a law). Ranks are global selection order
+    * (round-major). */
+  def fitBatched(words: DataFrame, rounds: Int, p: Int,
+                 topCap: Int = 64): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(p >= 1 && p <= topCap, s"need 1 <= p <= topCap, got p=$p cap=$topCap")
+    var state = charState(words).localCheckpoint(true)
+    var merges = Vector.empty[Merge]
+    var dry = false
+    var round = 0
+    while (round < rounds && !dry) {
+      val cands = state.filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(toks) - 2)," +
+            " i -> struct(toks[i] AS l, toks[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(topCap) // TakeOrdered: bounded collect, one job per round
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val picked = selectCompatible(cands.toSeq, p)
+      if (picked.isEmpty) dry = true
+      else {
+        merges ++= picked.zipWithIndex.map { case ((l, r, c), i) =>
+          Merge(merges.size + i + 1, l, r, c)
+        }
+        state = state
+          .withColumn("toks",
+            applyMergeBatch(col("toks"), picked.map(m => (m._1, m._2))))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges
+  }
+
   /** Learn up to `rounds` merges from a (w, cnt) word vocabulary.
     * Stops early if the corpus runs dry (no adjacent pair left — every
     * word fully merged). Returns the merge table in rank order. */

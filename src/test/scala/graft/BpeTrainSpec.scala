@@ -109,4 +109,69 @@ class BpeTrainSpec extends SparkSpec {
     assert(ms.map(_.rank) == (1 to ms.size))
     assert(ms.forall(_.pairCnt > 0))
   }
+
+  // ---- batched training ---------------------------------------------------
+
+  test("selectCompatible: token, member-vs-concat, and concat-vs-member clashes") {
+    val cands = Seq(
+      ("e", "r", 10L),  // picked
+      ("o", "r", 9L),   // shares r -> skip
+      ("i", "n", 8L),   // picked
+      ("er", "x", 7L),  // left == concat of (e,r) -> skip
+      ("x", "er", 6L),  // right == concat of (e,r) -> skip
+      ("i", "i", 5L),   // shares i -> skip
+      ("a", "b", 4L))   // picked
+    assert(BpeTrain.selectCompatible(cands, 4) ==
+      Seq(("e", "r", 10L), ("i", "n", 8L), ("a", "b", 4L)))
+    // concat-vs-member: candidate whose concatenation equals a picked
+    // member would let the fold re-match a just-merged token
+    val c2 = Seq(("ab", "c", 9L), ("a", "b", 8L), ("x", "y", 7L))
+    assert(BpeTrain.selectCompatible(c2, 3) ==
+      Seq(("ab", "c", 9L), ("x", "y", 7L)))
+    assert(BpeTrain.selectCompatible(Seq.empty, 3).isEmpty)
+    assert(BpeTrain.selectCompatible(cands, 1) == Seq(("e", "r", 10L)))
+  }
+
+  test("batch fold == sequential single-pair folds for compatible batches") {
+    // every token sequence over {a,b,c,d} up to length 6 x a set of
+    // compatible batches — simultaneous and any-order-sequential
+    // application must agree (the selectCompatible contract)
+    val alpha = Vector("a", "b", "c", "d")
+    val seqs = (0 to 6).flatMap { n =>
+      (0 until math.pow(4, n).toInt).map { bits =>
+        (0 until n).map(i => alpha((bits >> (2 * i)) & 3)).toVector
+      }
+    }
+    val batches = Seq(
+      Seq(("a", "b"), ("c", "d")),
+      Seq(("a", "a"), ("b", "c")),
+      Seq(("b", "a"), ("c", "c")))
+    for (batch <- batches) {
+      val gotBatch = seqs.toDF("toks")
+        .select(BpeTrain.applyMergeBatch(col("toks"), batch).as("m"))
+        .collect().map(_.getSeq[String](0).toVector).toSeq
+      for (order <- Seq(batch, batch.reverse)) {
+        val gotSeqn = order.foldLeft(seqs.toDF("toks")) { case (df, (l, r)) =>
+          df.select(BpeTrain.applyMerge(col("toks"), l, r).as("toks"))
+        }.collect().map(_.getSeq[String](0).toVector).toSeq
+        assert(gotBatch == gotSeqn, s"batch $batch order $order")
+      }
+    }
+  }
+
+  test("fitBatched with p = 1 degenerates to fit, merge for merge") {
+    val words = sennrich.toDF("w", "cnt")
+    val batched = BpeTrain.fitBatched(words, rounds = 6, p = 1)
+    val greedy = BpeTrain.fit(words, rounds = 6)
+    assert(batched == greedy && greedy.nonEmpty)
+  }
+
+  test("fitBatched: global ranks contiguous, within-round pairs compatible") {
+    val words = sennrich.toDF("w", "cnt")
+    val ms = BpeTrain.fitBatched(words, rounds = 3, p = 3)
+    assert(ms.map(_.rank) == (1 to ms.size))
+    assert(ms.size > 3, "p > 1 should pick more than one pair per round")
+    // re-run == deterministic
+    assert(BpeTrain.fitBatched(words.repartition(5), rounds = 3, p = 3) == ms)
+  }
 }
