@@ -128,6 +128,20 @@ object BpeTrain {
           }))
   }
 
+  /** Free a state's localCheckpoint blocks (ADVICE r10: fit/fitBatched
+    * checkpoint a new state every round; without this the superseded
+    * rounds' blocks accumulate linearly in executor storage — directly
+    * felt by the Explain `bpetrain` rounds-knee sweeps). The
+    * checkpointed RDD is the LogicalRDD leaf the eager checkpoint
+    * embedded in the returned frame; unpersist is async (the next
+    * round never reads it again). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** BATCHED training — the production shape for large vocabularies
     * (the SentencePiece trainer's trick): each round computes pair
     * counts ONCE, collects the top-`topCap` candidates (bounded —
@@ -165,13 +179,16 @@ object BpeTrain {
         merges ++= picked.zipWithIndex.map { case ((l, r, c), i) =>
           Merge(merges.size + i + 1, l, r, c)
         }
-        state = state
+        val next = state
           .withColumn("toks",
             applyMergeBatch(col("toks"), picked.map(m => (m._1, m._2))))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // eager: materialized before the free
+        freeCheckpoint(state)
+        state = next
         round += 1
       }
     }
+    freeCheckpoint(state)
     merges
   }
 
@@ -200,11 +217,14 @@ object BpeTrain {
       else {
         val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
         merges :+= Merge(merges.size + 1, l, r, c)
-        state = state
+        val next = state
           .withColumn("toks", applyMerge(col("toks"), l, r))
           .localCheckpoint(true) // cut the per-round lineage growth
+        freeCheckpoint(state)   // eager above: the old blocks are dead
+        state = next
       }
     }
+    freeCheckpoint(state)
     merges
   }
 }

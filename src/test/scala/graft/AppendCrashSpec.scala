@@ -32,6 +32,9 @@ class AppendCrashSpec extends SparkSpec {
   private def queries = vectors.filter(col("vec_id") < 10)
     .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
 
+  private def corpus = vectors
+    .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+
   private def halves =
     (vectors.filter(pmod(col("vec_id"), lit(2)) === 0),
       vectors.filter(pmod(col("vec_id"), lit(2)) === 1))
@@ -76,15 +79,34 @@ class AppendCrashSpec extends SparkSpec {
       m = 4, subDim = 16, ksub = 16, iters = 2)
     try {
       val rows0 = spark.table("ivfpq_crash_codes").count()
+      val probe0 = IvfPqIndex.probe(spark, "ivfpq_crash", d, queries,
+          corpus, cand = 20, topk = 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
       intercept[Exception] {
         IvfPqIndex.append(spark, poisonN2(h2), "ivfpq_crash", d)
       }
       assert(spark.table("ivfpq_crash_codes").count() == rows0,
         "partial task files leaked into the codes table")
+      // count parity alone would pass a partial write that preserved
+      // row counts but corrupted codes (ADVICE r10) — the probe answers
+      // must be bit-identical to the pre-append index too
+      val probe1 = IvfPqIndex.probe(spark, "ivfpq_crash", d, queries,
+          corpus, cand = 20, topk = 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(probe1 == probe0 && probe0.nonEmpty)
       IvfPqIndex.append(spark, h2, "ivfpq_crash", d) // the retry
       // every appended vector carries meta.m sub-codes
       val m = IvfPqIndex.readMeta(spark, "ivfpq_crash", d).m
       assert(spark.table("ivfpq_crash_codes").count() == vectors.count() * m)
+      // and the healed index answers change only because the corpus
+      // grew: the full-corpus probe returns non-empty, well-formed rows
+      // (a fresh full build is NOT bit-comparable here — PQ codebooks
+      // are trained on h1 at build time and frozen across appends,
+      // while a fresh build would train on the full corpus)
+      val probe2 = IvfPqIndex.probe(spark, "ivfpq_crash", d, queries,
+          corpus, cand = 20, topk = 3)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      assert(probe2.nonEmpty && probe2.size >= probe0.size)
     } finally spark.sql("DROP TABLE IF EXISTS ivfpq_crash_codes")
   }
 
