@@ -2174,7 +2174,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("sig").as("csig"))
         .join(broadcast(qs), col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"))
+          VectorOps.hamming(col("qsig"), col("csig")).as("hamming"))
         .groupBy(col("qid"))
         .agg(graft.operators.TopK.topKPairs(-col("hamming"), col("cid"), 3)
           .as("tk"))
@@ -2264,6 +2264,87 @@ object VectorQueries {
     },
     Some(sigAnnOracle))
 
+  // --- q206: MULTI-WORD sign-hash ANN (persisted, dim > 64) --------------
+  // VERDICT r10 #2: real embedding dims (256/768+) need signatures wider
+  // than one BIGINT, so signSig now packs ⌈dim/64⌉ words (word w folds
+  // elements [64w, 64w+63] — shiftleft's 6-bit masking can never alias
+  // across words, the hazard the old dim<=64 raise guarded) and the hot
+  // Hamming scan is the codegen'd Σ bit_count(xor) over aligned words
+  // (plans/HammingXorLong — a tight primitive loop inside
+  // WholeStageCodegen, exactly bit_count(a ^ b)'s generalization).
+  //
+  // The fixture embeddings are 64-dim, so the query WIDENS them in-plan
+  // to 160 dims (q ++ reverse(q) ++ q[1..32] — deterministic, both
+  // engines state it identically), giving three signature words with a
+  // partial tail: the exact edge the cap lifted. Everything else is
+  // q203's serving path verbatim: build the persisted SigIndex once
+  // (nbits = 160 in the sidecar), probe by (name, dir) — column-pruned
+  // Hamming scan, bounded top-k aggregate, pushed `vid IN` rescore.
+  // The oracle scores per-element sign DISAGREEMENTS over the widened
+  // element stream — dimension-independent, so it is q202's oracle
+  // formula over the widened CTE, bit for bit.
+  //
+  // 100 TB posture: 8·⌈d/64⌉ bytes/vector (24 B at d=160 vs 640 B of
+  // fp32) keeps 10^10-10^11 signatures in cluster RAM; probe cost is
+  // one pruned (vid, sig) pass + queries x topk point reads.
+  private def widenedQuantized(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id"),
+        concat(col("q"), reverse(col("q")), slice(col("q"), 1, 32)).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  private def wideSigHandle(dir: String): (String, String) =
+    ("sigw_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-sigw-index")
+
+  private def wideSigProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = wideSigHandle(dir)
+    val wq = widenedQuantized(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    graft.operators.SigIndex
+      .probe(spark, name, idxDir, wq, topk = 3)
+      .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
+        col("cid").asc_nulls_first)
+  }
+
+  private val q206 = Q(
+    (spark, dir) => {
+      val e = widenedQuantized(spark, dir)
+      val (name, idxDir) = wideSigHandle(dir)
+      graft.operators.SigIndex.build(spark, e, name, idxDir, nbits = 160)
+      wideSigProbeOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      ew AS (
+        SELECT vec_id, i, v FROM e
+        UNION ALL SELECT vec_id, 129 - i AS i, v FROM e
+        UNION ALL SELECT vec_id, 128 + i AS i, v FROM e WHERE i <= 32),
+      nw AS (SELECT vec_id, sum(v * v) AS n2 FROM ew GROUP BY 1),
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM ew),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, cid, hamming, row_number() OVER (PARTITION BY qid
+                 ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
+        FROM h),
+      t AS (SELECT qid, cid, hamming FROM r WHERE rn <= 3),
+      d AS (
+        SELECT t.qid, t.cid, t.hamming, sum(ea.v * eb.v) AS dot
+        FROM t JOIN ew ea ON ea.vec_id = t.qid
+               JOIN ew eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3)
+      SELECT d.qid, d.cid, d.hamming,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+      FROM d JOIN nw na ON na.vec_id = d.qid
+             JOIN nw nb ON nb.vec_id = d.cid
+      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2288,7 +2369,8 @@ object VectorQueries {
     "q197_ivfpq_probe" -> q197,
     "q201_kcenter_coreset" -> q201,
     "q202_binary_sign_ann" -> q202,
-    "q203_sig_probe" -> q203)
+    "q203_sig_probe" -> q203,
+    "q206_multiword_sig" -> q206)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2300,5 +2382,6 @@ object VectorQueries {
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q196_ivf_probe" -> (ivfProbeOnly(_, _)),
     "q197_ivfpq_probe" -> (ivfPqProbeOnly(_, _)),
-    "q203_sig_probe" -> (sigProbeOnly(_, _)))
+    "q203_sig_probe" -> (sigProbeOnly(_, _)),
+    "q206_multiword_sig" -> (wideSigProbeOnly(_, _)))
 }

@@ -86,23 +86,42 @@ object VectorOps {
       b.expression(cqs), b.expression(cn2s)))
   }
 
-  /** 64-bit sign SIGNATURE of a quantized vector column (by name): bit i
-    * set iff element i > 0 — random-hyperplane LSH with axis planes,
-    * OR-folded into ONE BIGINT so bit 63 stays exact where a SUM would
-    * overflow. The 1-bit member of the compression ladder (q202 /
-    * [[SigIndex]]): 64 bits per vector is 1/256 the bytes of fp32x64,
-    * and candidate ranking is popcount(xor) Hamming distance.
+  /** Multi-word sign SIGNATURE of a quantized vector column (by name):
+    * an ARRAY<BIGINT> of ⌈dim/64⌉ words; bit (i mod 64) of word
+    * (i div 64) is set iff element i > 0 — random-hyperplane LSH with
+    * axis planes, OR-folded per word so bit 63 stays exact where a SUM
+    * would overflow. The 1-bit member of the compression ladder (q202 /
+    * q206 / [[SigIndex]]): 8·⌈d/64⌉ bytes per vector is 1/256 the
+    * bytes of the fp32 vector, and candidate ranking is Σ popcount(xor)
+    * Hamming distance over aligned words ([[hamming]]).
     *
-    * Dimensions above 64 RAISE instead of silently corrupting ranks
-    * (ADVICE r9): `shiftleft` masks its shift count to 6 bits, so bit
-    * i >= 64 would alias onto bit i-64 — a dim change must fail loudly. */
+    * VERDICT r10 #2 lifted the old hard 64-dim cap: word w folds ONLY
+    * elements [64w, 64w+63], so `shiftleft`'s 6-bit shift masking can
+    * never alias a bit across words (the hazard the old raise guarded).
+    * At dim <= 64 the single word equals the old scalar signature bit
+    * for bit. The tail word of a non-multiple-of-64 dim folds the
+    * remaining elements only (zip_with null-pads the short slice; a
+    * null element contributes no bit).
+    *
+    * Packing is build-time / per-query (one pass per vector), so the
+    * interpreted higher-order fold is fine here; the per-PAIR hot scan
+    * is the codegen'd [[hamming]]. */
   def signSig(colName: String): Column = expr(
-    s"""CASE WHEN size($colName) > 64 THEN
-          CAST(raise_error(concat('sign signature supports dim <= 64, got ',
-            CAST(size($colName) AS STRING))) AS BIGINT)
-        ELSE aggregate(zip_with($colName, sequence(0, size($colName) - 1),
-          (v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),
-          0L, (acc, x) -> acc | x) END""")
+    s"""transform(sequence(0, CAST(ceil(greatest(size($colName), 1) / 64.0) AS INT) - 1),
+          w -> aggregate(
+            zip_with(slice($colName, w * 64 + 1, 64), sequence(0, 63),
+              (v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),
+            0L, (acc, x) -> acc | x))""")
+
+  /** Hamming distance between two [[signSig]] signatures — the hot
+    * corpus-wide scan of the sign-hash family, as the codegen'd
+    * [[graft.plans.HammingXorLong]] (Σ bit_count(a[w] ^ b[w]); a tight
+    * primitive loop inside WholeStageCodegen, no per-word lambdas). */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.HammingXorLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Sign-bit LSH bucket over the first `bits` dimensions (axis-aligned
     * random-hyperplane hashing). 2^bits buckets; vectors only compete

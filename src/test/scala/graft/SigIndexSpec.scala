@@ -36,7 +36,7 @@ class SigIndexSpec extends SparkSpec {
         col("q").as("cq"), col("n2").as("cn2"))
       .join(broadcast(qs), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr("CAST(bit_count(qsig ^ csig) AS BIGINT)").as("hamming"),
+        VectorOps.hamming(col("qsig"), col("csig")).as("hamming"),
         VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
           col("qn2"), col("cn2")).as("cos_sim"))
     val w = Window.partitionBy(col("qid"))
@@ -209,17 +209,46 @@ class SigIndexSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
-  test("dim > 64 fails loudly instead of silently corrupting ranks (ADVICE r9)") {
-    import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
-    val wide = Seq((1L, (0 until 65).map(_.toLong))).toDF("vec_id", "q")
+  test("multi-word signatures: dim > 64 packs ⌈d/64⌉ words, Hamming == per-element sign disagreement") {
+    // VERDICT r10 #2: the old signSig raised on dim > 64 (shiftleft's
+    // 6-bit masking would alias bits); the multi-word generalization
+    // must instead pack word w from elements [64w, 64w+63] — proven
+    // here against a signature-free per-element reference on a WIDENED
+    // dim-96 fixture (two words, partial tail word)
+    val wide = vectors.filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        concat(col("q"), slice(reverse(col("q")), 1, 32)).as("q"))
       .withColumn("n2", VectorOps.qnorm2(col("q")))
-    val e = intercept[Exception] {
-      SigIndex.build(spark, wide, "sig_wide", d)
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("sign signature supports dim <= 64")),
-      s"unexpected failure: $e")
+      .withColumn("sig", VectorOps.signSig("q"))
+      .localCheckpoint(true)
+    assert(wide.select(size(col("sig"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2),
+      "dim 96 must pack into exactly 2 signature words")
+    val a = wide.select(col("vec_id").as("aid"), col("q").as("aq"),
+      col("sig").as("asig"))
+    val b = wide.select(col("vec_id").as("bid"), col("q").as("bq"),
+      col("sig").as("bsig"))
+    val mismatches = a.join(b, col("aid") < col("bid"))
+      .select(
+        VectorOps.hamming(col("asig"), col("bsig")).as("got"),
+        expr("""CAST(size(filter(zip_with(aq, bq,
+                  (x, y) -> (x > 0L) != (y > 0L)), m -> m)) AS BIGINT)""")
+          .as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(mismatches.count() == 0,
+      "multi-word Hamming must equal the per-element sign-disagreement count")
+
+    // and dim <= 64 packs ONE word whose bits are the old scalar fold
+    assert(vectors.select(size(VectorOps.signSig("q"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+
+    // the persisted index serves the widened fixture end to end
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark, wide.select(col("vec_id"), col("q"), col("n2")),
+      "sig_wide", d, nbits = 96)
+    val wq = wide.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val got = SigIndex.probe(spark, "sig_wide", d, wq, topk = 3)
+    assert(got.count() > 0 && SigIndex.readMeta(spark, "sig_wide", d).nbits == 96)
   }
 }
