@@ -67,9 +67,11 @@ object SigIndex {
     Meta(IndexMeta.read(spark, s"$dir/$name/meta.json")("nbits").toInt)
 
   /** Existing segment ids, ascending (driver-side metadata listing —
-    * segment counts are compaction-bounded). Non-numeric directories
-    * (an interrupted write's tmp, a foreign tool's droppings) are
-    * skipped, the [[TextIndex.segmentIds]] discipline. */
+    * segment counts are compaction-bounded: [[compactInPlace]] folds a
+    * long-running stream's accumulated segments back to one, VERDICT
+    * r10 #3). Non-numeric directories (an interrupted write's tmp, a
+    * foreign tool's droppings) are skipped, the
+    * [[TextIndex.segmentIds]] discipline. */
   def segmentIds(spark: SparkSession, name: String, dir: String)
       : Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name/sigs")
@@ -127,6 +129,59 @@ object SigIndex {
     if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
       writeMeta(spark, name, dir, meta)
   }
+
+  /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —
+    * the LSM lifecycle step that bounds a long-running [[appendDelta]]/
+    * [[graft.streaming.SigStream]] ingestion's segment count (VERDICT
+    * r10 #3). Signatures carry no cross-segment statistics (packing is
+    * a per-row pure function), so compaction is PURE CONCATENATION —
+    * strictly simpler than [[TextIndex.compactTo]]'s stats re-sum;
+    * probe answers are identical by construction (SigIndexSpec proves
+    * it bit for bit). */
+  def compactTo(spark: SparkSession, name: String, dir: String,
+                newName: String): Meta = {
+    val meta = readMeta(spark, name, dir)
+    compactToRoot(spark, name, dir, s"$dir/$newName", meta)
+    meta
+  }
+
+  /** The compaction rewrite itself, to an arbitrary ROOT directory —
+    * shared by [[compactTo]] (rewrite to a sibling name) and
+    * [[compactInPlace]] (stage at the tier-commit swap path). */
+  private def compactToRoot(spark: SparkSession, name: String,
+                            dir: String, newRoot: String,
+                            meta: Meta): Unit = {
+    require(segmentIds(spark, name, dir).nonEmpty,
+      s"index $name has no segments")
+    spark.read.parquet(s"$dir/$name/sigs")
+      .select(col("vid"), col("sig"), col("q"), col("n2")) // drop `seg`
+      .write.mode("overwrite").parquet(s"$newRoot/sigs/seg=0")
+    IndexMeta.write(spark, s"$newRoot/meta.json",
+      Map("nbits" -> meta.nbits.toLong))
+  }
+
+  /** Atomically REPLACE live index `name` with its own compaction:
+    * the rewrite is staged at the tier-commit swap path (the live
+    * segments are never touched while it runs), then promoted through
+    * the manifest-pinned [[graft.pipeline.TierCommit]] — a probe sees
+    * all-old (every segment) or all-new (one segment), never a mixed
+    * segment set (SigIndexSpec crash-injects both sides of the commit
+    * point, the [[TextIndex.compactInPlace]] pattern). Readers
+    * entering from outside the writing process call
+    * `TierCommit.heal(spark, dir)` first, like every tier. */
+  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit = {
+    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+    stageCompactInPlace(spark, name, dir)
+    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+  }
+
+  /** The staging half of [[compactInPlace]] — split out so the spec
+    * can stop the world at the crash point between stage and commit. */
+  private[graft] def stageCompactInPlace(spark: SparkSession, name: String,
+                                         dir: String): Unit =
+    compactToRoot(spark, name, dir,
+      graft.pipeline.TierCommit.stagePath(s"$dir/$name"),
+      readMeta(spark, name, dir))
 
   /** Atomically REPLACE live index `name` with a full repack of
     * `vectors`: signatures and sidecar staged at the tier-commit swap

@@ -165,6 +165,59 @@ class SigIndexSpec extends SparkSpec {
     assert(probeSorted(spark, "sig_stream", d).collect().toSeq == want)
   }
 
+  test("rewrite compaction: one segment afterwards, identical answers") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val m = SigIndex.build(spark, half1, "sig_lsm", d)
+    SigIndex.appendDelta(spark, half2, "sig_lsm", d)
+    assert(SigIndex.segmentIds(spark, "sig_lsm", d) == Seq(0L, 1L))
+    val before = probeSorted(spark, "sig_lsm", d).collect().toSeq
+    val mc = SigIndex.compactTo(spark, "sig_lsm", d, "sig_lsm_c")
+    assert(mc == m, "compaction must carry the geometry over")
+    assert(SigIndex.segmentIds(spark, "sig_lsm_c", d) == Seq(0L))
+    val after = probeSorted(spark, "sig_lsm_c", d).collect().toSeq
+    assert(after == before && before.nonEmpty)
+    // and both equal a fresh full build (pure concatenation — no
+    // cross-segment statistics to re-derive)
+    val dRef = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark, vectors, "sig_lsm_ref", dRef)
+    assert(after == probeSorted(spark, "sig_lsm_ref", dRef).collect().toSeq)
+  }
+
+  test("atomic in-place compaction: probes see all-old or all-new across a crash") {
+    import graft.pipeline.TierCommit
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val half1 = vectors.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = vectors.filter(pmod(col("vec_id"), lit(2)) === 1)
+    SigIndex.build(spark, half1, "sig_clive", d)
+    SigIndex.appendDelta(spark, half2, "sig_clive", d)
+    assert(SigIndex.segmentIds(spark, "sig_clive", d) == Seq(0L, 1L))
+    val answers = probeSorted(spark, "sig_clive", d).collect().toSeq
+
+    // CRASH 1: compaction staged, commit point not reached — a healing
+    // reader sees the index untouched: ALL-OLD, both segments
+    SigIndex.stageCompactInPlace(spark, "sig_clive", d)
+    assert(!TierCommit.heal(spark, d), "no manifest yet: heal is a no-op")
+    assert(SigIndex.segmentIds(spark, "sig_clive", d) == Seq(0L, 1L))
+    assert(probeSorted(spark, "sig_clive", d).collect().toSeq == answers)
+
+    // CRASH 2: manifest renamed (the commit point), no promotion ran —
+    // heal rolls the swap FORWARD: ALL-NEW, one segment, identical
+    // answers (compaction is answer-invariant)
+    TierCommit.writeManifest(spark, d, Seq(s"$d/sig_clive"))
+    assert(TierCommit.heal(spark, d), "manifest present: heal must promote")
+    assert(SigIndex.segmentIds(spark, "sig_clive", d) == Seq(0L),
+      "healed index must be the compacted one-segment layout")
+    assert(probeSorted(spark, "sig_clive", d).collect().toSeq == answers,
+      "compaction is answer-invariant across the crash-healed swap")
+
+    // and the uninterrupted path over the live index: same answers
+    SigIndex.compactInPlace(spark, "sig_clive", d)
+    assert(SigIndex.segmentIds(spark, "sig_clive", d) == Seq(0L))
+    assert(probeSorted(spark, "sig_clive", d).collect().toSeq == answers)
+  }
+
   test("atomic in-place rebuild: probes see all-old or all-new across a crash") {
     import graft.pipeline.TierCommit
     val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
