@@ -35,5 +35,6 @@ object Queries {
     * (pruned index READ) latency separately from the honest one-shot
     * build+write the registry entry measures. */
   def probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] =
-    VectorQueries.probeOnly ++ CorpusQueries.probeOnly
+    VectorQueries.probeOnly ++ CorpusQueries.probeOnly ++
+      TextQueries.probeOnly
 }

@@ -1887,12 +1887,14 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
-  private val q204 = Q(
-    (spark, dir) => bpeTrain(spark, dir, BpeTrainRounds),
-    Some {
-      // one CTE block per training round, generated from the SAME
-      // Scala constants (rounds, word-length cap) the Spark path uses
-      val rounds = (1 to BpeTrainRounds).map { r =>
+  /** Oracle CTE chain replaying `rounds` greedy training rounds over a
+    * prior `s0(word, cnt, rn, tok)` state — one block per round,
+    * yielding the per-round winners `b1..b{rounds}` (q204's unrolled
+    * machinery, factored out so q207 can CHAIN training into its
+    * encode oracle). Generated from the SAME Scala constants the Spark
+    * path uses. */
+  private def bpeTrainOracleRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
         val prev = s"s${r - 1}"
         s"""p$r AS (
         SELECT a.tok AS lft, b.tok AS rgt, CAST(sum(a.cnt) AS BIGINT) AS c
@@ -1924,12 +1926,12 @@ object TextQueries {
           LEFT JOIN $prev nx ON nx.word = s.word AND nx.rn = s.rn + 1
           LEFT JOIN k$r ka ON ka.word = s.word AND ka.rn = s.rn - 1
           WHERE ka.rn IS NULL))"""
-      }.mkString(",\n      ")
-      val out = (1 to BpeTrainRounds)
-        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt, c AS pair_cnt FROM b$r")
-        .mkString("\n       UNION ALL ")
-      s"""
-      WITH w AS (
+    }.mkString(",\n      ")
+
+  /** Oracle CTEs for the training input: the capped (word, count)
+    * vocabulary `w` and the character-state `s0` — shared by q204 and
+    * q207 (identical Scala constants on both engines). */
+  private val bpeTrainOracleBase = s"""w AS (
         SELECT wd, CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
         WHERE wd <> '' AND len(wd) <= $BpeMaxWordLen
@@ -1941,8 +1943,19 @@ object TextQueries {
         FROM (SELECT wd AS word, cnt,
                      list_transform(range(1, len(wd) + 1),
                        i -> substr(wd, CAST(i AS INT), 1)) AS toks
-              FROM w)),
-      $rounds
+              FROM w))"""
+
+  private val q204 = Q(
+    (spark, dir) => bpeTrain(spark, dir, BpeTrainRounds),
+    Some {
+      // one CTE block per training round, generated from the SAME
+      // Scala constants (rounds, word-length cap) the Spark path uses
+      val out = (1 to BpeTrainRounds)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt, c AS pair_cnt FROM b$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH $bpeTrainOracleBase,
+      ${bpeTrainOracleRounds(BpeTrainRounds)}
       SELECT * FROM ($out)
       ORDER BY rank ASC NULLS FIRST"""
     })
@@ -2060,6 +2073,97 @@ object TextQueries {
       ORDER BY rank ASC NULLS FIRST"""
     })
 
+  // --- q207: persisted BPE table SERVES the encoders (train→serve) ------
+  // Closes the tokenizer loop (VERDICT r10 #1): q204/q205 learn a merge
+  // table but until now it stayed a driver-side value, and the encode
+  // path (q24/q56, functions/Bpe) consumed a compiled-in fixture. Here
+  // the table is trained (q204's exact 8-round walk), PERSISTED as a
+  // serving artifact (operators/BpeIndex — rank-ordered merges parquet
+  // + n_merges sidecar, atomic rebuild through one TierCommit
+  // manifest), read back by (name, dir), and the corpus is encoded
+  // under the LEARNED table through a codegen'd expression
+  // (plans/BpeCountTableLong — the table rides into generated Java as
+  // a codegen reference object). Output: per-source token totals and
+  // fertility (BPE tokens per word), the budget numbers a training
+  // pipeline actually runs its tokenizer for.
+  //
+  // End-of-word convention: NONE on both trainer and encoder (bare
+  // character sequences, no </w> marker) — the one-convention contract
+  // BpeTable's scaladoc documents; train and encode cannot drift.
+  //
+  // The ORACLE replays BOTH halves end to end: q204's unrolled
+  // training CTEs (shared helper — same Scala constants) yield the
+  // learned table `allm`, aggregated into a one-row rank list `ml`,
+  // and q24's recursive-CTE encoder walks the fixpoint under THAT list
+  // (functions/BpeTable.oracleCte) — so every learned merge AND every
+  // encoded count is hash-matched bit for bit.
+  //
+  // Scale shape: training state is vocabulary-sized (Heaps' law);
+  // the persisted table is broadcast-class; encode runs on the
+  // per-(source, word) GROUPED frame (≈ vocabulary-sized — the
+  // distinct-vocab memo makes repeat words a hash probe), so the
+  // per-row cost at 100 TB is one grouped pass, never a per-token
+  // encode. Serving twin reads the index and encodes — no training.
+  private def bpeHandle(dir: String): (String, String) =
+    ("bpe_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-bpe-index")
+
+  private[graft] def bpeServeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = bpeHandle(dir)
+    val table = graft.operators.BpeIndex.table(spark, name, idxDir)
+    val sw = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    sw.withColumn("n_bpe",
+        graft.functions.BpeTable.countCol(table, col("w")))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_bpe")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  private val q207 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
+      val (name, idxDir) = bpeHandle(dir)
+      // atomic replace of the live artifact — the retrain path
+      graft.operators.BpeIndex.rebuildInPlace(spark, merges, name, idxDir)
+      bpeServeOnly(spark, dir)
+    },
+    Some {
+      val allm = (1 to BpeTrainRounds)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt FROM b$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH RECURSIVE $bpeTrainOracleBase,
+      ${bpeTrainOracleRounds(BpeTrainRounds)},
+      allm AS ($allm),
+      ${graft.functions.BpeTable.sqlMergeListCte("allm")},
+      aw AS (
+        SELECT source, wd AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS wd
+              FROM documents)
+        WHERE wd <> ''
+        GROUP BY 1, 2),
+      ${graft.functions.BpeTable.oracleCte("aw")}
+      SELECT aw.source,
+             CAST(sum(aw.cnt) AS BIGINT) AS n_words,
+             CAST(sum(aw.cnt * bpe.n_bpe) AS BIGINT) AS n_tokens,
+             CAST(sum(aw.cnt * bpe.n_bpe) AS DOUBLE)
+               / CAST(sum(aw.cnt) AS DOUBLE) AS fertility
+      FROM aw JOIN bpe ON bpe.w = aw.w
+      GROUP BY aw.source
+      ORDER BY aw.source ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -2097,5 +2201,12 @@ object TextQueries {
     "q183_split_leakage" -> q183,
     "q193_nb_langid" -> q193,
     "q204_bpe_train" -> q204,
-    "q205_bpe_train_batched" -> q205)
+    "q205_bpe_train_batched" -> q205,
+    "q207_bpe_serve" -> q207)
+
+  /** Serve-ONLY twin of q207 (the probe-only contract of
+    * [[VectorQueries.probeOnly]]): open the persisted merge table by
+    * (name, dir) and encode — no training, no write anywhere. */
+  val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q207_bpe_serve" -> (bpeServeOnly(_, _)))
 }
