@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Registers every parquet table dir under the warehouse as a temp view,
   * prints SHOW TABLES, then runs either the supplied SQL or the
-  * reference's two sample serving queries.
+  * reference's two sample serving queries. The literal statement
+  * `SHOW INDEXES` (any case) lists every persisted serving index under
+  * the warehouse instead — kind, geometry, segments, rows from the
+  * on-disk sidecars ([[graft.operators.IndexCatalog]], VERDICT r10 #5).
   */
 object QueryWarehouse {
   def main(args: Array[String]): Unit = {
@@ -44,7 +47,11 @@ object QueryWarehouse {
          FROM gold_bcb_monthly ORDER BY month DESC LIMIT 10""",
       """SELECT uf_sigla, product, month, avg_price
          FROM gold_anp_monthly ORDER BY month DESC, avg_price DESC LIMIT 10""")
-    sqls.foreach(s => spark.sql(s).show(truncate = false))
+    sqls.foreach { s =>
+      if (s.trim.equalsIgnoreCase("SHOW INDEXES"))
+        graft.operators.IndexCatalog.list(spark, wh).show(truncate = false)
+      else spark.sql(s).show(truncate = false)
+    }
     spark.stop()
   }
 }

