@@ -2134,6 +2134,10 @@ object TextQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
       val (name, idxDir) = bpeHandle(dir)
+      // the harness is single-writer by construction: clear any stale
+      // lock a KILLED prior run left (the operator's no-live-writer
+      // assertion — TierCommit.withWriteLock's documented recovery)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
       // atomic replace of the live artifact — the retrain path
       graft.operators.BpeIndex.rebuildInPlace(spark, merges, name, idxDir)
       bpeServeOnly(spark, dir)

@@ -95,11 +95,12 @@ object BpeIndex {
     * process call `TierCommit.heal(spark, dir)` first, like every
     * tier. */
   def rebuildInPlace(spark: SparkSession, merges: Seq[BpeTrain.Merge],
-                     name: String, dir: String): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-    stageRebuildInPlace(spark, merges, name, dir)
-    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-  }
+                     name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+      stageRebuildInPlace(spark, merges, name, dir)
+      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+    }
 
   /** The staging half of [[rebuildInPlace]] — split out so the spec
     * can stop the world at the crash point between stage and commit. */

@@ -96,16 +96,17 @@ object IvfIndex {
     * entering from outside the writing process call
     * `TierCommit.heal(spark, dir)` first, like every tier. */
   def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
-                     dir: String, buckets: Int = 8): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-    stageRebuildInPlace(spark, vectors, name, dir, buckets)
-    graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
-    // the catalog's bucket spec must describe the NEW layout (a
-    // rebuild may change the bucket count); external DROP keeps files
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
-    Layout.ensureBucketedTable(spark, s"${name}_cells", "cell", buckets,
-      s"$dir/${name}_cells")
-  }
+                     dir: String, buckets: Int = 8): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+      stageRebuildInPlace(spark, vectors, name, dir, buckets)
+      graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
+      // the catalog's bucket spec must describe the NEW layout (a
+      // rebuild may change the bucket count); external DROP keeps files
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
+      Layout.ensureBucketedTable(spark, s"${name}_cells", "cell", buckets,
+        s"$dir/${name}_cells")
+    }
 
   private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
     Seq(s"$dir/${name}_centroids", s"$dir/${name}_cells",

@@ -112,15 +112,16 @@ object IvfPqIndex {
     * across the four (e.g. new codebooks decoding old codes). */
   def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
                      dir: String, m: Int, subDim: Int, ksub: Int,
-                     iters: Int, buckets: Int = 8): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir)
-    stageRebuildInPlace(spark, vectors, name, dir, m, subDim, ksub,
-      iters, buckets)
-    graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_codes")
-    Layout.ensureBucketedTable(spark, s"${name}_codes", "cell", buckets,
-      s"$dir/${name}_codes")
-  }
+                     iters: Int, buckets: Int = 8): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir)
+      stageRebuildInPlace(spark, vectors, name, dir, m, subDim, ksub,
+        iters, buckets)
+      graft.pipeline.TierCommit.commit(spark, dir, rebuildTargets(name, dir))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_codes")
+      Layout.ensureBucketedTable(spark, s"${name}_codes", "cell", buckets,
+        s"$dir/${name}_codes")
+    }
 
   private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
     Seq(s"$dir/${name}_centroids", s"$dir/${name}_codebooks",

@@ -169,11 +169,12 @@ object SigIndex {
     * point, the [[TextIndex.compactInPlace]] pattern). Readers
     * entering from outside the writing process call
     * `TierCommit.heal(spark, dir)` first, like every tier. */
-  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-    stageCompactInPlace(spark, name, dir)
-    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-  }
+  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+      stageCompactInPlace(spark, name, dir)
+      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+    }
 
   /** The staging half of [[compactInPlace]] — split out so the spec
     * can stop the world at the crash point between stage and commit. */
@@ -190,11 +191,12 @@ object SigIndex {
     * root. Readers entering from outside the writing process call
     * `TierCommit.heal(spark, dir)` first, like every tier. */
   def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
-                     dir: String, nbits: Int = 64): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-    stageRebuildInPlace(spark, vectors, name, dir, nbits)
-    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-  }
+                     dir: String, nbits: Int = 64): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+      stageRebuildInPlace(spark, vectors, name, dir, nbits)
+      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+    }
 
   /** The staging half of [[rebuildInPlace]] — split out so the spec
     * can stop the world at the crash point between stage and commit. */

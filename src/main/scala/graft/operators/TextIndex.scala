@@ -217,11 +217,12 @@ object TextIndex {
     * Readers entering from outside the writing process follow the
     * tier discipline: call `TierCommit.heal(spark, dir)` before
     * probing. Single-writer per `dir`, like every tier commit. */
-  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-    stageCompactInPlace(spark, name, dir)
-    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-  }
+  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
+      stageCompactInPlace(spark, name, dir)
+      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+    }
 
   /** The staging half of [[compactInPlace]] — split out so the spec
     * can stop the world at the crash point between stage and commit. */
@@ -236,11 +237,12 @@ object TextIndex {
     * not cover (new corpus snapshot, changed bucket count): same
     * stage-then-manifest-commit discipline as [[compactInPlace]]. */
   def rebuildInPlace(spark: SparkSession, documents: DataFrame,
-                     name: String, dir: String, buckets: Int = 16): Unit = {
-    graft.pipeline.TierCommit.heal(spark, dir)
-    stageRebuildInPlace(spark, documents, name, dir, buckets)
-    graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-  }
+                     name: String, dir: String, buckets: Int = 16): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir)
+      stageRebuildInPlace(spark, documents, name, dir, buckets)
+      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
+    }
 
   private[graft] def stageRebuildInPlace(spark: SparkSession,
                                          documents: DataFrame, name: String,

@@ -181,8 +181,57 @@ object TierCommit {
     fsOf(spark, manifestPath(rootDir)).delete(manifestPath(rootDir), false)
   }
 
+  val LockName = "_tier_writer.lock"
+
+  private def lockPath(rootDir: String) = new Path(rootDir, LockName)
+
+  /** Run `body` holding `rootDir`'s EXCLUSIVE writer lock — the
+    * single-writer assumption every in-place index rebuild/compaction
+    * makes, now enforced instead of assumed (VERDICT r10 #6): two
+    * concurrent rebuilds on one index dir would interleave stage and
+    * commit (they share the swap path), and the loser's manifest would
+    * silently win. Acquisition is an atomic create-exclusive of
+    * `_tier_writer.lock`; a second concurrent writer RAISES at entry —
+    * before it can touch the winner's staged tree — instead of
+    * clobbering.
+    *
+    * A writer that CRASHES inside the critical section leaves a stale
+    * lock, which blocks subsequent writers loudly (by design: the
+    * filesystem cannot distinguish a stale lock from a live writer).
+    * Recovery is the operator's assertion that no writer is live:
+    * [[breakLock]], then retry — [[heal]] itself never takes or clears
+    * the lock, so crash-healed READS are unaffected. */
+  def withWriteLock[T](spark: SparkSession, rootDir: String)(body: => T): T = {
+    val lp = lockPath(rootDir)
+    val fs = fsOf(spark, lp)
+    if (!fs.exists(lp.getParent)) fs.mkdirs(lp.getParent)
+    val out = try fs.create(lp, false) // overwrite=false: atomic create-exclusive
+    catch {
+      case e: java.io.IOException =>
+        sys.error(s"tier commit: writer lock $lp is held — a concurrent " +
+          "rebuild/compaction is running (or crashed; if no writer is " +
+          s"live, TierCommit.breakLock and retry): $e")
+    }
+    try out.write(
+      s"""{"acquired_utc_ms": ${System.currentTimeMillis()}, "pid": ${ProcessHandle.current().pid()}}\n"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally fs.delete(lp, false)
+  }
+
+  /** Remove a stale writer lock — the explicit operator recovery step
+    * after a crashed in-place rebuild (see [[withWriteLock]]). */
+  def breakLock(spark: SparkSession, rootDir: String): Boolean = {
+    val lp = lockPath(rootDir)
+    fsOf(spark, lp).delete(lp, false)
+  }
+
   /** Roll an interrupted commit forward. Returns true when a manifest was
-    * found (and its promotions completed). Call before reading any tier. */
+    * found (and its promotions completed). Call before reading any tier.
+    * Never touches the writer lock — healing is a READ-side recovery
+    * (roll the published manifest forward); write-side recovery after a
+    * crash is [[breakLock]]. */
   def heal(spark: SparkSession, rootDir: String): Boolean = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
