@@ -57,6 +57,24 @@ object Explain {
         onceB() // warm-up: codegen/JIT
         val tB = Seq(onceB(), onceB()).min
         println(f"bpetrain rounds=$rounds sf=$sfDir min_sec=$tB%.2f")
+      case "bpebatch" :: sfDir :: rounds :: p :: cap :: Nil =>
+        // time the BATCHED training walk at (rounds, p, topCap) —
+        // documents the p-knee of the batched driver-loop design
+        // (VERDICT r10 #4): equal-merge-budget sweeps hold rounds*p
+        // constant and vary p, so the knee is where compatible-
+        // candidate exhaustion stops p from buying fewer round-trips
+        var got = 0L
+        def onceP(): Double = {
+          val t0 = System.nanoTime()
+          val out = TextQueries.bpeTrainBatched(spark, sfDir,
+            rounds.toInt, p.toInt, cap.toInt)
+          got = out.count() // merge count: observes exhaustion
+          (System.nanoTime() - t0) / 1e9
+        }
+        onceP() // warm-up: codegen/JIT
+        val tP = Seq(onceP(), onceP()).min
+        println(f"bpebatch rounds=$rounds p=$p cap=$cap sf=$sfDir " +
+          f"merges=$got min_sec=$tP%.2f")
       case "audit" :: sfDir :: Nil =>
         // One summary line per query: shuffle/join/agg shape + pushdown.
         println("| query | joins | aggs | exchanges | pushed filters |")

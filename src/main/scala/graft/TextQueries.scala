@@ -1980,19 +1980,29 @@ object TextQueries {
   private val BpeBatchP = 4
   private val BpeBatchCap = 64
 
+  /** Parameterized batched BPE training walk — q205 runs it at
+    * ([[BpeBatchRounds]], [[BpeBatchP]], [[BpeBatchCap]]); Explain's
+    * `bpebatch` subcommand times other (rounds, p) points to document
+    * the p-KNEE of the batched driver-loop design (VERDICT r10 #4,
+    * the rounds-knee discipline; docs/SCALING.md). */
+  private[graft] def bpeTrainBatched(spark: SparkSession, dir: String,
+                                     rounds: Int, p: Int,
+                                     topCap: Int): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.BpeTrain
+      .fitBatched(words, rounds, p, topCap)
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
+      .toDF("rank", "lft", "rgt", "pair_cnt")
+      .orderBy(col("rank"))
+  }
+
   private val q205 = Q(
-    (spark, dir) => {
-      val words = docs(spark, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val merges = graft.operators.BpeTrain
-        .fitBatched(words, BpeBatchRounds, BpeBatchP, BpeBatchCap)
-      import spark.implicits._
-      merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCnt))
-        .toDF("rank", "lft", "rgt", "pair_cnt")
-        .orderBy(col("rank"))
-    },
+    (spark, dir) =>
+      bpeTrainBatched(spark, dir, BpeBatchRounds, BpeBatchP, BpeBatchCap),
     Some {
       def selCte(r: Int, j: Int): String =
         if (j == 1)
