@@ -2178,6 +2178,83 @@ object TextQueries {
       ORDER BY aw.source ASC NULLS FIRST"""
     })
 
+  // --- q209: tokenizer vocabulary-size ablation (fertility curve) --------
+  // The question every pipeline answers before freezing a tokenizer:
+  // how does fertility (tokens/word) fall as the merge table grows?
+  // Greedy BPE training is PREFIX-STABLE (rank r is selected from
+  // statistics only merges 1..r-1 produced — BpeIndexSpec pins
+  // fit(words, 8).take(4) == fit(words, 4)), so ONE 8-round training
+  // yields the entire curve: encoding under `rank <= c` IS what a
+  // c-round training would produce. Three prefix tables (2, 4, 8
+  // merges) each encode the corpus through their own codegen'd
+  // BpeCountTableLong expression over the grouped (word, count) frame
+  // (vocabulary-sized — Heaps' law; never a per-token encode), giving
+  // corpus token totals + fertility per vocabulary size in one query.
+  // The ORACLE replays training once (q204's unrolled CTEs) and runs
+  // THREE recursive encoders, one per rank-capped prefix list
+  // (BpeTable.oracleCteAt suffixes) — every point on the curve
+  // hash-matched bit for bit.
+  private val BpeCurveCuts = Seq(2, 4, 8)
+
+  private val q209 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
+      val aw = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // shared by all three encode passes
+      BpeCurveCuts.map { c =>
+        val table = new graft.functions.BpeTable(
+          merges.take(c).map(m => (m.left, m.right)).toIndexedSeq)
+        aw.withColumn("n_bpe",
+            graft.functions.BpeTable.countCol(table, col("w")))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("n_bpe")).as("n_tokens"))
+          .select(lit(c.toLong).as("n_merges"), col("n_words"),
+            col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"))
+      }.reduce(_.union(_)).orderBy(col("n_merges").asc_nulls_first)
+    },
+    Some {
+      val mls = BpeCurveCuts.map(c =>
+        graft.functions.BpeTable.sqlMergeListCteAt("allm", c, s"_c$c"))
+        .mkString(",\n      ")
+      val encs = BpeCurveCuts.map(c =>
+        graft.functions.BpeTable.oracleCteAt("aw", s"_c$c"))
+        .mkString(",\n      ")
+      val points = BpeCurveCuts.map { c =>
+        s"""SELECT ${c}::BIGINT AS n_merges,
+             CAST(sum(aw.cnt) AS BIGINT) AS n_words,
+             CAST(sum(aw.cnt * b.n_bpe) AS BIGINT) AS n_tokens,
+             CAST(sum(aw.cnt * b.n_bpe) AS DOUBLE)
+               / CAST(sum(aw.cnt) AS DOUBLE) AS fertility
+      FROM aw JOIN bpe_c$c b ON b.w = aw.w"""
+      }.mkString("\n      UNION ALL ")
+      val allm = (1 to BpeTrainRounds)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt FROM b$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH RECURSIVE $bpeTrainOracleBase,
+      ${bpeTrainOracleRounds(BpeTrainRounds)},
+      allm AS ($allm),
+      $mls,
+      aw AS (
+        SELECT wd AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS wd
+              FROM documents)
+        WHERE wd <> ''
+        GROUP BY 1),
+      $encs
+      SELECT * FROM ($points)
+      ORDER BY n_merges ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -2216,7 +2293,8 @@ object TextQueries {
     "q193_nb_langid" -> q193,
     "q204_bpe_train" -> q204,
     "q205_bpe_train_batched" -> q205,
-    "q207_bpe_serve" -> q207)
+    "q207_bpe_serve" -> q207,
+    "q209_bpe_vocab_curve" -> q209)
 
   /** Serve-ONLY twin of q207 (the probe-only contract of
     * [[VectorQueries.probeOnly]]): open the persisted merge table by

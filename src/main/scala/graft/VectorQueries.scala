@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Sampling, VectorOps}
+import graft.operators.{Sampling, TopK, VectorOps}
 
 /** Similarity search over the `embeddings` table (north-star E3):
   * exact brute-force cosine top-k (the correctness baseline), sign-bit
@@ -2345,6 +2345,118 @@ object VectorQueries {
              JOIN nw nb ON nb.vec_id = d.cid
       ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST, cid ASC NULLS FIRST"""))
 
+  // --- q208: signature-width recall — what do the extra words BUY? -------
+  // q206 made signatures wider than one BIGINT possible; this measures
+  // what the width is FOR (the q53/q54/q86 recall-evaluation
+  // discipline applied to the new knob): on the widened 160-dim
+  // corpus, recall@10 against the exact cosine ranking for a
+  // 64-bit signature (the first word only — exactly what a
+  // 64-bit-capped system could use: sign bits of dims 1..64) vs the
+  // full 160-bit 3-word signature. More bits = finer Hamming
+  // resolution of the cosine order; the delta is the measured value
+  // of multi-word signatures, per query, bit-for-bit replayed by the
+  // oracle (sign-disagreement counts restricted to i <= 64 vs all i).
+  //
+  // Plan shape: both Hamming rankings and the exact ranking go through
+  // the bounded top-k aggregates (queries x 10 pairs shuffle); the
+  // recall join is exact-set LEFT JOIN approx-set on (qid, cid) —
+  // 20 x 10 rows a side, broadcast. Scale: the three corpus-wide
+  // scans are map-only scoring passes against broadcast query sides.
+  private val q208 = Q(
+    (spark, dir) => {
+      val ew = widenedQuantized(spark, dir).localCheckpoint(true)
+      val qs = ew.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"), VectorOps.signSig("q").as("qsig"))
+      val cs = ew
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"), VectorOps.signSig("q").as("csig"))
+      val pairs = cs.join(broadcast(qs), col("qid") =!= col("cid"))
+      // exact top-10 by (cos DESC, cid ASC) — the reference ranking
+      val exact = pairs
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+        .groupBy(col("qid"))
+        .agg(TopK.topKPairsDouble(col("cos_sim"), col("cid"), 10).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("cid"))
+      // Hamming top-10 at each signature width: 1 word (dims 1..64)
+      // and the full 3 words; ties (hamming ASC, cid ASC)
+      def hammingTop(words: Int) = pairs
+        .select(col("qid"), col("cid"),
+          VectorOps.hamming(slice(col("qsig"), 1, words),
+            slice(col("csig"), 1, words)).as("h"))
+        .groupBy(col("qid"))
+        .agg(TopK.topKPairs(-col("h"), col("cid"), 10).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("cid"))
+      val a64 = hammingTop(1)
+        .select(col("qid").as("qid64"), col("cid").as("cid64"))
+      val a160 = hammingTop(3)
+        .select(col("qid").as("qid160"), col("cid").as("cid160"))
+      exact
+        .join(broadcast(a64), col("qid") === col("qid64")
+          && col("cid") === col("cid64"), "left")
+        .join(broadcast(a160), col("qid") === col("qid160")
+          && col("cid") === col("cid160"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("cid64")).as("hits_64"),
+          count(col("cid160")).as("hits_160"))
+        .select(col("qid"), col("n_exact"), col("hits_64"),
+          (col("hits_64").cast("double") / col("n_exact").cast("double"))
+            .as("recall_64"),
+          col("hits_160"),
+          (col("hits_160").cast("double") / col("n_exact").cast("double"))
+            .as("recall_160"))
+        .orderBy(col("qid").asc_nulls_first)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      ew AS (
+        SELECT vec_id, i, v FROM e
+        UNION ALL SELECT vec_id, 129 - i AS i, v FROM e
+        UNION ALL SELECT vec_id, 128 + i AS i, v FROM e WHERE i <= 32),
+      nw AS (SELECT vec_id, sum(v * v) AS n2 FROM ew GROUP BY 1),
+      dx AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM ew a JOIN ew b ON a.i = b.i
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      cx AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM dx JOIN nw na ON na.vec_id = qid JOIN nw nb ON nb.vec_id = cid),
+      rx AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM cx),
+      ex AS (SELECT qid, cid FROM rx WHERE rn <= 10),
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM ew),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.i <= 64 AND a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS h64,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS h160
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      r64 AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY h64 ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn FROM h),
+      a64 AS (SELECT qid, cid FROM r64 WHERE rn <= 10),
+      r160 AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY h160 ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn FROM h),
+      a160 AS (SELECT qid, cid FROM r160 WHERE rn <= 10)
+      SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a64.cid) AS BIGINT) AS hits_64,
+             CAST(count(a64.cid) AS DOUBLE) / count(*) AS recall_64,
+             CAST(count(a160.cid) AS BIGINT) AS hits_160,
+             CAST(count(a160.cid) AS DOUBLE) / count(*) AS recall_160
+      FROM ex LEFT JOIN a64 ON ex.qid = a64.qid AND ex.cid = a64.cid
+              LEFT JOIN a160 ON ex.qid = a160.qid AND ex.cid = a160.cid
+      GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2370,7 +2482,8 @@ object VectorQueries {
     "q201_kcenter_coreset" -> q201,
     "q202_binary_sign_ann" -> q202,
     "q203_sig_probe" -> q203,
-    "q206_multiword_sig" -> q206)
+    "q206_multiword_sig" -> q206,
+    "q208_sig_width_recall" -> q208)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —

@@ -101,22 +101,37 @@ object BpeTable {
     * `mergesCte(rank, lft, rgt)` — the learned-table analog of
     * [[Bpe.sqlMergeList]]'s fixture literal. */
   def sqlMergeListCte(mergesCte: String): String =
-    s"ml AS (SELECT list(lft || '|' || rgt ORDER BY rank ASC) AS m FROM $mergesCte)"
+    sqlMergeListCteAt(mergesCte, rankCap = Int.MaxValue, suffix = "")
+
+  /** [[sqlMergeListCte]] with a RANK CUTOFF (a prefix table — greedy
+    * training is prefix-stable, so `rank <= cap` IS the table a
+    * cap-round training would learn) and a NAME SUFFIX so several
+    * encoders coexist in one query (q209's vocabulary-size ablation). */
+  def sqlMergeListCteAt(mergesCte: String, rankCap: Int,
+                        suffix: String): String = {
+    val where = if (rankCap == Int.MaxValue) "" else s" WHERE rank <= $rankCap"
+    s"ml$suffix AS (SELECT list(lft || '|' || rgt ORDER BY rank ASC) AS m FROM $mergesCte$where)"
+  }
 
   /** DuckDB CTE fragment replaying the EXACT encoder on the distinct
     * words of `wordsCte` (one VARCHAR column `w`) under the LEARNED
     * table in one-row CTE `ml(m)` (from [[sqlMergeListCte]]) — the
     * learned-table analog of [[Bpe.oracleCte]]; yields
     * `bpe(w, n_bpe)`. Interpolate after a `WITH RECURSIVE`. */
-  def oracleCte(wordsCte: String): String = {
+  def oracleCte(wordsCte: String): String = oracleCteAt(wordsCte, "")
+
+  /** [[oracleCte]] with a NAME SUFFIX: yields `bpe$suffix(w, n_bpe)`
+    * from `ml$suffix(m)`, so several encoders (prefix tables at
+    * different rank cutoffs) coexist in one oracle query. */
+  def oracleCteAt(wordsCte: String, suffix: String): String = {
     // DuckDB lambdas cannot contain subqueries, so the learned list is
     // CARRIED as a column `m` through every recursive row (one cross
     // join with the one-row ml at the base) and referenced directly
     val pos = "NULLIF(list_position(m, s[i] || '|' || s[i+1]), 0)"
-    s"""bpe_step AS (
+    s"""bpe_step$suffix AS (
         SELECT w, list_transform(range(1, length(w) + 1),
-                 i -> w[i:i]) AS s, ml.m AS m
-        FROM (SELECT DISTINCT w FROM $wordsCte), ml
+                 i -> w[i:i]) AS s, ml$suffix.m AS m
+        FROM (SELECT DISTINCT w FROM $wordsCte), ml$suffix
         UNION ALL
         SELECT w,
                list_concat(list_concat(s[1:p-1], [s[p] || s[p+1]]), s[p+2:]) AS s,
@@ -126,11 +141,11 @@ object BpeTable {
                  list_position(rk, list_min(rk)) AS p
           FROM (SELECT w, s, m,
                        list_transform(range(1, len(s)), i -> $pos) AS rk
-                FROM bpe_step) h
+                FROM bpe_step$suffix) h
           WHERE list_min(rk) IS NOT NULL) g),
-      bpe AS (
+      bpe$suffix AS (
         SELECT w, CAST(len(s) AS BIGINT) AS n_bpe
-        FROM bpe_step
+        FROM bpe_step$suffix
         WHERE list_min(list_transform(range(1, len(s)), i -> $pos)) IS NULL)"""
   }
 }
