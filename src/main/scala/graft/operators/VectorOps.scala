@@ -100,18 +100,18 @@ object VectorOps {
     * never alias a bit across words (the hazard the old raise guarded).
     * At dim <= 64 the single word equals the old scalar signature bit
     * for bit. The tail word of a non-multiple-of-64 dim folds the
-    * remaining elements only (zip_with null-pads the short slice; a
-    * null element contributes no bit).
+    * remaining elements only.
     *
-    * Packing is build-time / per-query (one pass per vector), so the
-    * interpreted higher-order fold is fine here; the per-PAIR hot scan
-    * is the codegen'd [[hamming]]. */
-  def signSig(colName: String): Column = expr(
-    s"""transform(sequence(0, CAST(ceil(greatest(size($colName), 1) / 64.0) AS INT) - 1),
-          w -> aggregate(
-            zip_with(slice($colName, w * 64 + 1, 64), sequence(0, 63),
-              (v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),
-            0L, (acc, x) -> acc | x))""")
+    * Both halves of the family are native codegen'd expressions: the
+    * per-VECTOR pack is [[graft.plans.SignSigWords]] (one primitive
+    * loop replacing the interpreted transform/aggregate/zip_with
+    * chain — neutral at bench scale, but the corpus-sized pack pass
+    * of a 100 TB build belongs in codegen), and the per-PAIR hot
+    * scan is [[hamming]]. */
+  def signSig(colName: String): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SignSigWords(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(colName))))
 
   /** Hamming distance between two [[signSig]] signatures — the hot
     * corpus-wide scan of the sign-hash family, as the codegen'd
