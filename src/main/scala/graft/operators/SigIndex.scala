@@ -168,7 +168,21 @@ object SigIndex {
     * segment set (SigIndexSpec crash-injects both sides of the commit
     * point, the [[TextIndex.compactInPlace]] pattern). Readers
     * entering from outside the writing process call
-    * `TierCommit.heal(spark, dir)` first, like every tier. */
+    * `TierCommit.heal(spark, dir)` first, like every tier.
+    *
+    * STREAMING ORDER CONTRACT: compact a [[graft.streaming.SigStream]]-
+    * fed index only at a COMMITTED stream boundary — stream stopped,
+    * and if its last run crashed, RESUMED ONCE FIRST so the pending
+    * micro-batch replay is absorbed before the rewrite. Rationale:
+    * replay idempotence is per-SEGMENT (a redelivered batch rewrites
+    * seg=<batchId> with identical content), but compaction folds every
+    * segment into seg=0 — a batch written, not yet checkpoint-
+    * committed, then compacted, then redelivered would land as a NEW
+    * segment duplicating rows already inside seg=0. Resuming first
+    * forecloses the window (Structured Streaming never redelivers a
+    * checkpoint-committed batch); SigIndexSpec proves the safe
+    * sequence end to end (stream → stop → compact → resume → probe ==
+    * fresh build). Same contract as [[TextIndex.compactInPlace]]. */
   def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
     graft.pipeline.TierCommit.withWriteLock(spark, dir) {
       graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit

@@ -216,7 +216,15 @@ object TextIndex {
     * exactly those two states (TextIndexSpec crash-injects the gap).
     * Readers entering from outside the writing process follow the
     * tier discipline: call `TierCommit.heal(spark, dir)` before
-    * probing. Single-writer per `dir`, like every tier commit. */
+    * probing. Single-writer per `dir`, like every tier commit.
+    *
+    * STREAMING ORDER CONTRACT: compact a stream-fed index only at a
+    * COMMITTED stream boundary — stream stopped, and if its last run
+    * crashed, resumed once first so the pending micro-batch replay is
+    * absorbed before the rewrite (a batch written, not yet
+    * checkpoint-committed, then compacted, then redelivered would
+    * land as a new segment duplicating rows already folded into
+    * seg=0). See [[SigIndex.compactInPlace]] for the full rationale. */
   def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
     graft.pipeline.TierCommit.withWriteLock(spark, dir) {
       graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit

@@ -29,8 +29,11 @@ import graft.operators.{SigIndex, VectorOps}
   *
   * Scale posture: per batch the work is one map-only codegen'd bit
   * fold over the batch's rows — no shuffle, no state read, no corpus
-  * scan; segments accumulate until [[SigIndex.rebuildInPlace]] compacts
-  * them through the tier commit.
+  * scan; segments accumulate until [[SigIndex.compactInPlace]] folds
+  * them back to one through the tier commit (or
+  * [[SigIndex.rebuildInPlace]] repacks a corpus snapshot). Compaction
+  * of a stream-fed index runs only at a COMMITTED stream boundary —
+  * see [[SigIndex.compactInPlace]]'s streaming order contract.
   */
 object SigStream {
 

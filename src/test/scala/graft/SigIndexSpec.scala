@@ -185,6 +185,53 @@ class SigIndexSpec extends SparkSpec {
     assert(after == probeSorted(spark, "sig_lsm_ref", dRef).collect().toSeq)
   }
 
+  test("LSM lifecycle with streaming: stream → stop → compact → resume → probe == fresh build") {
+    // the streaming order contract (SigIndex.compactInPlace): compact
+    // only at a committed stream boundary; afterwards the stream keeps
+    // appending NEW batchId segments on top of the compacted seg=0 —
+    // the redelivery window the contract forecloses is a batch that
+    // was never checkpoint-committed, which a clean stop cannot leave
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val m = SigIndex.Meta(nbits = 64)
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val (pre, post) = rows.splitAt(rows.size / 2)
+    val (b1, b2) = pre.splitAt(pre.size / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q1 = SigStream.start(input.toDF().toDF("vec_id", "embedding"),
+      "sig_lsm_s", d, m, s"$d/_ckpt")
+    try {
+      input.addData(b1); q1.processAllAvailable()
+      input.addData(b2); q1.processAllAvailable()
+    } finally q1.stop() // clean stop: every delivered batch committed
+    assert(SigIndex.segmentIds(spark, "sig_lsm_s", d).size == 2)
+
+    // compact at the committed boundary: segments fold to one
+    SigIndex.compactInPlace(spark, "sig_lsm_s", d)
+    assert(SigIndex.segmentIds(spark, "sig_lsm_s", d) == Seq(0L))
+
+    // resume: the SAME checkpoint continues with later batchIds —
+    // none collide with the compacted seg=0's content
+    val q2 = SigStream.start(input.toDF().toDF("vec_id", "embedding"),
+      "sig_lsm_s", d, m, s"$d/_ckpt")
+    try {
+      input.addData(post); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(SigIndex.segmentIds(spark, "sig_lsm_s", d).size == 2,
+      "resumed stream must append a NEW segment beside the compacted one")
+
+    SigIndex.build(spark, vectors, "sig_lsm_ref", dRef)
+    val got = probeSorted(spark, "sig_lsm_s", d).collect().toSeq
+    val want = probeSorted(spark, "sig_lsm_ref", dRef).collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("atomic in-place compaction: probes see all-old or all-new across a crash") {
     import graft.pipeline.TierCommit
     val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
