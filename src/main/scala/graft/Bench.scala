@@ -26,7 +26,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *    contended session now convicts itself in the artifact instead of
   *    masquerading as a plan regression;
   *  - PROBE-ONLY phase (VERDICT r8 #5): the persisted-serving-index
-  *    queries (q196-q198) are additionally timed probe-only against
+  *    queries (Queries.probeOnly: the IVF/PQ/BM25/sign-hash probes
+  *    and the BPE serve path) are additionally timed probe-only against
   *    the already-built index, so the serving-path latency (the pruned
   *    index READ) is a committed number of its own, separate from the
   *    honest one-shot build+write the registry entry measures.

@@ -2239,7 +2239,7 @@ object VectorQueries {
   // bit-identical and the oracle IS q202's oracle, verbatim.
   //
   // 100 TB posture: 64 bits/vector keeps 10^11 signatures in cluster
-  // RAM; a probe's ranking pass reads 16 bytes/vector and the raw
+  // RAM; a probe's ranking pass reads 8 + 8·⌈d/64⌉ bytes/vector and the raw
   // vector bytes are only ever fetched for queries x topk survivors.
   // Bench time includes the pack+write (honest one-shot cost); the
   // probe-only twin carries the serving latency.

@@ -225,7 +225,7 @@ object SigIndex {
 
   /** The LAZY ranking half of a probe: pack each query's signature,
     * broadcast the query signatures against a (vid, sig) column-pruned
-    * Hamming scan of `sigs` (16 bytes/vector — the SIMD-class pass
+    * Hamming scan of `sigs` (8 + 8·⌈d/64⌉ bytes/vector — the SIMD-class pass
     * that ranks 10^11 candidates from RAM), and keep the top-`topk`
     * per query by (hamming ASC, vid ASC) through the BOUNDED
     * map-side-combining aggregate — no row_number window anywhere, so

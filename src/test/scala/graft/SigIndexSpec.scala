@@ -72,7 +72,7 @@ class SigIndexSpec extends SparkSpec {
 
     // 1. the RANKING half (the corpus-wide pass the index exists to
     //    make cheap — run exactly ONCE per probe, as the eager
-    //    shortlist job): reads ONLY (vid, sig) — 16 bytes/vector; the
+    //    shortlist job): reads ONLY (vid, sig) — 8 + 8·⌈d/64⌉ bytes/vector; the
     //    raw vector bytes never enter the Hamming scan (`seg` rides as
     //    a hive partition column) — and ranks through the bounded
     //    aggregate, never a row_number window
