@@ -72,6 +72,11 @@ object IndexCatalog {
 
     val nested = entries
       .filter(_.isDirectory)
+      // a tier-commit stage/graveyard tree (`<name>.__swap_tmp` /
+      // `.__swap_old`) is a WRITER'S scratch, not a servable index —
+      // listing it would show a phantom twin during every in-place
+      // rebuild window (readers heal, then list only promoted roots)
+      .filterNot(s => s.getPath.getName.contains(".__swap_"))
       .flatMap { s =>
         val name = s.getPath.getName
         val metaPath = new Path(s.getPath, "meta.json")

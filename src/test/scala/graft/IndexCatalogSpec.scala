@@ -80,6 +80,15 @@ class IndexCatalogSpec extends SparkSpec {
       // an empty / non-warehouse dir lists nothing (no error)
       val empty = java.nio.file.Files.createTempDirectory("graft-cat-e").toString
       assert(IndexCatalog.list(spark, empty).count() == 0)
+
+      // a staged-but-uncommitted rebuild must NOT appear as a phantom
+      // index: the stage tree lives at <name>.__swap_tmp until the
+      // tier commit promotes it
+      SigIndex.stageRebuildInPlace(spark, vectors, "cat_sig", d, nbits = 64)
+      val during = IndexCatalog.list(spark, d).collect().map(_.getString(0))
+      assert(during.toSeq ==
+        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_sig"),
+        s"stage tree leaked into the catalog: ${during.toSeq}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS cat_ivf_cells")
       spark.sql("DROP TABLE IF EXISTS cat_ivfpq_codes")
