@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted binary sign-hash (1-bit LSH) index — the fourth serving
@@ -58,13 +58,28 @@ object SigIndex {
     * needs only (name, dir). */
   final case class Meta(nbits: Int)
 
+  /** On-disk layout version (ADVICE r11): format 2 = multi-word
+    * ARRAY<BIGINT> signatures (round 11's 64-dim-cap lift). A sidecar
+    * WITHOUT the key is the pre-multiword scalar-BIGINT layout — this
+    * reader refuses it with an explicit message instead of failing deep
+    * inside the probe with a Catalyst type error, and refuses to append
+    * mixed-schema segments onto it. */
+  val FormatVersion = 2L
+
   def writeMeta(spark: SparkSession, name: String, dir: String,
                 meta: Meta): Unit =
     IndexMeta.write(spark, s"$dir/$name/meta.json",
-      Map("nbits" -> meta.nbits.toLong))
+      Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
 
-  def readMeta(spark: SparkSession, name: String, dir: String): Meta =
-    Meta(IndexMeta.read(spark, s"$dir/$name/meta.json")("nbits").toInt)
+  def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
+    val m = IndexMeta.read(spark, s"$dir/$name/meta.json")
+    val fmt = m.getOrElse("format", 1L)
+    require(fmt == FormatVersion,
+      s"sig index $name at $dir has layout format $fmt (scalar BIGINT " +
+        s"signatures); this reader needs format $FormatVersion " +
+        "(ARRAY<BIGINT> multi-word) — rebuildInPlace the index")
+    Meta(m("nbits").toInt)
+  }
 
   /** Existing segment ids, ascending (driver-side metadata listing —
     * segment counts are compaction-bounded: [[compactInPlace]] folds a
@@ -85,17 +100,31 @@ object SigIndex {
       .sorted
   }
 
+  /** [[VectorOps.signSig]] guarded by a LOUD dimension check (ADVICE
+    * r11): lifting the 64-dim cap removed the old raise, so a vector
+    * whose length disagrees with the index's declared nbits would
+    * silently rank on a truncated common-prefix Hamming. The check
+    * rides inside the packing expression itself (a `when` branch, still
+    * whole-stage codegen), so EVERY packing site — build, append,
+    * stream delta, and the probe's query side — raises in the scan. */
+  private def checkedSig(nbits: Int, what: String): Column =
+    when(size(col("q")) === lit(nbits), VectorOps.signSig("q"))
+      .otherwise(raise_error(concat(
+        lit(s"sig index: $what vector dimension "), size(col("q")).cast("string"),
+        lit(s" != index nbits $nbits"))))
+
   /** Map-only signature packing of `vectors` = (vec_id, q ARRAY<BIGINT>,
-    * n2) — one codegen'd bit fold per vector, no shuffle anywhere. */
-  private def pack(vectors: DataFrame): DataFrame =
+    * n2) — one codegen'd bit fold per vector, no shuffle anywhere.
+    * Raises on any vector whose dimension differs from `nbits`. */
+  private def pack(vectors: DataFrame, nbits: Int): DataFrame =
     vectors.select(col("vec_id").as("vid"),
-      VectorOps.signSig("q").as("sig"), col("q"), col("n2"))
+      checkedSig(nbits, "indexed").as("sig"), col("q"), col("n2"))
 
   /** Pack `vectors` once and persist the index under `<dir>/<name>` as
     * segment 0. */
   def build(spark: SparkSession, vectors: DataFrame, name: String,
             dir: String, nbits: Int = 64): Meta = {
-    pack(vectors).write.mode("overwrite")
+    pack(vectors, nbits).write.mode("overwrite")
       .parquet(s"$dir/$name/sigs/seg=0")
     val meta = Meta(nbits)
     writeMeta(spark, name, dir, meta)
@@ -104,14 +133,34 @@ object SigIndex {
 
   /** Add `newVectors` as the next segment. Pack/write cost is the
     * DELTA only; existing segments are never read or touched.
-    * Contract: vec_ids disjoint from already-indexed ones. */
+    * Contract: vec_ids disjoint from already-indexed ones.
+    *
+    * The segment-id pick rides the dir's writer lock (VERDICT r11 #2):
+    * `segs.max + 1` computed unlocked let two concurrent batch
+    * appenders choose the SAME segId and silently clobber each other
+    * via per-segment overwrite — now the loser raises at entry. The
+    * lock also excludes a concurrent compact/rebuild, whose whole-dir
+    * swap would otherwise graveyard (lose) a mid-flight append.
+    * Streaming [[writeDelta]] stays LOCK-FREE by design: its segId is
+    * caller-chosen (the batchId), and replay idempotence is the point. */
   def appendDelta(spark: SparkSession, newVectors: DataFrame,
-                  name: String, dir: String): Unit = {
-    val segs = segmentIds(spark, name, dir)
-    require(segs.nonEmpty, s"index $name has no base segment")
-    writeDelta(spark, newVectors, name, dir,
-      readMeta(spark, name, dir), segId = segs.max + 1L)
-  }
+                  name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      val segs = segmentIds(spark, name, dir)
+      require(segs.nonEmpty, s"index $name has no base segment")
+      val segId = segs.max + 1L
+      try writeDelta(spark, newVectors, name, dir,
+        readMeta(spark, name, dir), segId)
+      catch { case e: Throwable =>
+        // the segId is FRESH (picked under the lock), so the directory
+        // holds only the aborted job's droppings — an empty segment
+        // left behind would inflate segmentIds (and the next pick)
+        // forever; job-commit atomicity already kept data files out
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name/sigs/seg=$segId")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        throw e
+      }
+    }
 
   /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
     * ingestion path ([[graft.streaming.SigStream]]): a foreachBatch
@@ -124,7 +173,7 @@ object SigIndex {
   def writeDelta(spark: SparkSession, newVectors: DataFrame,
                  name: String, dir: String, meta: Meta,
                  segId: Long): Unit = {
-    pack(newVectors).write.mode("overwrite")
+    pack(newVectors, meta.nbits).write.mode("overwrite")
       .parquet(s"$dir/$name/sigs/seg=$segId")
     if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
       writeMeta(spark, name, dir, meta)
@@ -157,7 +206,7 @@ object SigIndex {
       .select(col("vid"), col("sig"), col("q"), col("n2")) // drop `seg`
       .write.mode("overwrite").parquet(s"$newRoot/sigs/seg=0")
     IndexMeta.write(spark, s"$newRoot/meta.json",
-      Map("nbits" -> meta.nbits.toLong))
+      Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
   }
 
   /** Atomically REPLACE live index `name` with its own compaction:
@@ -218,9 +267,9 @@ object SigIndex {
                                          vectors: DataFrame, name: String,
                                          dir: String, nbits: Int): Unit = {
     val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
-    pack(vectors).write.mode("overwrite").parquet(s"$root/sigs/seg=0")
+    pack(vectors, nbits).write.mode("overwrite").parquet(s"$root/sigs/seg=0")
     IndexMeta.write(spark, s"$root/meta.json",
-      Map("nbits" -> nbits.toLong))
+      Map("nbits" -> nbits.toLong, "format" -> FormatVersion))
   }
 
   /** The LAZY ranking half of a probe: pack each query's signature,
@@ -233,8 +282,17 @@ object SigIndex {
     * Exposed package-private so SigIndexSpec asserts its plan shape
     * (the scan the serving path actually pays) directly. */
   private[graft] def rank(spark: SparkSession, sigs: DataFrame,
-                          queryVecs: DataFrame, topk: Int): DataFrame = {
-    val qs = queryVecs.select(col("qid"), VectorOps.signSig("qq").as("qsig"))
+                          queryVecs: DataFrame, topk: Int,
+                          nbits: Int): DataFrame = {
+    // query-side dimension check (ADVICE r11): a query vector whose
+    // dimension differs from the index's nbits must raise, not rank on
+    // a truncated common-prefix Hamming
+    val qs = queryVecs.select(col("qid"),
+      when(size(col("qq")) === lit(nbits), VectorOps.signSig("qq"))
+        .otherwise(raise_error(concat(
+          lit("sig index: query vector dimension "),
+          size(col("qq")).cast("string"),
+          lit(s" != index nbits $nbits")))).as("qsig"))
     sigs
       .select(col("vid"), col("sig")) // column-pruned: 8 + 8·⌈d/64⌉ bytes/vector
       .join(broadcast(qs), col("qid") =!= col("vid"))
@@ -271,7 +329,7 @@ object SigIndex {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
     val sigs = spark.read.parquet(s"$dir/$name/sigs")
-    val top = rank(spark, sigs, queryVecs, topk)
+    val top = rank(spark, sigs, queryVecs, topk, meta.nbits)
     // the ranked shortlist is COLLECTED ONCE (queries x topk rows —
     // the routing decision a serving frontend makes per request) and
     // re-enters the plan as a one-partition local frame (the

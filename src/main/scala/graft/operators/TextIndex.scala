@@ -144,14 +144,36 @@ object TextIndex {
     * the DELTA only; existing segments are never read or touched.
     * Contract: doc_ids must be disjoint from already-indexed ones
     * (append-only corpus — the same contract a doc store gives its
-    * index). Geometry is read from the persisted meta. */
+    * index). Geometry is read from the persisted meta.
+    *
+    * The segment-id pick rides the dir's writer lock (VERDICT r11 #2):
+    * `segs.max + 1` computed unlocked let two concurrent batch
+    * appenders choose the SAME segId and silently clobber each other
+    * via per-segment overwrite — now the loser raises at entry. The
+    * lock also excludes a concurrent compact/rebuild, whose whole-dir
+    * swap would otherwise graveyard (lose) a mid-flight append.
+    * Streaming [[writeDelta]] stays LOCK-FREE by design: its segId is
+    * caller-chosen (the batchId), and replay idempotence is the point. */
   def appendDelta(spark: SparkSession, newDocuments: DataFrame,
-                  name: String, dir: String): Unit = {
-    val segs = segmentIds(spark, name, dir)
-    require(segs.nonEmpty, s"index $name has no base segment")
-    writeDelta(spark, newDocuments, name, dir,
-      readMeta(spark, name, dir), segId = segs.max + 1L)
-  }
+                  name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      val segs = segmentIds(spark, name, dir)
+      require(segs.nonEmpty, s"index $name has no base segment")
+      val segId = segs.max + 1L
+      try writeDelta(spark, newDocuments, name, dir,
+        readMeta(spark, name, dir), segId)
+      catch { case e: Throwable =>
+        // the segId is FRESH (picked under the lock), so both segment
+        // directories hold only the aborted job's droppings — and a
+        // stats/seg=N committed without its postings/seg=N twin would
+        // corrupt every probe's global n_docs sum
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/stats/seg=$segId"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/postings/seg=$segId"), true)
+        throw e
+      }
+    }
 
   /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
     * ingestion path: a foreachBatch sink passes its batchId, and

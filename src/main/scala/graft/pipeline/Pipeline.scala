@@ -200,22 +200,41 @@ object TierCommit {
     * filesystem cannot distinguish a stale lock from a live writer).
     * Recovery is the operator's assertion that no writer is live:
     * [[breakLock]], then retry — [[heal]] itself never takes or clears
-    * the lock, so crash-healed READS are unaffected. */
+    * the lock, so crash-healed READS are unaffected.
+    *
+    * Acquisition atomicity (ADVICE r11): on the local filesystem
+    * Hadoop's create(overwrite=false) is exists-then-create — two truly
+    * concurrent racers could both win — so the local path uses java.nio
+    * CREATE_NEW (POSIX O_CREAT|O_EXCL, atomic at the kernel). On HDFS
+    * the Hadoop create IS an atomic namenode operation, so the generic
+    * path keeps it. Either way the lock file is OURS the instant the
+    * create succeeds, so a failure writing the lock METADATA deletes it
+    * before rethrowing — no stale lock leaks from a writer that never
+    * entered the critical section. */
   def withWriteLock[T](spark: SparkSession, rootDir: String)(body: => T): T = {
     val lp = lockPath(rootDir)
     val fs = fsOf(spark, lp)
     if (!fs.exists(lp.getParent)) fs.mkdirs(lp.getParent)
-    val out = try fs.create(lp, false) // overwrite=false: atomic create-exclusive
-    catch {
-      case e: java.io.IOException =>
-        sys.error(s"tier commit: writer lock $lp is held — a concurrent " +
-          "rebuild/compaction is running (or crashed; if no writer is " +
-          s"live, TierCommit.breakLock and retry): $e")
-    }
-    try out.write(
+    def held(e: Exception): Nothing =
+      sys.error(s"tier commit: writer lock $lp is held — a concurrent " +
+        "rebuild/compaction/append is running (or crashed; if no writer " +
+        s"is live, TierCommit.breakLock and retry): $e")
+    val payload =
       s"""{"acquired_utc_ms": ${System.currentTimeMillis()}, "pid": ${ProcessHandle.current().pid()}}\n"""
-        .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+        .getBytes(StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(lp.toUri.getPath)
+      try java.nio.file.Files.createFile(local) // O_CREAT|O_EXCL: atomic
+      catch { case e: java.io.IOException => held(e) }
+      try java.nio.file.Files.write(local, payload)
+      catch { case e: Throwable => fs.delete(lp, false); throw e }
+    } else {
+      val out = try fs.create(lp, false) // overwrite=false: atomic on HDFS
+      catch { case e: java.io.IOException => held(e) }
+      try out.write(payload)
+      catch { case e: Throwable => out.close(); fs.delete(lp, false); throw e }
+      out.close()
+    }
     try body
     finally fs.delete(lp, false)
   }

@@ -83,6 +83,50 @@ class ConcurrentWriterSpec extends SparkSpec {
     BpeIndex.rebuildInPlace(spark, merges, "lock_bpe", d)
   }
 
+  test("appendDelta is single-writer too: concurrent appender raises; serial appends land distinct segs") {
+    val d = tmp()
+    val documents = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    SigIndex.build(spark, vectors.filter(col("vec_id") < 50), "lock_app", d)
+    TextIndex.build(spark, documents.filter(col("doc_id") < 50),
+      "lock_app_bm25", d)
+
+    // a writer holds the dir lock (mid-flight append/rebuild): a second
+    // appendDelta must RAISE at entry — the unlocked `segs.max + 1`
+    // pick let both choose the same segId and silently clobber
+    TierCommit.withWriteLock(spark, d) {
+      assert(intercept[Exception] {
+        SigIndex.appendDelta(spark,
+          vectors.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+          "lock_app", d)
+      }.getMessage.contains("writer lock"))
+      assert(intercept[Exception] {
+        TextIndex.appendDelta(spark,
+          documents.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+          "lock_app_bm25", d)
+      }.getMessage.contains("writer lock"))
+    }
+    // the loser left no trace: still exactly one segment each
+    assert(SigIndex.segmentIds(spark, "lock_app", d) == Seq(0L))
+    assert(TextIndex.segmentIds(spark, "lock_app_bm25", d) == Seq(0L))
+
+    // released: serial appends land as DISTINCT consecutive segments
+    // and the probe equals a fresh full build's answers
+    SigIndex.appendDelta(spark,
+      vectors.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+      "lock_app", d)
+    SigIndex.appendDelta(spark, vectors.filter(col("vec_id") >= 100),
+      "lock_app", d)
+    assert(SigIndex.segmentIds(spark, "lock_app", d) == Seq(0L, 1L, 2L))
+    val d2 = tmp()
+    SigIndex.build(spark, vectors, "lock_app_ref", d2)
+    val got = SigIndex.probe(spark, "lock_app", d, queries, 3)
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    val want = SigIndex.probe(spark, "lock_app_ref", d2, queries, 3)
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    assert(got == want)
+  }
+
   test("crash recovery: stale lock blocks loudly, heal stays lock-free, breakLock + retry lands") {
     val d = tmp()
     SigIndex.build(spark, vectors.filter(col("vec_id") < 100),

@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BpeIndex, BpeTrain, IndexCatalog, IvfIndex,
-  IvfPqIndex, SigIndex, TextIndex, VectorOps}
+  IvfPqIndex, NearDupIndex, SigIndex, TextIndex, VectorOps}
 
-/** `SHOW INDEXES` (VERDICT r10 #5): one warehouse dir holding all five
+/** `SHOW INDEXES` (VERDICT r10 #5): one warehouse dir holding all six
   * persisted index kinds must list each with its kind, sidecar
-  * geometry, segment count, and row count — and a FRESH session must
-  * produce the identical listing from the on-disk layout alone.
+  * geometry, segment count, and row/item counts — and a FRESH session
+  * must produce the identical listing from the on-disk layout alone.
   */
 class IndexCatalogSpec extends SparkSpec {
 
@@ -21,7 +21,7 @@ class IndexCatalogSpec extends SparkSpec {
   private def documents = Tables.documents(spark, dir)
     .select(col("doc_id"), col("source"), col("text"))
 
-  test("all five index kinds list with kind, geometry, segments, rows") {
+  test("all six index kinds list with kind, geometry, segments, rows, items") {
     val d = java.nio.file.Files.createTempDirectory("graft-catalog").toString
     try {
       IvfIndex.build(spark, vectors, "cat_ivf", d)
@@ -38,14 +38,30 @@ class IndexCatalogSpec extends SparkSpec {
         .filter(col("w") =!= "" && length(col("w")) <= 32)
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       BpeIndex.build(spark, BpeTrain.fit(words, rounds = 4), "cat_bpe", d)
+      NearDupIndex.build(spark,
+        documents.select(col("doc_id"), col("text")), "cat_ndup", d)
 
       val got = IndexCatalog.list(spark, d).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
-          r.getLong(3), r.getLong(4)))
+          r.getLong(3), r.getLong(4), r.getLong(5)))
       val byName = got.map(r => r._1 -> r).toMap
       assert(got.map(_._1).toSeq ==
-        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_sig"),
+        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_ndup",
+          "cat_sig"),
         s"unexpected listing: ${got.toSeq}")
+
+      assert(byName("cat_ndup")._2 == "near_dup")
+      assert(byName("cat_ndup")._3 ==
+        "band_rows=4, bands=16, buckets=16, perms=64",
+        "near_dup geometry must pin the full banding")
+      assert(byName("cat_ndup")._4 == 1L)
+      assert(byName("cat_ndup")._5 > 0, "band postings rows")
+      // n_items = indexed documents (shingle-set rows): every document
+      // with at least one shingle (>= 3 tokens)
+      val nDocs3 = documents
+        .filter(size(split(col("text"), " ")) >= 3).count()
+      assert(byName("cat_ndup")._6 == nDocs3,
+        s"near_dup n_items must be the indexed doc count $nDocs3")
 
       val n = vectors.count()
       assert(byName("cat_ivf")._2 == "ivf")
@@ -57,14 +73,24 @@ class IndexCatalogSpec extends SparkSpec {
       assert(byName("cat_ivfpq")._3.contains("ksub=16"))
       assert(byName("cat_ivfpq")._5 == n * 4, "codes table carries n*m rows")
 
+      // n_items compares apples-to-apples across kinds (VERDICT r11
+      // #5): an ivf and an ivf_pq built over the SAME vectors report
+      // the same item count even though their physical rows differ 4x
+      assert(byName("cat_ivf")._6 == n && byName("cat_ivfpq")._6 == n,
+        s"ivf/ivf_pq n_items must both be the vector count $n: " +
+          s"${byName("cat_ivf")._6} vs ${byName("cat_ivfpq")._6}")
+
       assert(byName("cat_bm25")._2 == "bm25")
       assert(byName("cat_bm25")._3.contains("buckets="))
       assert(byName("cat_bm25")._4 == 1L && byName("cat_bm25")._5 > 0)
+      assert(byName("cat_bm25")._6 == documents.count(),
+        "bm25 n_items = indexed documents (segment-stats sum)")
 
       assert(byName("cat_sig")._2 == "sign_hash")
       assert(byName("cat_sig")._3 == "nbits=64")
       assert(byName("cat_sig")._4 == 2L, "two segments after the delta")
       assert(byName("cat_sig")._5 == 2 * n)
+      assert(byName("cat_sig")._6 == 2 * n)
 
       assert(byName("cat_bpe")._2 == "bpe")
       assert(byName("cat_bpe")._3 == "n_merges=4")
@@ -74,7 +100,7 @@ class IndexCatalogSpec extends SparkSpec {
       val fresh = spark.newSession()
       val again = IndexCatalog.list(fresh, d).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
-          r.getLong(3), r.getLong(4)))
+          r.getLong(3), r.getLong(4), r.getLong(5)))
       assert(again.toSeq == got.toSeq)
 
       // an empty / non-warehouse dir lists nothing (no error)
@@ -87,7 +113,8 @@ class IndexCatalogSpec extends SparkSpec {
       SigIndex.stageRebuildInPlace(spark, vectors, "cat_sig", d, nbits = 64)
       val during = IndexCatalog.list(spark, d).collect().map(_.getString(0))
       assert(during.toSeq ==
-        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_sig"),
+        Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_ndup",
+          "cat_sig"),
         s"stage tree leaked into the catalog: ${during.toSeq}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS cat_ivf_cells")

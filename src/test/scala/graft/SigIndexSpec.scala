@@ -77,7 +77,7 @@ class SigIndexSpec extends SparkSpec {
     //    a hive partition column) — and ranks through the bounded
     //    aggregate, never a row_number window
     val rankPlan = SigIndex.rank(spark,
-      spark.read.parquet(s"$d/sig_spec/sigs"), queries, 3)
+      spark.read.parquet(s"$d/sig_spec/sigs"), queries, 3, nbits = 64)
       .queryExecution.executedPlan
     val rankScans = sigScans(rankPlan)
     assert(rankScans.size == 1 && readCols(rankScans.head) == Set("vid", "sig"),
@@ -351,4 +351,73 @@ class SigIndexSpec extends SparkSpec {
     val got = SigIndex.probe(spark, "sig_wide", d, wq, topk = 3)
     assert(got.count() > 0 && SigIndex.readMeta(spark, "sig_wide", d).nbits == 96)
   }
+
+  test("dimension guards: mismatched vectors raise loudly at build and probe (ADVICE r11)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    // build: declared nbits disagrees with the vectors' actual length
+    val eBuild = intercept[Exception] {
+      SigIndex.build(spark, vectors, "sig_guard_b", d, nbits = 96)
+    }
+    assert(exceptionChain(eBuild).exists(_.contains("!= index nbits 96")),
+      s"build must raise the dimension error, got: $eBuild")
+
+    // probe: a query vector narrower than the index's nbits must raise,
+    // not silently rank on a truncated common-prefix Hamming
+    SigIndex.build(spark, vectors, "sig_guard", d) // nbits = 64, correct
+    val narrowQ = vectors.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        slice(col("q"), 1, 32).as("qq"), col("n2").as("qn2"))
+    val eProbe = intercept[Exception] {
+      SigIndex.probe(spark, "sig_guard", d, narrowQ, topk = 3).collect()
+    }
+    assert(exceptionChain(eProbe).exists(_.contains("!= index nbits 64")),
+      s"probe must raise the dimension error, got: $eProbe")
+
+    // appendDelta inherits the check from the persisted meta
+    val eApp = intercept[Exception] {
+      SigIndex.appendDelta(spark,
+        vectors.select(col("vec_id") + 100000L as "vec_id",
+          slice(col("q"), 1, 16).as("q"), col("n2")),
+        "sig_guard", d)
+    }
+    assert(exceptionChain(eApp).exists(_.contains("!= index nbits 64")),
+      s"appendDelta must raise the dimension error, got: $eApp")
+    // and the loser's lock + segment left no trace
+    assert(SigIndex.segmentIds(spark, "sig_guard", d) == Seq(0L))
+    SigIndex.appendDelta(spark,
+      vectors.select(col("vec_id") + 100000L as "vec_id", col("q"), col("n2")),
+      "sig_guard", d) // correct width proceeds (lock was released)
+  }
+
+  test("format version: a pre-multiword sidecar is refused with an explicit message (ADVICE r11)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark, vectors, "sig_fmt", d)
+    // model a format-1 index: sidecar without the format key (what the
+    // scalar-BIGINT layout wrote before round 11's multi-word change)
+    graft.operators.IndexMeta.write(spark, s"$d/sig_fmt/meta.json",
+      Map("nbits" -> 64L))
+    val e = intercept[Exception] {
+      SigIndex.probe(spark, "sig_fmt", d,
+        vectors.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+          col("q").as("qq"), col("n2").as("qn2")), topk = 3)
+    }
+    assert(e.getMessage.contains("format 1") &&
+      e.getMessage.contains("rebuildInPlace"),
+      s"old layout must be refused explicitly, got: ${e.getMessage}")
+    // appendDelta against it is refused too (it would write a
+    // mixed-schema segment); rebuildInPlace is the upgrade path
+    assert(intercept[Exception] {
+      SigIndex.appendDelta(spark, vectors, "sig_fmt", d)
+    }.getMessage.contains("format 1"))
+    SigIndex.rebuildInPlace(spark, vectors, "sig_fmt", d)
+    assert(SigIndex.probe(spark, "sig_fmt", d,
+      vectors.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("q").as("qq"), col("n2").as("qn2")), topk = 3).count() > 0)
+  }
+
+  /** Every message down the cause chain (Spark wraps a raise_error from
+    * an executor in SparkException layers). */
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
 }
