@@ -2255,6 +2255,73 @@ object TextQueries {
       ORDER BY n_merges ASC NULLS FIRST"""
     })
 
+  // --- q210: persisted near-dup index probe (serving READ) ---------------
+  // The fifth serving family gains its openable artifact (VERDICT r11
+  // #1): q17 re-mines the whole corpus inside every query — the
+  // harness's honesty — but the question an INGEST pipeline asks is
+  // "is this incoming batch a near-dup of corpus history?", answered
+  // without re-mining. operators/NearDupIndex persists the corpus's
+  // MinHash band postings (hive-partitioned by a band-hash bucket) +
+  // the shingle sets verification needs; the probe computes only the
+  // BATCH's signatures, reads only the touched band buckets
+  // (directory-pruned), and exact-verifies collisions via a pushed
+  // In(doc_id) point read. Banding geometry is TextOps' single source
+  // of truth, so the probe finds exactly the pairs q17's in-plan LSH
+  // finds across the same split — which is why the ORACLE is q17's
+  // exact all-pairs Jaccard restated over the split (any recall loss
+  // would surface as a missing row).
+  //
+  // The split models the incremental-ingest flow: doc_id % 10 == 0 is
+  // the incoming batch, the rest is indexed history.
+  //
+  // 100 TB posture: build cost is the one LSH pipeline that already
+  // scales (64 map-side-combining min aggregates, no all-pairs);
+  // probe cost is the batch's own signatures + a pruned posting read +
+  // verification over collisions only — independent of corpus size at
+  // a fixed collision rate. Bench time includes the honest one-shot
+  // build+write; the probe-only twin carries the serving latency.
+  private def ndupHandle(dir: String): (String, String) =
+    ("ndup_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-ndup-index")
+
+  private def ndupSplit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    (d.filter(pmod(col("doc_id"), lit(10)) =!= 0),  // history: indexed
+      d.filter(pmod(col("doc_id"), lit(10)) === 0)) // batch: probes
+  }
+
+  private[graft] def ndupProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = ndupHandle(dir)
+    graft.operators.NearDupIndex
+      .probe(spark, name, idxDir, ndupSplit(spark, dir)._2)
+      .orderBy(col("a_id").asc_nulls_first, col("b_id").asc_nulls_first)
+  }
+
+  private val q210 = Q(
+    (spark, dir) => {
+      val (history, _) = ndupSplit(spark, dir)
+      val (name, idxDir) = ndupHandle(dir)
+      // the harness is single-writer by construction: clear any stale
+      // lock a KILLED prior run left (the q207 pattern)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.NearDupIndex
+        .rebuildInPlace(spark, history, name, idxDir)
+      ndupProbeOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      p AS (
+        SELECT least(a.doc_id, b.doc_id) AS a_id,
+               greatest(a.doc_id, b.doc_id) AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a JOIN s b
+          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= $JaccardThreshold
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -2294,11 +2361,13 @@ object TextQueries {
     "q204_bpe_train" -> q204,
     "q205_bpe_train_batched" -> q205,
     "q207_bpe_serve" -> q207,
-    "q209_bpe_vocab_curve" -> q209)
+    "q209_bpe_vocab_curve" -> q209,
+    "q210_neardup_probe" -> q210)
 
-  /** Serve-ONLY twin of q207 (the probe-only contract of
-    * [[VectorQueries.probeOnly]]): open the persisted merge table by
-    * (name, dir) and encode — no training, no write anywhere. */
+  /** Serve-ONLY twins (the probe-only contract of
+    * [[VectorQueries.probeOnly]]): open the persisted artifact by
+    * (name, dir) and serve — no training/mining, no write anywhere. */
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q207_bpe_serve" -> (bpeServeOnly(_, _)))
+    "q207_bpe_serve" -> (bpeServeOnly(_, _)),
+    "q210_neardup_probe" -> (ndupProbeOnly(_, _)))
 }
