@@ -2322,6 +2322,115 @@ object TextQueries {
       SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= $JaccardThreshold
       ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
+  // --- q211: token-ID sequences from the persisted tokenizer ------------
+  // q207 serves token TOTALS; a training pipeline ships token ID
+  // SEQUENCES (VERDICT r11 #4). BpeIndex now persists the vocabulary
+  // the merge table induces (base chars sorted, then merge outputs in
+  // rank order; id = 1-based first position, 0 = OOV — derivable from
+  // the merge table alone, so the artifact cannot drift from the
+  // encoder), and BpeTable.encodeIds emits each word's id sequence
+  // through the codegen'd BpeIdsTableArray expression.
+  //
+  // The query emits per-document integer digests of the full id
+  // sequence rather than the raw arrays (hash-safe across engines,
+  // and order-SENSITIVE at both levels so any id, any intra-word
+  // order, or any word order difference flips a value):
+  //   n_tokens = Σ |ids(w_p)|
+  //   id_sum   = Σ Σ ids(w_p)
+  //   pos_hash = Σ_p ( p·Σids(w_p) + Σ_i i·ids(w_p)[i] )
+  // with p the 1-based word position and i the 1-based intra-word
+  // token position — all integer-exact BIGINT arithmetic.
+  //
+  // Scale shape: ids are encoded once per DISTINCT word (Heaps' law —
+  // the grouped-encode-then-broadcast-join discipline of q207), so
+  // the per-occurrence cost at 100 TB is a hash probe + three
+  // column-arithmetic aggregates. The ORACLE replays training (q204's
+  // unrolled CTEs), vocabulary derivation (sqlVocabCte), and the
+  // recursive-CTE encoder's SEGMENTS, then numbers them with
+  // list_position against the same vocab list — every digest
+  // hash-matched bit for bit.
+  private def bpeIdsHandle(dir: String): (String, String) =
+    ("bpeids_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-bpeids-index")
+
+  private[graft] def bpeIdsServeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = bpeIdsHandle(dir)
+    val table = graft.operators.BpeIndex.table(spark, name, idxDir)
+    val d = docs(spark, dir)
+    val enc = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .withColumn("ids", graft.functions.BpeTable.idsCol(table, col("w")))
+      .select(col("w"),
+        size(col("ids")).cast("long").as("ntok"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("idsum"),
+        aggregate(
+          zip_with(col("ids"),
+            sequence(lit(1L), size(col("ids")).cast("long")),
+            (x, i) => x * i),
+          lit(0L), (a, y) => a + y).as("wsum"))
+    val dw = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("w"))
+    dw.join(broadcast(enc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ntok")).as("n_tokens"),
+        sum(col("idsum")).as("id_sum"),
+        sum(col("p") * col("idsum") + col("wsum")).as("pos_hash"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val q211 = Q(
+    (spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= BpeMaxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.operators.BpeTrain.fit(words, BpeTrainRounds)
+      val (name, idxDir) = bpeIdsHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.BpeIndex.rebuildInPlace(spark, merges, name, idxDir)
+      bpeIdsServeOnly(spark, dir)
+    },
+    Some {
+      val allm = (1 to BpeTrainRounds)
+        .map(r => s"SELECT ${r}::BIGINT AS rank, lft, rgt FROM b$r")
+        .mkString("\n       UNION ALL ")
+      s"""
+      WITH RECURSIVE $bpeTrainOracleBase,
+      ${bpeTrainOracleRounds(BpeTrainRounds)},
+      allm AS ($allm),
+      ${graft.functions.BpeTable.sqlMergeListCte("allm")},
+      ${graft.functions.BpeTable.sqlVocabCte("allm")},
+      aw AS (
+        SELECT DISTINCT wd AS w
+        FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        WHERE wd <> ''),
+      ${graft.functions.BpeTable.oracleSegCteAt("aw", "")},
+      wi AS (
+        SELECT w, list_transform(s,
+                 sym -> CAST(list_position(v, sym) AS BIGINT)) AS ids
+        FROM bpeseg, vv),
+      ws AS (
+        SELECT w, CAST(len(ids) AS BIGINT) AS ntok,
+               CAST(list_sum(ids) AS BIGINT) AS idsum,
+               CAST(list_sum(list_transform(range(1, len(ids) + 1),
+                      i -> i * ids[i])) AS BIGINT) AS wsum
+        FROM wi),
+      dw AS (
+        SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p,
+               unnest(ts) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+      SELECT dw.doc_id,
+             CAST(sum(ws.ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(ws.idsum) AS BIGINT) AS id_sum,
+             CAST(sum(dw.p * ws.idsum + ws.wsum) AS BIGINT) AS pos_hash
+      FROM dw JOIN ws ON ws.w = dw.w
+      WHERE dw.w <> ''
+      GROUP BY dw.doc_id
+      ORDER BY doc_id ASC NULLS FIRST"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -2362,12 +2471,14 @@ object TextQueries {
     "q205_bpe_train_batched" -> q205,
     "q207_bpe_serve" -> q207,
     "q209_bpe_vocab_curve" -> q209,
-    "q210_neardup_probe" -> q210)
+    "q210_neardup_probe" -> q210,
+    "q211_bpe_token_ids" -> q211)
 
   /** Serve-ONLY twins (the probe-only contract of
     * [[VectorQueries.probeOnly]]): open the persisted artifact by
     * (name, dir) and serve — no training/mining, no write anywhere. */
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q207_bpe_serve" -> (bpeServeOnly(_, _)),
-    "q210_neardup_probe" -> (ndupProbeOnly(_, _)))
+    "q210_neardup_probe" -> (ndupProbeOnly(_, _)),
+    "q211_bpe_token_ids" -> (bpeIdsServeOnly(_, _)))
 }

@@ -85,6 +85,59 @@ final class BpeTable(val merges: IndexedSeq[(String, String)])
   /** Entry point for generated Java (called through the codegen
     * reference object). */
   def count(s: UTF8String): Long = countMemo(s.toString)
+
+  /** The token VOCABULARY this table induces, derived DETERMINISTICALLY
+    * from the merge table alone (VERDICT r11 #4): the distinct base
+    * characters appearing in any merge side, sorted ascending, followed
+    * by the merge OUTPUT symbols in rank order. Token id = 1-based
+    * FIRST position in this list (`list_position` semantics, so a
+    * duplicate output symbol — possible when two different splits merge
+    * to the same string — resolves to its first occurrence); 0 is the
+    * out-of-vocabulary id (a character the training corpus's merges
+    * never touched). The DuckDB oracle derives the identical list
+    * relationally ([[BpeTable.sqlVocabCte]]). */
+  lazy val vocab: IndexedSeq[String] = {
+    val bases = merges.flatMap { case (l, r) => (l + r).map(_.toString) }
+      .distinct.sorted
+    bases ++ merges.map { case (l, r) => l + r }
+  }
+
+  @transient private lazy val vocabId: Map[String, Long] =
+    vocab.zipWithIndex.reverseIterator // earlier entries win (first position)
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+
+  /** 1-based vocab id of one symbol; 0 = out-of-vocabulary. */
+  def idOf(symbol: String): Long = vocabId.getOrElse(symbol, 0L)
+
+  /** Token-id sequence of a word: [[segment]]'s exact fixpoint, each
+    * symbol mapped through [[idOf]]. */
+  def encodeIds(word: String): Array[Long] =
+    segment(word).map(idOf).toArray
+
+  /** Inverse of [[encodeIds]] for in-vocabulary ids — the round-trip
+    * law BpeIndexSpec pins: decode(encodeIds(w)) == segment(w) whenever
+    * no symbol is OOV. */
+  def decode(ids: Seq[Long]): Seq[String] = ids.map { id =>
+    require(id >= 1 && id <= vocab.size, s"id $id outside vocabulary")
+    vocab((id - 1).toInt)
+  }
+
+  @transient private lazy val idsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.catalyst.util.GenericArrayData]()
+
+  /** Entry point for generated Java: the id sequence as Catalyst array
+    * data (memoized per distinct word, the [[count]] discipline). */
+  def ids(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val w = s.toString
+    val cached = idsMemo.get(w)
+    if (cached ne null) cached
+    else {
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(encodeIds(w))
+      if (idsMemo.size < MemoCap) idsMemo.put(w, v)
+      v
+    }
+  }
 }
 
 object BpeTable {
@@ -95,6 +148,58 @@ object BpeTable {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.BpeCountTableLong(table,
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(word)))
+
+  /** `bpe_ids_with(table, word): ARRAY<BIGINT>` as a codegen'd native
+    * expression — the word's token-ID sequence under the learned
+    * vocabulary (VERDICT r11 #4). */
+  def idsCol(table: BpeTable, word: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BpeIdsTableArray(table,
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(word)))
+
+  /** DuckDB one-row CTE `vv(v)` deriving the vocabulary list from the
+    * learned merge CTE `mergesCte(rank, lft, rgt)` — the relational
+    * twin of [[BpeTable.vocab]]: distinct base characters of the merge
+    * sides sorted ascending, then merge outputs in rank order. Token
+    * id = `list_position(v, sym)` (1-based, 0 = OOV — DuckDB's
+    * list_position returns 0 on a miss, matching [[BpeTable.idOf]]). */
+  def sqlVocabCte(mergesCte: String): String =
+    s"""vb AS (
+        SELECT list(ch ORDER BY ch ASC) AS bases FROM (
+          SELECT DISTINCT unnest(list_transform(
+                   range(1, length(lft || rgt) + 1),
+                   i -> (lft || rgt)[i:i])) AS ch
+          FROM $mergesCte)),
+      vm AS (SELECT list(lft || rgt ORDER BY rank ASC) AS outs
+             FROM $mergesCte),
+      vv AS (SELECT list_concat(bases, outs) AS v FROM vb, vm)"""
+
+  /** [[oracleCteAt]]'s SEGMENT-emitting sibling: yields
+    * `bpeseg$suffix(w, s)` — the fixpoint symbol LIST per distinct
+    * word of `wordsCte`, for consumers that need the symbols (token
+    * ids), not just their count. */
+  def oracleSegCteAt(wordsCte: String, suffix: String): String = {
+    val pos = "NULLIF(list_position(m, s[i] || '|' || s[i+1]), 0)"
+    s"""bpe_step$suffix AS (
+        SELECT w, list_transform(range(1, length(w) + 1),
+                 i -> w[i:i]) AS s, ml$suffix.m AS m
+        FROM (SELECT DISTINCT w FROM $wordsCte), ml$suffix
+        UNION ALL
+        SELECT w,
+               list_concat(list_concat(s[1:p-1], [s[p] || s[p+1]]), s[p+2:]) AS s,
+               m
+        FROM (
+          SELECT w, s, m,
+                 list_position(rk, list_min(rk)) AS p
+          FROM (SELECT w, s, m,
+                       list_transform(range(1, len(s)), i -> $pos) AS rk
+                FROM bpe_step$suffix) h
+          WHERE list_min(rk) IS NOT NULL) g),
+      bpeseg$suffix AS (
+        SELECT w, s
+        FROM bpe_step$suffix
+        WHERE list_min(list_transform(range(1, len(s)), i -> $pos)) IS NULL)"""
+  }
 
   /** DuckDB one-row CTE `ml(m)` holding the learned merge keys
     * ('lhs|rhs', list position = rank) AGGREGATED FROM a prior CTE

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *    in rank order. Vocabulary-sized (Heaps' law) — a broadcast-class
   *    artifact; [[readMerges]] collects it whole, which is exactly
   *    what every tokenizer runtime does with merges.txt.
+  *  - `vocab/` — (id, symbol) parquet: the token vocabulary the table
+  *    induces (VERDICT r11 #4 — what a training pipeline's token-ID
+  *    sequences are numbered in). DERIVED deterministically from the
+  *    merge table ([[graft.functions.BpeTable.vocab]]: base chars
+  *    sorted, then merge outputs in rank order; id = 1-based first
+  *    position, 0 reserved for OOV) and persisted so external
+  *    consumers read ids without re-deriving; BpeIndexSpec pins
+  *    artifact == derivation.
   *  - `meta.json` — geometry sidecar (n_merges): opening the index
   *    needs only (name, dir), even from a session that never built it.
   *
@@ -53,16 +61,39 @@ object BpeIndex {
       .toDF("rank", "lft", "rgt", "pair_cnt")
   }
 
-  /** Persist a trained merge table under `<dir>/<name>`. */
+  private def vocabDf(spark: SparkSession,
+                      merges: Seq[BpeTrain.Merge]): DataFrame = {
+    import spark.implicits._
+    new graft.functions.BpeTable(
+      merges.map(m => (m.left, m.right)).toIndexedSeq)
+      .vocab.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }
+      .toDF("id", "symbol")
+  }
+
+  /** Persist a trained merge table (+ its induced vocabulary) under
+    * `<dir>/<name>`. */
   def build(spark: SparkSession, merges: Seq[BpeTrain.Merge],
             name: String, dir: String): Meta = {
     require(merges.nonEmpty, "empty merge table")
     mergesDf(spark, merges).repartition(1)
       .write.mode("overwrite").parquet(s"$dir/$name/merges")
+    vocabDf(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/$name/vocab")
     val meta = Meta(merges.size)
     writeMeta(spark, name, dir, meta)
     meta
   }
+
+  /** Read the persisted vocabulary back in id order — bounded like
+    * [[readMerges]] (base chars + n_merges rows). */
+  def readVocab(spark: SparkSession, name: String,
+                dir: String): Seq[(Long, String)] =
+    spark.read.parquet(s"$dir/$name/vocab")
+      .orderBy(col("id").asc)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
 
   /** Read the merge table back in rank order — a bounded collect
     * (n_merges rows, the sidecar-declared size; the per-request load a
@@ -111,6 +142,8 @@ object BpeIndex {
     val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
     mergesDf(spark, merges).repartition(1)
       .write.mode("overwrite").parquet(s"$root/merges")
+    vocabDf(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(s"$root/vocab")
     IndexMeta.write(spark, s"$root/meta.json",
       Map("n_merges" -> merges.size.toLong))
   }

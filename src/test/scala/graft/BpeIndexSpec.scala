@@ -98,6 +98,53 @@ class BpeIndexSpec extends SparkSpec {
     }
   }
 
+  test("token ids: round-trip law, vocab artifact == derivation, OOV = 0") {
+    val d = tmp()
+    val merges = BpeTrain.fit(words, rounds = 8)
+    BpeIndex.build(spark, merges, "bpe_ids", d)
+    val table = BpeIndex.table(spark, "bpe_ids", d)
+
+    // vocabulary structure: base chars sorted ascending, then merge
+    // outputs in rank order — derivable from the merge table alone
+    val bases = merges.flatMap(m => (m.left + m.right).map(_.toString))
+      .distinct.sorted
+    assert(table.vocab == bases ++ merges.map(m => m.left + m.right))
+
+    // the persisted artifact equals the derivation, ids 1-based dense
+    val onDisk = BpeIndex.readVocab(spark, "bpe_ids", d)
+    assert(onDisk.map(_._1) == (1L to table.vocab.size.toLong) &&
+      onDisk.map(_._2) == table.vocab)
+
+    // round-trip law over the real corpus vocabulary: ids decode back
+    // to the exact segmentation whenever every symbol is in-vocab, and
+    // |ids| always equals the symbol count
+    val sample = words.orderBy(col("cnt").desc, col("w")).limit(500)
+      .collect().map(_.getString(0))
+    sample.foreach { w =>
+      val ids = table.encodeIds(w).toSeq
+      assert(ids.size == table.countSymbols(w), s"|ids| mismatch on '$w'")
+      if (ids.forall(_ >= 1))
+        assert(table.decode(ids) == table.segment(w), s"round-trip on '$w'")
+    }
+
+    // OOV: a character no merge side contains numbers as 0; everything
+    // else in the word still gets its real id
+    val oovChar = (33 to 0x2FFF).map(_.toChar.toString)
+      .find(c => !table.vocab.exists(_.contains(c))).get
+    val mixed = table.encodeIds(oovChar + sample.head)
+    assert(mixed.head == 0L || mixed.contains(0L),
+      s"OOV char must map to 0 in $mixed")
+
+    // the codegen'd expression equals the direct method, row for row
+    import spark.implicits._
+    val got = spark.createDataset(sample.toSeq).toDF("w")
+      .withColumn("ids", graft.functions.BpeTable.idsCol(table, col("w")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    sample.foreach { w =>
+      assert(got(w) == table.encodeIds(w).toSeq, s"expression ids on '$w'")
+    }
+  }
+
   test("sidecar/table drift fails loudly") {
     val d = tmp()
     val merges = BpeTrain.fit(words, rounds = 4)
