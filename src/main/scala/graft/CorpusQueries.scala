@@ -1693,6 +1693,147 @@ object CorpusQueries {
       ORDER BY lift DESC, w1 ASC, w2 ASC
       LIMIT $PmiTopK"""))
 
+  // --- q212: hybrid retrieval SERVED from the persisted indexes ----------
+  // q104 evaluates RRF fusion honestly in-plan (both legs re-scan the
+  // corpus); the serving composition (VERDICT r11 #6) answers the same
+  // kind of request from the two openable artifacts: the LEXICAL leg
+  // is TextIndex.probe (BM25 top-50 — directory-pruned posting read,
+  // q91's exact scorer), the VECTOR leg is SigIndex.probe (sign-hash
+  // Hamming shortlist of 50, exact cosine rescore via the pushed
+  // `vid IN` point read), fused by the same K=60 reciprocal-rank rule.
+  // Neither leg tokenizes the corpus or packs a signature: the only
+  // corpus-table touch in the serving plan is the ONE-row query-vector
+  // fetch (pushed vec_id = 7), which is the request itself.
+  //
+  // Ranks: lexical by (bm25 DESC, doc_id ASC) — the probe's own order;
+  // vector by (cos_sim DESC, cid ASC) over the 50 rescored survivors
+  // (the shortlist itself is Hamming-ranked; rescore re-orders it, the
+  // standard ANN serve shape). Both rank windows run over FIXED 50-row
+  // lists (constant, never data-scaled). The ORACLE replays each leg
+  // exactly — q198's BM25 SQL at topk 50, q202's sign-disagreement +
+  // rescore CTEs for query 7 — and fuses with q104's RRF arithmetic.
+  //
+  // 100 TB posture: the legs read indexes (posting buckets + an 8·⌈d/64⌉
+  // bytes/vector signature column), the fusion is a 50 vs 50 outer
+  // join. Bench time includes both honest one-shot index builds; the
+  // probe-only twin carries the serving latency.
+  private def hybHandles(dir: String): (String, String, String) =
+    ("hyb_bm25_" + math.abs(dir.hashCode).toString,
+      "hyb_sig_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-hyb-index")
+
+  private def hybQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantized(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+
+  private[graft] def hybridServeOnly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (bmName, sigName, idxDir) = hybHandles(dir)
+    // lexical leg: persisted BM25 probe, ranked by its own order
+    val lex = graft.operators.TextIndex
+      .probe(spark, bmName, idxDir, QTerms, topk = RrfTopN)
+    val wl = Window.orderBy(col("score").desc_nulls_last, col("doc_id"))
+    val rl = lex.withColumn("lex_rank", row_number().over(wl))
+      .select(col("doc_id"), col("lex_rank"))
+    // vector leg: persisted sign-hash probe for the one query vector
+    // (the request — a pushed one-row embeddings fetch), re-ranked by
+    // the exact rescore
+    val qv = hybQuantized(spark, dir).filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val vec = graft.operators.SigIndex
+      .probe(spark, sigName, idxDir, qv, topk = RrfTopN)
+    val wv = Window.orderBy(col("cos_sim").desc_nulls_last, col("cid"))
+    val rv = vec.withColumn("vec_rank", row_number().over(wv))
+      .select(col("cid").as("doc_id"), col("vec_rank"))
+    // q104's fusion, verbatim
+    rl.join(rv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (when(col("lex_rank").isNotNull,
+          lit(1.0) / (lit(RrfK).cast("double") + col("lex_rank").cast("double")))
+          .otherwise(lit(0.0)) +
+         when(col("vec_rank").isNotNull,
+           lit(1.0) / (lit(RrfK).cast("double") + col("vec_rank").cast("double")))
+           .otherwise(lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc_nulls_last, col("doc_id"))
+      .limit(15)
+  }
+
+  private val q212 = Q(
+    (spark, dir) => {
+      val (bmName, sigName, idxDir) = hybHandles(dir)
+      graft.operators.TextIndex.build(spark,
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        bmName, idxDir)
+      graft.operators.SigIndex.build(spark, hybQuantized(spark, dir),
+        sigName, idxDir)
+      hybridServeOnly(spark, dir)
+    },
+    Some {
+      s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf),
+      lex AS (
+        SELECT doc_id,
+               ((${bm25SqlTerm(QTerms(0))}
+                + ${bm25SqlTerm(QTerms(1))})
+                + ${bm25SqlTerm(QTerms(2))}) AS score
+        FROM tf, st
+        WHERE ${QTerms.map(t => s"tf_$t > 0").mkString(" OR ")}
+        ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+        LIMIT $RrfTopN),
+      rl AS (SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST) AS INTEGER)
+               AS lex_rank FROM lex),
+      e AS (
+        SELECT vec_id,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      n AS (SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY 1),
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
+      h AS (
+        SELECT b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id = 7 AND b.vec_id <> 7
+        GROUP BY 1),
+      t AS (SELECT cid FROM h
+            ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST
+            LIMIT $RrfTopN),
+      d AS (
+        SELECT t.cid, sum(ea.v * eb.v) AS dot
+        FROM t JOIN e ea ON ea.vec_id = 7
+               JOIN e eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1),
+      c AS (
+        SELECT d.cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = 7
+               JOIN n nb ON nb.vec_id = d.cid),
+      rv AS (SELECT cid AS doc_id, CAST(row_number() OVER (
+               ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS INTEGER)
+               AS vec_rank FROM c)
+      SELECT COALESCE(rl.doc_id, rv.doc_id) AS doc_id, rl.lex_rank, rv.vec_rank,
+             (CASE WHEN rl.lex_rank IS NOT NULL
+                   THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(rl.lex_rank AS DOUBLE))
+                   ELSE 0.0 END
+              + CASE WHEN rv.vec_rank IS NOT NULL
+                     THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(rv.vec_rank AS DOUBLE))
+                     ELSE 0.0 END) AS rrf
+      FROM rl FULL OUTER JOIN rv ON rl.doc_id = rv.doc_id
+      ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 15"""
+    })
+
   val all: Seq[(String, Q)] = Seq(
     "q73_heavy_hitters" -> q73,
     "q74_priority_sample" -> q74,
@@ -1718,10 +1859,12 @@ object CorpusQueries {
     "q189_stratified_sample" -> q189,
     "q190_postings_cost" -> q190,
     "q191_pmi_collocations" -> q191,
-    "q198_bm25_probe" -> q198)
+    "q198_bm25_probe" -> q198,
+    "q212_hybrid_serve" -> q212)
 
   /** Probe-ONLY serving twin of q198 (VERDICT r8 #5) — see
     * [[VectorQueries.probeOnly]] for the contract. */
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q198_bm25_probe" -> (bm25ProbeOnly(_, _)))
+    "q198_bm25_probe" -> (bm25ProbeOnly(_, _)),
+    "q212_hybrid_serve" -> (hybridServeOnly(_, _)))
 }
