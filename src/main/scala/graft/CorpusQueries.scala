@@ -1743,6 +1743,11 @@ object CorpusQueries {
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
     val vec = graft.operators.SigIndex
       .probe(spark, sigName, idxDir, qv, topk = RrfTopN)
+      // the probe returns <= topk survivors by construction; the
+      // explicit limit states that bound IN THE PLAN so the rank
+      // window below is provably over a bounded subtree (the suite's
+      // global-window guard checks the plan, not the contract)
+      .limit(RrfTopN)
     val wv = Window.orderBy(col("cos_sim").desc_nulls_last, col("cid"))
     val rv = vec.withColumn("vec_rank", row_number().over(wv))
       .select(col("cid").as("doc_id"), col("vec_rank"))

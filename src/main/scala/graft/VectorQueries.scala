@@ -2463,6 +2463,133 @@ object VectorQueries {
               LEFT JOIN a160 ON ex.qid = a160.qid AND ex.cid = a160.cid
       GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
 
+  // --- q213: width ablation on an INDEPENDENT-dim corpus -----------------
+  // q208's honesty caveat, resolved by construction (VERDICT r11 #3):
+  // its widened dims derive from the same 64 source dims, so the
+  // measured recall gain UNDERSTATES what multi-word signatures buy.
+  // This sibling synthesizes a fully independent 256-dim corpus
+  // in-plan — element i of vector v is an affine map of the suite's
+  // md5-derived hash60 ('sv|' || vec_id || '|' || i, the q200
+  // hashing discipline), centered on zero — so every dimension
+  // carries independent sign information, and the 1-word (64-bit) vs
+  // 3-word (192-bit) vs 4-word (256-bit) recall@10 sweep against the
+  // exact cosine ranking measures the knob honestly. Deterministic and
+  // engine-identical: both sides state the same md5 arithmetic, all
+  // integer until the final recall ratios.
+  //
+  // Corpus size rides the embeddings table's vec_id set (data-scaled);
+  // 20 query vectors, the q208 evaluation shape. Plan: one synthetic
+  // map-only generation pass (localCheckpoint'd — four consumers),
+  // bounded top-k aggregates for all four rankings, broadcast recall
+  // joins over 20 x 10-row sets.
+  private val SynthDims = 256
+  private val SynthHalf = 512L // elements uniform in [-512, 512)
+
+  private val q213 = Q(
+    (spark, dir) => {
+      val gen = transform(sequence(lit(1), lit(SynthDims)), i =>
+        pmod(graft.operators.Kmv.hash60(
+          concat(lit("sv|"), col("vec_id").cast("string"), lit("|"),
+            i.cast("string"))), lit(2L * SynthHalf)) - lit(SynthHalf))
+      val ew = Tables.embeddings(spark, dir).select(col("vec_id"))
+        .select(col("vec_id"), gen.as("q"))
+        .withColumn("n2", VectorOps.qnorm2(col("q")))
+        .localCheckpoint(true)
+      val qs = ew.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"), VectorOps.signSig("q").as("qsig"))
+      val cs = ew
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"), VectorOps.signSig("q").as("csig"))
+      val pairs = cs.join(broadcast(qs), col("qid") =!= col("cid"))
+      val exact = pairs
+        .select(col("qid"), col("cid"),
+          VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+            col("qn2"), col("cn2")).as("cos_sim"))
+        .groupBy(col("qid"))
+        .agg(TopK.topKPairsDouble(col("cos_sim"), col("cid"), 10).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("cid"))
+      def hammingTop(words: Int) = pairs
+        .select(col("qid"), col("cid"),
+          VectorOps.hamming(slice(col("qsig"), 1, words),
+            slice(col("csig"), 1, words)).as("h"))
+        .groupBy(col("qid"))
+        .agg(TopK.topKPairs(-col("h"), col("cid"), 10).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("cid"))
+      val widths = Seq(1 -> "64", 3 -> "192", 4 -> "256")
+      val joined = widths.foldLeft(exact) { case (acc, (w, lbl)) =>
+        acc.join(broadcast(hammingTop(w)
+          .select(col("qid").as(s"qid$lbl"), col("cid").as(s"cid$lbl"))),
+          col("qid") === col(s"qid$lbl") && col("cid") === col(s"cid$lbl"),
+          "left")
+      }
+      joined.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          widths.map { case (_, lbl) =>
+            count(col(s"cid$lbl")).as(s"hits_$lbl") }: _*)
+        .select((col("qid") +: col("n_exact") +:
+          widths.flatMap { case (_, lbl) => Seq(col(s"hits_$lbl"),
+            (col(s"hits_$lbl").cast("double") / col("n_exact").cast("double"))
+              .as(s"recall_$lbl")) }): _*)
+        .orderBy(col("qid").asc_nulls_first)
+    },
+    Some(s"""
+      WITH ids AS (SELECT vec_id FROM embeddings),
+      ew AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS i,
+               CAST(('0x' || substr(md5('sv|' || CAST(vec_id AS VARCHAR)
+                 || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % ${2L * SynthHalf} - $SynthHalf AS v
+        FROM ids, range(1, ${SynthDims + 1}) r(i)),
+      nw AS (SELECT vec_id, sum(v * v) AS n2 FROM ew GROUP BY 1),
+      dx AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM ew a JOIN ew b ON a.i = b.i
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      cx AS (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM dx JOIN nw na ON na.vec_id = qid JOIN nw nb ON nb.vec_id = cid),
+      rx AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM cx),
+      ex AS (SELECT qid, cid FROM rx WHERE rn <= 10),
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM ew),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.i <= 64 AND a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS h64,
+               CAST(sum(CASE WHEN a.i <= 192 AND a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS h192,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS h256
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      r64 AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY h64 ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn FROM h),
+      a64 AS (SELECT qid, cid FROM r64 WHERE rn <= 10),
+      r192 AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY h192 ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn FROM h),
+      a192 AS (SELECT qid, cid FROM r192 WHERE rn <= 10),
+      r256 AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY h256 ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn FROM h),
+      a256 AS (SELECT qid, cid FROM r256 WHERE rn <= 10)
+      SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a64.cid) AS BIGINT) AS hits_64,
+             CAST(count(a64.cid) AS DOUBLE) / count(*) AS recall_64,
+             CAST(count(a192.cid) AS BIGINT) AS hits_192,
+             CAST(count(a192.cid) AS DOUBLE) / count(*) AS recall_192,
+             CAST(count(a256.cid) AS BIGINT) AS hits_256,
+             CAST(count(a256.cid) AS DOUBLE) / count(*) AS recall_256
+      FROM ex LEFT JOIN a64 ON ex.qid = a64.qid AND ex.cid = a64.cid
+              LEFT JOIN a192 ON ex.qid = a192.qid AND ex.cid = a192.cid
+              LEFT JOIN a256 ON ex.qid = a256.qid AND ex.cid = a256.cid
+      GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2489,7 +2616,8 @@ object VectorQueries {
     "q202_binary_sign_ann" -> q202,
     "q203_sig_probe" -> q203,
     "q206_multiword_sig" -> q206,
-    "q208_sig_width_recall" -> q208)
+    "q208_sig_width_recall" -> q208,
+    "q213_sig_width_synth" -> q213)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
