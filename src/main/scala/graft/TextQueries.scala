@@ -2431,6 +2431,80 @@ object TextQueries {
       ORDER BY doc_id ASC NULLS FIRST"""
     })
 
+  // --- q214: ingest ADMISSION report from the near-dup index -------------
+  // The decision a dedup gate actually ships (q210 finds the pairs;
+  // this turns them into verdicts): for EVERY document in the incoming
+  // batch, admit ('new') or reject ('dup'), and for rejects name the
+  // best-matching history document and its Jaccard — the audit row an
+  // ingest pipeline writes beside the admitted corpus. Best match =
+  // highest jaccard, smallest history doc_id on ties (deterministic).
+  //
+  // Composition: one NearDupIndex.probe (the q210 serving path,
+  // directory-pruned + collision-verified) re-oriented to (batch doc,
+  // history doc) — recoverable from the split rule — then a left join
+  // from the full batch so admitted documents appear with verdict
+  // 'new'. Scale: the probe's cost dominates; the verdict join is
+  // batch-sized.
+  private[graft] def ndupAdmissionOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (_, batch) = ndupSplit(spark, dir)
+    val pairs = {
+      val (name, idxDir) = ndupHandle(dir)
+      graft.operators.NearDupIndex.probe(spark, name, idxDir, batch)
+    }
+    // re-orient: the batch side is the doc_id ≡ 0 (mod 10) one
+    val oriented = pairs.select(
+      when(pmod(col("a_id"), lit(10)) === 0, col("a_id")).otherwise(col("b_id"))
+        .as("doc_id"),
+      when(pmod(col("a_id"), lit(10)) === 0, col("b_id")).otherwise(col("a_id"))
+        .as("match_id"),
+      col("jaccard"))
+    val best = oriented.groupBy(col("doc_id"))
+      .agg(max_by(col("match_id"), struct(col("jaccard"), -col("match_id")))
+        .as("match_id"),
+        max(col("jaccard")).as("match_jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("match_id"), col("match_jaccard"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val q214 = Q(
+    (spark, dir) => {
+      val (history, _) = ndupSplit(spark, dir)
+      val (name, idxDir) = ndupHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.NearDupIndex
+        .rebuildInPlace(spark, history, name, idxDir)
+      ndupAdmissionOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      p AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a JOIN s b
+          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      v AS (SELECT doc_id, match_id, jaccard FROM p
+            WHERE jaccard >= $JaccardThreshold),
+      mj AS (SELECT doc_id, max(jaccard) AS match_jaccard
+             FROM v GROUP BY 1),
+      bm AS (SELECT v.doc_id, min(v.match_id) AS match_id, mj.match_jaccard
+             FROM v JOIN mj ON mj.doc_id = v.doc_id
+                           AND v.jaccard = mj.match_jaccard
+             GROUP BY 1, 3)
+      SELECT d.doc_id,
+             CASE WHEN bm.match_id IS NOT NULL THEN 'dup' ELSE 'new' END
+               AS verdict,
+             bm.match_id, bm.match_jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      LEFT JOIN bm ON bm.doc_id = d.doc_id
+      ORDER BY d.doc_id ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
     "q17_near_dup_lsh" -> q17,
@@ -2472,7 +2546,8 @@ object TextQueries {
     "q207_bpe_serve" -> q207,
     "q209_bpe_vocab_curve" -> q209,
     "q210_neardup_probe" -> q210,
-    "q211_bpe_token_ids" -> q211)
+    "q211_bpe_token_ids" -> q211,
+    "q214_ingest_admission" -> q214)
 
   /** Serve-ONLY twins (the probe-only contract of
     * [[VectorQueries.probeOnly]]): open the persisted artifact by
@@ -2480,5 +2555,6 @@ object TextQueries {
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q207_bpe_serve" -> (bpeServeOnly(_, _)),
     "q210_neardup_probe" -> (ndupProbeOnly(_, _)),
-    "q211_bpe_token_ids" -> (bpeIdsServeOnly(_, _)))
+    "q211_bpe_token_ids" -> (bpeIdsServeOnly(_, _)),
+    "q214_ingest_admission" -> (ndupAdmissionOnly(_, _)))
 }

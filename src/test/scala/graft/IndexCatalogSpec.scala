@@ -116,6 +116,20 @@ class IndexCatalogSpec extends SparkSpec {
         Seq("cat_bm25", "cat_bpe", "cat_ivf", "cat_ivfpq", "cat_ndup",
           "cat_sig"),
         s"stage tree leaked into the catalog: ${during.toSeq}")
+
+      // ADVICE r11: a writer crash AT the commit point (manifest
+      // published, promotion not run) graveyards nothing yet — but a
+      // crash mid-promotion can leave the live dir graveyarded with
+      // the tmp unswapped. list() must heal first, so the index
+      // neither vanishes nor lists stale stats.
+      graft.pipeline.TierCommit.writeManifest(spark, d, Seq(s"$d/cat_sig"))
+      val healed = IndexCatalog.list(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(3)))
+      assert(healed.map(_._1).toSeq.contains("cat_sig"))
+      // the healed listing shows the PROMOTED (rebuilt, one-segment)
+      // index, not the old two-segment one
+      assert(healed.toMap.apply("cat_sig") == 1L,
+        s"list() must heal the interrupted commit forward: $healed")
     } finally {
       spark.sql("DROP TABLE IF EXISTS cat_ivf_cells")
       spark.sql("DROP TABLE IF EXISTS cat_ivfpq_codes")
