@@ -145,9 +145,23 @@ object IvfIndex {
     * centroids' business — retraining is a rebuild, by design (the
     * recall-vs-freshness trade every ANN serving system makes).
     * Contract: vec_ids disjoint from already-indexed ones. Geometry is
-    * read from the persisted meta — (name, dir) identify the index. */
+    * read from the persisted meta — (name, dir) identify the index.
+    *
+    * Rides the dir's writer lock like every batch mutation (the
+    * VERDICT r11 #2 principle extended): an append racing a
+    * rebuildInPlace would write into the live cells table that the
+    * rebuild's whole-dir swap is about to graveyard — the appended
+    * vectors would vanish silently. (Streaming maintenance is
+    * [[graft.streaming.IvfStream]]'s own swap-write state, not this
+    * path — it stays lock-free.) */
   def append(spark: SparkSession, newVectors: DataFrame, name: String,
-             dir: String): Unit = {
+             dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      appendUnlocked(spark, newVectors, name, dir)
+    }
+
+  private def appendUnlocked(spark: SparkSession, newVectors: DataFrame,
+                             name: String, dir: String): Unit = {
     val meta = readMeta(spark, name, dir)
     Layout.ensureBucketedTable(spark, s"${name}_cells", "cell",
       meta.buckets, s"$dir/${name}_cells")

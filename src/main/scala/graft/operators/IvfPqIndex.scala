@@ -160,9 +160,21 @@ object IvfPqIndex {
     * and codebooks (IvfPqIndexSpec proves it). Quantization quality
     * for the delta is the codebooks' business — retraining is a
     * rebuild, by design. Contract: vec_ids disjoint. Geometry is read
-    * from the persisted meta — (name, dir) identify the index. */
+    * from the persisted meta — (name, dir) identify the index.
+    *
+    * Rides the dir's writer lock like every batch mutation (the
+    * VERDICT r11 #2 principle extended): an append racing a
+    * rebuildInPlace would write into the live codes table that the
+    * rebuild's whole-dir swap is about to graveyard — the appended
+    * vectors would vanish silently. */
   def append(spark: SparkSession, newVectors: DataFrame, name: String,
-             dir: String): Unit = {
+             dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      appendUnlocked(spark, newVectors, name, dir)
+    }
+
+  private def appendUnlocked(spark: SparkSession, newVectors: DataFrame,
+                             name: String, dir: String): Unit = {
     val meta = readMeta(spark, name, dir)
     Layout.ensureBucketedTable(spark, s"${name}_codes", "cell",
       meta.buckets, s"$dir/${name}_codes")

@@ -126,9 +126,20 @@ object NearDupIndex {
 
   private def writeSegment(spark: SparkSession, docs: DataFrame,
                            root: String, buckets: Int, seg: Long): Unit = {
-    bandPostings(docs, buckets).write.mode("overwrite").partitionBy("bb")
+    // ONE tokenize+shingle pass feeds BOTH tables (the containmentPairs
+    // rule: a shared expensive subtree is materialized, not re-derived
+    // per consumer) — the 64-aggregate signature pipeline and the
+    // collect_set both consume the same exploded rows
+    val ex = TextOps.explodedShingles(docs, "doc_id", "text")
+      .localCheckpoint()
+    graft.streaming.NearDupStream.bandsOfSignatures(
+      TextOps.minhashSignatures(ex, "doc_id", TextOps.MinhashPerms))
+      .withColumn("bb", pmod(hash(col("bh")), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$root/bands/seg=$seg")
-    TextOps.shingleSets(docs, "doc_id", "text")
+    // == TextOps.shingleSets(docs): explodedShingles keeps multiplicity,
+    // collect_set dedupes — identical rows, zero extra corpus scan
+    ex.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .write.mode("overwrite").parquet(s"$root/shingles/seg=$seg")
   }
 

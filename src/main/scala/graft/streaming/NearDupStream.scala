@@ -63,9 +63,16 @@ object NearDupStream {
     * rows per document with at least one shingle. The band hash is
     * [[TextOps.bandHash]] (md5 over the band's minhash run), a storable
     * key with the same collision semantics as q17's struct equality. */
-  def docBands(docs: DataFrame): DataFrame = {
-    val sigs = TextOps.minhashSignatures(
-      TextOps.explodedShingles(docs, "doc_id", "text"), "doc_id", Perms)
+  def docBands(docs: DataFrame): DataFrame =
+    bandsOfSignatures(TextOps.minhashSignatures(
+      TextOps.explodedShingles(docs, "doc_id", "text"), "doc_id", Perms))
+
+  /** The banding explode alone, from an already-computed
+    * (doc_id, m0..m{Perms-1}) signature frame — split out so a caller
+    * that ALSO needs the shingle rows ([[graft.operators.NearDupIndex]]
+    * writes both tables) can feed one shared tokenize+shingle pass
+    * into both consumers instead of re-running it. */
+  def bandsOfSignatures(sigs: DataFrame): DataFrame = {
     val mh = (0 until Perms).map(k => col(s"m$k"))
     sigs.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>

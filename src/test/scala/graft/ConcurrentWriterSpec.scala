@@ -110,6 +110,23 @@ class ConcurrentWriterSpec extends SparkSpec {
     assert(SigIndex.segmentIds(spark, "lock_app", d) == Seq(0L))
     assert(TextIndex.segmentIds(spark, "lock_app_bm25", d) == Seq(0L))
 
+    // the bucketed-table family is guarded too: an IvfIndex append
+    // racing a rebuild's whole-dir swap would vanish silently
+    val dIvf = tmp()
+    graft.operators.IvfIndex.build(spark,
+      vectors.filter(col("vec_id") < 50), "lock_ivf", dIvf)
+    try {
+      TierCommit.withWriteLock(spark, dIvf) {
+        assert(intercept[Exception] {
+          graft.operators.IvfIndex.append(spark,
+            vectors.filter(col("vec_id") >= 50), "lock_ivf", dIvf)
+        }.getMessage.contains("writer lock"))
+      }
+      graft.operators.IvfIndex.append(spark,
+        vectors.filter(col("vec_id") >= 50), "lock_ivf", dIvf) // released
+      assert(spark.table("lock_ivf_cells").count() == vectors.count())
+    } finally spark.sql("DROP TABLE IF EXISTS lock_ivf_cells")
+
     // released: serial appends land as DISTINCT consecutive segments
     // and the probe equals a fresh full build's answers
     SigIndex.appendDelta(spark,
