@@ -2590,6 +2590,98 @@ object VectorQueries {
               LEFT JOIN a256 ON ex.qid = a256.qid AND ex.cid = a256.cid
       GROUP BY 1 ORDER BY ex.qid ASC NULLS FIRST"""))
 
+  // --- q215: FILTERED similarity search from the persisted index ---------
+  // The serving request every production vector store fields: top-k
+  // most-similar WITHIN a metadata predicate ("like this, but only
+  // from these sources"). Strategy is honest POST-FILTERING — the
+  // standard trade when the filter lives outside the index: probe the
+  // persisted SigIndex with an OVERSAMPLED shortlist (M = 32 Hamming
+  // candidates per query, rescored), fetch the shortlist's metadata as
+  // a pushed In(doc_id) point read of documents (shortlist-sized — the
+  // corpus is never scanned), keep candidates passing the predicate
+  // (source in a 25%-selectivity set), and re-rank the survivors by
+  // exact cosine to top-3 through the bounded top-k aggregate.
+  // Matched-docs semantics: a query whose shortlist the filter starves
+  // returns fewer than k rows (real retrieval does not pad) — the
+  // recall-vs-oversample trade is the documented cost of
+  // post-filtering, and the ORACLE replays the exact same M-deep
+  // shortlist + filter + re-rank, so any starvation is bit-identical.
+  //
+  // 100 TB posture: probe cost is the index's (vid, sig) scan as ever;
+  // the filter join touches queries x M metadata rows. (The
+  // pre-filtering alternative — metadata denormalized INTO the index,
+  // the TextIndex dl/source discipline — trades index width for
+  // filter-time recall; post-filter is the right default when
+  // predicates are ad hoc.)
+  private val FilterM = 32
+  private val FilterSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def filteredAnnOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = sigHandle(dir)
+    val shortlist = graft.operators.SigIndex
+      .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = FilterM)
+      .limit(10 * FilterM) // states the probe's bound in the plan
+    // metadata fetch: the shortlist's ids re-enter as a pushed point
+    // read (collisions x 8 bytes of routing state — never a corpus scan)
+    val ids = shortlist.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val srcs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(ids: _*)) // pushed: In(doc_id, ...)
+      .select(col("doc_id").as("cid"), col("source"))
+    shortlist.join(broadcast(srcs), Seq("cid"))
+      .filter(col("source").isin(FilterSources: _*))
+      .groupBy(col("qid"))
+      .agg(TopK.topKPairsDouble(col("cos_sim"), col("cid"), 3).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cid"), col("col.v").as("cos_sim"))
+      .orderBy(col("qid").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val q215 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val (name, idxDir) = sigHandle(dir)
+      graft.operators.SigIndex.build(spark, e, name, idxDir)
+      filteredAnnOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, cid, hamming, row_number() OVER (PARTITION BY qid
+                 ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
+        FROM h),
+      t AS (SELECT qid, cid FROM r WHERE rn <= $FilterM),
+      d AS (
+        SELECT t.qid, t.cid, sum(ea.v * eb.v) AS dot
+        FROM t JOIN e ea ON ea.vec_id = t.qid
+               JOIN e eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1, 2),
+      c AS (
+        SELECT d.qid, d.cid,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+                 / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+        FROM d JOIN n na ON na.vec_id = d.qid
+               JOIN n nb ON nb.vec_id = d.cid),
+      f AS (
+        SELECT c.qid, c.cid, c.cos_sim
+        FROM c JOIN documents doc ON doc.doc_id = c.cid
+        WHERE doc.source IN (${FilterSources.map(s => s"'$s'").mkString(", ")})),
+      rk AS (
+        SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+        FROM f)
+      SELECT qid, CAST(rn AS BIGINT) AS rank, cid, cos_sim
+      FROM rk WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2617,7 +2709,8 @@ object VectorQueries {
     "q203_sig_probe" -> q203,
     "q206_multiword_sig" -> q206,
     "q208_sig_width_recall" -> q208,
-    "q213_sig_width_synth" -> q213)
+    "q213_sig_width_synth" -> q213,
+    "q215_filtered_ann" -> q215)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2630,5 +2723,6 @@ object VectorQueries {
     "q196_ivf_probe" -> (ivfProbeOnly(_, _)),
     "q197_ivfpq_probe" -> (ivfPqProbeOnly(_, _)),
     "q203_sig_probe" -> (sigProbeOnly(_, _)),
-    "q206_multiword_sig" -> (wideSigProbeOnly(_, _)))
+    "q206_multiword_sig" -> (wideSigProbeOnly(_, _)),
+    "q215_filtered_ann" -> (filteredAnnOnly(_, _)))
 }
