@@ -181,6 +181,38 @@ class NearDupIndexSpec extends SparkSpec {
     assert(probeSorted(spark, "nd_lsm", d).collect().toSeq == answers)
   }
 
+  test("incremental ingest law: union of probe-then-append rounds == all cross-batch pairs") {
+    // the flow NearDupIndexStream's scaladoc describes, proven end to
+    // end: batches arrive in order, each is probed against everything
+    // indexed so far, then appended. The union of the per-round pair
+    // sets must equal the CROSS-BATCH near-dup pairs of the whole
+    // corpus (pairs whose sides landed in different batches) — no pair
+    // found twice, none missed, regardless of the batching.
+    val d = tmp()
+    val m = NearDupIndex.Meta(buckets = 16)
+    val batches = (0 until 4).map(i =>
+      documents.filter(pmod(col("doc_id"), lit(4)) === i))
+
+    NearDupIndex.build(spark, batches.head, "nd_flow", d)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      found ++= NearDupIndex.probe(spark, "nd_flow", d, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      NearDupIndex.writeDelta(spark, b, "nd_flow", d, m, segId = i + 1L)
+    }
+
+    val want = TextOps.nearDupPairs(documents, "doc_id", "text")
+      .filter(pmod(col("a_id"), lit(4)) =!= pmod(col("b_id"), lit(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(found.size == found.distinct.size, "no pair may be found twice")
+    assert(found.toSet == want.toSet && want.nonEmpty,
+      s"incremental rounds must find exactly the cross-batch pairs:\n" +
+        s"${found.toSet.diff(want.toSet)} extra\n" +
+        s"${want.toSet.diff(found.toSet)} missed")
+  }
+
   test("FRESH session opens the index with only (name, dir); geometry mismatch is refused") {
     val d = tmp()
     val built = NearDupIndex.build(spark, history, "nd_fresh", d)
