@@ -2682,6 +2682,75 @@ object VectorQueries {
       FROM rk WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""))
 
+  // --- q216: PRE-filtered similarity search (passenger metadata) ---------
+  // q215's counterpart on the other side of the filtered-ANN trade:
+  // there, the predicate is ad hoc and the index is metadata-free, so
+  // serving post-filters an oversampled shortlist (recall can starve).
+  // Here the metadata is DENORMALIZED INTO the index row at build time
+  // (a passenger column — the TextIndex dl/source discipline applied
+  // to SigIndex), and SigIndex.probeWhere pushes the predicate into
+  // the Hamming scan itself: candidates are ranked ONLY among matching
+  // rows, so recall within the filtered population equals an
+  // unfiltered probe's — the shortlist can never be starved. The cost:
+  // passenger bytes on every row, and the filterable columns are fixed
+  // at build time. A serving stack offers both; this pair measures
+  // both honestly.
+  //
+  // Same 25%-selectivity source set as q215, same 10 queries, k = 3.
+  // Oracle: the sign-disagreement ranking restricted to the filtered
+  // candidate population, rescored — q202's formula over the subset.
+  private def filtSigHandle(dir: String): (String, String) =
+    ("sigf_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-sigf-index")
+
+  private def prefilteredAnnOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = filtSigHandle(dir)
+    graft.operators.SigIndex
+      .probeWhere(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = 3,
+        col("source").isin(FilterSources: _*))
+      .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
+        col("cid").asc_nulls_first)
+  }
+
+  private val q216 = Q(
+    (spark, dir) => {
+      val src = Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val e = quantized(spark, dir).join(src, Seq("vec_id"))
+      val (name, idxDir) = filtSigHandle(dir)
+      graft.operators.SigIndex.build(spark, e, name, idxDir)
+      prefilteredAnnOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
+      fl AS (SELECT doc_id FROM documents
+             WHERE source IN (${FilterSources.map(s => s"'$s'").mkString(", ")})),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        WHERE b.vec_id IN (SELECT doc_id FROM fl)
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, cid, hamming, row_number() OVER (PARTITION BY qid
+                 ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
+        FROM h),
+      t AS (SELECT qid, cid, hamming FROM r WHERE rn <= 3),
+      d AS (
+        SELECT t.qid, t.cid, t.hamming, sum(ea.v * eb.v) AS dot
+        FROM t JOIN e ea ON ea.vec_id = t.qid
+               JOIN e eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3)
+      SELECT d.qid, d.cid, d.hamming,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+      FROM d JOIN n na ON na.vec_id = d.qid
+             JOIN n nb ON nb.vec_id = d.cid
+      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST,
+               cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2710,7 +2779,8 @@ object VectorQueries {
     "q206_multiword_sig" -> q206,
     "q208_sig_width_recall" -> q208,
     "q213_sig_width_synth" -> q213,
-    "q215_filtered_ann" -> q215)
+    "q215_filtered_ann" -> q215,
+    "q216_prefiltered_ann" -> q216)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2724,5 +2794,6 @@ object VectorQueries {
     "q197_ivfpq_probe" -> (ivfPqProbeOnly(_, _)),
     "q203_sig_probe" -> (sigProbeOnly(_, _)),
     "q206_multiword_sig" -> (wideSigProbeOnly(_, _)),
-    "q215_filtered_ann" -> (filteredAnnOnly(_, _)))
+    "q215_filtered_ann" -> (filteredAnnOnly(_, _)),
+    "q216_prefiltered_ann" -> (prefilteredAnnOnly(_, _)))
 }

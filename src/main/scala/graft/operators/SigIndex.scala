@@ -114,11 +114,29 @@ object SigIndex {
         lit(s" != index nbits $nbits"))))
 
   /** Map-only signature packing of `vectors` = (vec_id, q ARRAY<BIGINT>,
-    * n2) — one codegen'd bit fold per vector, no shuffle anywhere.
-    * Raises on any vector whose dimension differs from `nbits`. */
-  private def pack(vectors: DataFrame, nbits: Int): DataFrame =
-    vectors.select(col("vec_id").as("vid"),
-      checkedSig(nbits, "indexed").as("sig"), col("q"), col("n2"))
+    * n2[, passengers...]) — one codegen'd bit fold per vector, no
+    * shuffle anywhere. Raises on any vector whose dimension differs
+    * from `nbits`. Any column beyond the core three rides along as a
+    * PASSENGER (metadata denormalized into the index row, the
+    * [[TextIndex]] dl/source discipline) — what [[probeWhere]]'s
+    * pre-filtering pushes into the Hamming scan. */
+  private def pack(vectors: DataFrame, nbits: Int): DataFrame = {
+    val passengers = vectors.columns.toSeq
+      .filterNot(Set("vec_id", "q", "n2")).map(col)
+    vectors.select(col("vec_id").as("vid") +:
+      checkedSig(nbits, "indexed").as("sig") +: col("q") +: col("n2") +:
+      passengers: _*)
+  }
+
+  /** Existing on-disk signature schema, or None before the first
+    * segment lands — the passenger contract every delta must match
+    * (a segment written with different columns would break the
+    * unified segment read for every probe after it). */
+  private def sigSchema(spark: SparkSession, name: String,
+                        dir: String): Option[Set[String]] =
+    if (segmentIds(spark, name, dir).isEmpty) None
+    else Some(spark.read.parquet(s"$dir/$name/sigs")
+      .schema.fieldNames.toSet - "seg")
 
   /** Pack `vectors` once and persist the index under `<dir>/<name>` as
     * segment 0. */
@@ -173,7 +191,14 @@ object SigIndex {
   def writeDelta(spark: SparkSession, newVectors: DataFrame,
                  name: String, dir: String, meta: Meta,
                  segId: Long): Unit = {
-    pack(newVectors, meta.nbits).write.mode("overwrite")
+    val packed = pack(newVectors, meta.nbits)
+    sigSchema(spark, name, dir).foreach { existing =>
+      require(packed.schema.fieldNames.toSet == existing,
+        s"sig index $name delta columns ${packed.schema.fieldNames.toSet} " +
+          s"!= indexed columns $existing — a delta must carry the same " +
+          "passenger columns the index was built with")
+    }
+    packed.write.mode("overwrite")
       .parquet(s"$dir/$name/sigs/seg=$segId")
     if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
       writeMeta(spark, name, dir, meta)
@@ -202,8 +227,8 @@ object SigIndex {
                             meta: Meta): Unit = {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    spark.read.parquet(s"$dir/$name/sigs")
-      .select(col("vid"), col("sig"), col("q"), col("n2")) // drop `seg`
+    val all = spark.read.parquet(s"$dir/$name/sigs")
+    all.select(all.columns.filterNot(_ == "seg").map(col): _*) // drop `seg`
       .write.mode("overwrite").parquet(s"$newRoot/sigs/seg=0")
     IndexMeta.write(spark, s"$newRoot/meta.json",
       Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
@@ -323,12 +348,27 @@ object SigIndex {
     * index was built and carries its geometry — a FRESH session probes
     * with no catalog state at all (plain parquet reads). */
   def probe(spark: SparkSession, name: String, dir: String,
-            queryVecs: DataFrame, topk: Int): DataFrame = {
+            queryVecs: DataFrame, topk: Int): DataFrame =
+    probeWhere(spark, name, dir, queryVecs, topk, lit(true))
+
+  /** PRE-FILTERED probe: rank and rescore ONLY the index rows matching
+    * `where` — a predicate over the index's PASSENGER columns
+    * (metadata denormalized into the row at build/append time, the
+    * [[TextIndex]] dl/source discipline). Unlike post-filtering an
+    * oversampled shortlist (q215's honest trade for ad-hoc
+    * predicates), the filter is PUSHED INTO the Hamming scan (a
+    * parquet pushed filter — SigIndexSpec asserts it), so recall
+    * within the filtered population equals the unfiltered probe's:
+    * the shortlist can never be starved by the predicate. The price
+    * is paid at build time (the passenger bytes ride every row) and
+    * the predicate must be known when the index is built. */
+  def probeWhere(spark: SparkSession, name: String, dir: String,
+                 queryVecs: DataFrame, topk: Int, where: Column): DataFrame = {
     val meta = readMeta(spark, name, dir)
     require(meta.nbits >= 1, s"nbits ${meta.nbits} must be positive")
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    val sigs = spark.read.parquet(s"$dir/$name/sigs")
+    val sigs = spark.read.parquet(s"$dir/$name/sigs").filter(where)
     val top = rank(spark, sigs, queryVecs, topk, meta.nbits)
     // the ranked shortlist is COLLECTED ONCE (queries x topk rows —
     // the routing decision a serving frontend makes per request) and

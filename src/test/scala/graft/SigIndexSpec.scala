@@ -352,6 +352,68 @@ class SigIndexSpec extends SparkSpec {
     assert(got.count() > 0 && SigIndex.readMeta(spark, "sig_wide", d).nbits == 96)
   }
 
+  test("passenger columns: pre-filtered probe, pushed into the scan, surviving append + compaction") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    // passenger: parity class of the vec_id (a stand-in for any
+    // metadata a filterable index denormalizes into its rows)
+    val tagged = vectors.withColumn("tag",
+      when(pmod(col("vec_id"), lit(2)) === 0, "even").otherwise("odd"))
+    val h1 = tagged.filter(col("vec_id") < 250)
+    val h2 = tagged.filter(col("vec_id") >= 250)
+    SigIndex.build(spark, h1, "sig_pass", d)
+    SigIndex.appendDelta(spark, h2, "sig_pass", d)
+
+    // a delta DROPPING the passenger is refused (it would break the
+    // unified segment read for every later probe)
+    assert(intercept[Exception] {
+      SigIndex.appendDelta(spark,
+        vectors.select(col("vec_id") + 100000L as "vec_id", col("q"), col("n2")),
+        "sig_pass", d)
+    }.getMessage.contains("passenger columns"))
+
+    val filtered = SigIndex.probeWhere(spark, "sig_pass", d, queries,
+      topk = 3, col("tag") === "even")
+    // brute-force filtered reference: exact Hamming rank among EVEN
+    // candidates only, then rescore — full recall within the filter
+    val cand = tagged.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"),
+        VectorOps.signSig("q").as("csig"))
+    val qs = queries.withColumn("qsig", VectorOps.signSig("qq"))
+    val want = cand.join(broadcast(qs), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.hamming(col("qsig"), col("csig")).as("hamming"),
+        VectorOps.cosine(VectorOps.qdot(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("hamming").asc, col("cid").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    val got = filtered.orderBy(col("qid"), col("cid")).collect().toSeq
+    assert(got == want && want.nonEmpty,
+      "pre-filtered probe must equal the brute-force filtered ranking")
+    // and every survivor satisfies the predicate (no post-filter leak)
+    assert(got.forall(r => r.getLong(1) % 2 == 0))
+
+    // the predicate is PUSHED into the parquet scan (the pre-filter's
+    // whole point: the Hamming pass never reads non-matching rows'
+    // signature bytes beyond footer pruning)
+    val sigs = spark.read.parquet(s"$d/sig_pass/sigs")
+      .filter(col("tag") === "even")
+    val rankPlan = SigIndex.rank(spark, sigs, queries, 3, nbits = 64)
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.contains("EqualTo(tag,even)"),
+      s"passenger predicate must push into the scan:\n$rankPlan")
+
+    // compaction preserves passengers and answers
+    SigIndex.compactInPlace(spark, "sig_pass", d)
+    assert(SigIndex.segmentIds(spark, "sig_pass", d) == Seq(0L))
+    val after = SigIndex.probeWhere(spark, "sig_pass", d, queries,
+      topk = 3, col("tag") === "even")
+      .orderBy(col("qid"), col("cid")).collect().toSeq
+    assert(after == want)
+  }
+
   test("dimension guards: mismatched vectors raise loudly at build and probe (ADVICE r11)") {
     val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
     // build: declared nbits disagrees with the vectors' actual length
