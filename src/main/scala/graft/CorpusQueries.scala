@@ -732,6 +732,126 @@ object CorpusQueries {
       LIMIT 25"""
     })
 
+  // --- q218: ERASURE from the BM25 index — the HARD deletion case --------
+  // VERDICT r12 #1's stated hard case: unlike the row-suppression
+  // families (q217 signatures, q220 cells, q219 band postings), BM25's
+  // score depends on CROSS-SEGMENT statistics — n_docs and
+  // total_tokens feed every document's length normalization and df(t)
+  // feeds every idf — so deleting a document must shift every OTHER
+  // document's score exactly as a fresh build without it would.
+  // TextIndex.deleteDocs records (doc_id, dl) tombstones (the length
+  // fetched from the format-2 doclens table at delete time); the probe
+  // subtracts (count, Σdl) from the segment-summed stats and df(t)
+  // self-corrects because it is COMPUTED from the pruned lists after
+  // the tombstone anti-join, never stored.
+  //
+  // ORACLE = the deletion identity at full strength: q198's SQL over
+  // `documents WHERE doc_id % 10 <> 2` — DuckDB recomputes n_docs,
+  // total_tokens, and every df over the remaining corpus from scratch,
+  // so ANY statistics drift (a stale df, an unsubtracted dl) flips
+  // score doubles corpus-wide, not just the deleted rows.
+  private def bm25DelHandle(dir: String): (String, String) =
+    ("bm25d_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-bm25d-index")
+
+  private def bm25DeleteProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = bm25DelHandle(dir)
+    graft.operators.TextIndex.probe(spark, name, idxDir, QTerms, topk = 25)
+  }
+
+  private val q218 = Q(
+    (spark, dir) => {
+      val (name, idxDir) = bm25DelHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      val d = docs(spark, dir)
+      graft.operators.TextIndex.build(spark,
+        d.select(col("doc_id"), col("source"), col("text")), name, idxDir)
+      // the erasure batch: documents with doc_id ≡ 2 (mod 10)
+      val delIds = d.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.TextIndex.deleteDocs(spark, delIds, name, idxDir)
+      bm25DeleteProbeOnly(spark, dir)
+    },
+    Some {
+      s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents WHERE doc_id % 10 <> 2),
+      tf AS (
+        SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS dl,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf)
+      SELECT doc_id, source, dl,
+             ((${bm25SqlTerm(QTerms(0))}
+              + ${bm25SqlTerm(QTerms(1))})
+              + ${bm25SqlTerm(QTerms(2))}) AS score
+      FROM tf, st
+      WHERE ${QTerms.map(t => s"tf_$t > 0").mkString(" OR ")}
+      ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 25"""
+    })
+
+  // --- q221: WITHIN-POPULATION filtered BM25 from the persisted index ----
+  // The q216 passenger discipline applied to lexical retrieval
+  // (VERDICT r12 #8): `source` is already denormalized into every
+  // posting row (the impact-file layout), so TextIndex.probeWhere
+  // pushes the population predicate into the directory-pruned posting
+  // read AND computes the population's own statistics — n_docs /
+  // total_tokens from the doclens rows matching the predicate (one
+  // doc-grain aggregate, never a corpus scan), df(t) from the filtered
+  // pruned lists. Semantics, stated explicitly: WITHIN-POPULATION IDF
+  // — the result is exactly a fresh BM25 index built over the
+  // subpopulation ("search only my wiki"); global-IDF-then-restrict is
+  // the other defensible reading and is q198 + a post-filter (the
+  // q215 trade). The ORACLE is that identity verbatim: q198's SQL over
+  // `documents WHERE source IN (...)`.
+  private val Bm25PopSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def bm25FiltHandle(dir: String): (String, String) =
+    ("bm25f_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-bm25f-index")
+
+  private def bm25FilteredProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = bm25FiltHandle(dir)
+    graft.operators.TextIndex.probeWhere(spark, name, idxDir, QTerms,
+      topk = 25, col("source").isin(Bm25PopSources: _*))
+  }
+
+  private val q221 = Q(
+    (spark, dir) => {
+      val (name, idxDir) = bm25FiltHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.TextIndex.build(spark,
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        name, idxDir)
+      bm25FilteredProbeOnly(spark, dir)
+    },
+    Some {
+      s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                   FROM documents
+                   WHERE source IN (${Bm25PopSources.map(s => s"'$s'").mkString(", ")})),
+      tf AS (
+        SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS dl,
+               ${QTerms.map(t => s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n               ")}
+        FROM tok),
+      st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+               ${QTerms.map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n               ")}
+        FROM tf)
+      SELECT doc_id, source, dl,
+             ((${bm25SqlTerm(QTerms(0))}
+              + ${bm25SqlTerm(QTerms(1))})
+              + ${bm25SqlTerm(QTerms(2))}) AS score
+      FROM tf, st
+      WHERE ${QTerms.map(t => s"tf_$t > 0").mkString(" OR ")}
+      ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 25"""
+    })
+
   // --- E4: balanced shard assignment (serpentine by size rank) -----------
   // Training-prep step after packing/mixing: assign every document to
   // one of S output shards so per-shard token totals are balanced —
@@ -1865,11 +1985,15 @@ object CorpusQueries {
     "q190_postings_cost" -> q190,
     "q191_pmi_collocations" -> q191,
     "q198_bm25_probe" -> q198,
-    "q212_hybrid_serve" -> q212)
+    "q212_hybrid_serve" -> q212,
+    "q218_bm25_delete" -> q218,
+    "q221_bm25_filtered" -> q221)
 
   /** Probe-ONLY serving twin of q198 (VERDICT r8 #5) — see
     * [[VectorQueries.probeOnly]] for the contract. */
   val probeOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q198_bm25_probe" -> (bm25ProbeOnly(_, _)),
-    "q212_hybrid_serve" -> (hybridServeOnly(_, _)))
+    "q212_hybrid_serve" -> (hybridServeOnly(_, _)),
+    "q218_bm25_delete" -> (bm25DeleteProbeOnly(_, _)),
+    "q221_bm25_filtered" -> (bm25FilteredProbeOnly(_, _)))
 }

@@ -41,6 +41,19 @@ object TextQueries {
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh
         FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))"""
 
+  /** [[shingleSqlCte]] over 60-bit gram HASHES — the exact expression
+    * NearDupIndex format 2 persists (VERDICT r12 #4), so the q210/q214/
+    * q219 oracles verify the hashed layout bit for bit: Jaccard over
+    * distinct hashes replaces Jaccard over distinct strings, identical
+    * arithmetic on both engines. */
+  private val hashedShingleSqlCte =
+    """s AS (
+        SELECT doc_id, list_distinct(list_transform(
+               list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+               g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) sh
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))"""
+
   // --- E1: exact content-hash dedup (reference A4 generalized) ----------
   private val q16 = Q(
     (spark, dir) => {
@@ -2310,7 +2323,7 @@ object TextQueries {
       ndupProbeOnly(spark, dir)
     },
     Some(s"""
-      WITH $shingleSqlCte,
+      WITH $hashedShingleSqlCte,
       p AS (
         SELECT least(a.doc_id, b.doc_id) AS a_id,
                greatest(a.doc_id, b.doc_id) AS b_id,
@@ -2446,28 +2459,14 @@ object TextQueries {
   // 'new'. Scale: the probe's cost dominates; the verdict join is
   // batch-sized.
   private[graft] def ndupAdmissionOnly(spark: SparkSession, dir: String): DataFrame = {
+    // the shared admission verb (round 13): orientation by batch
+    // MEMBERSHIP inside NearDupIndex.admission — identical to the old
+    // split-rule orientation (every pair has exactly one batch side),
+    // and the same code path the streaming admission sink serves, so
+    // the q214 oracle pins both
     val (_, batch) = ndupSplit(spark, dir)
-    val pairs = {
-      val (name, idxDir) = ndupHandle(dir)
-      graft.operators.NearDupIndex.probe(spark, name, idxDir, batch)
-    }
-    // re-orient: the batch side is the doc_id ≡ 0 (mod 10) one
-    val oriented = pairs.select(
-      when(pmod(col("a_id"), lit(10)) === 0, col("a_id")).otherwise(col("b_id"))
-        .as("doc_id"),
-      when(pmod(col("a_id"), lit(10)) === 0, col("b_id")).otherwise(col("a_id"))
-        .as("match_id"),
-      col("jaccard"))
-    val best = oriented.groupBy(col("doc_id"))
-      .agg(max_by(col("match_id"), struct(col("jaccard"), -col("match_id")))
-        .as("match_id"),
-        max(col("jaccard")).as("match_jaccard"))
-    batch.select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("match_id").isNotNull, lit("dup")).otherwise(lit("new"))
-          .as("verdict"),
-        col("match_id"), col("match_jaccard"))
+    val (name, idxDir) = ndupHandle(dir)
+    graft.operators.NearDupIndex.admission(spark, name, idxDir, batch)
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -2481,7 +2480,7 @@ object TextQueries {
       ndupAdmissionOnly(spark, dir)
     },
     Some(s"""
-      WITH $shingleSqlCte,
+      WITH $hashedShingleSqlCte,
       p AS (
         SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -2504,6 +2503,63 @@ object TextQueries {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
       LEFT JOIN bm ON bm.doc_id = d.doc_id
       ORDER BY d.doc_id ASC NULLS FIRST"""))
+
+  // --- q219: ERASURE from the near-dup index (tombstones honored) --------
+  // The deletion verb the serving lifecycle lacked (VERDICT r12 #1):
+  // an LGPD/GDPR request names documents that must stop mattering NOW,
+  // without the full rebuild q185 prices. NearDupIndex.deleteDocs
+  // writes a tombstone segment (the same LSM discipline as growth);
+  // the probe anti-joins the broadcast tombstone set, so a deleted
+  // history document can never surface as a near-dup match again; the
+  // next compaction drops its rows physically and clears the ledger.
+  //
+  // The ORACLE is the deletion identity itself: probe-after-delete ==
+  // fresh-build-minus-deleted — q210's exact all-pairs SQL with the
+  // deleted population (history ids ≡ 1 mod 7) removed from the
+  // history side. Any tombstone leak (a deleted doc still matching) or
+  // over-delete (a surviving doc hidden) flips a row.
+  //
+  // 100 TB posture: the tombstone set is erasure-batch-sized and rides
+  // a broadcast anti-join on the already-pruned posting read — probe
+  // cost is unchanged; the physical drop is deferred to the compaction
+  // the lifecycle already schedules.
+  private def ndupDelHandle(dir: String): (String, String) =
+    ("ndupd_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-ndupd-index")
+
+  private[graft] def ndupDeleteProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = ndupDelHandle(dir)
+    graft.operators.NearDupIndex
+      .probe(spark, name, idxDir, ndupSplit(spark, dir)._2)
+      .orderBy(col("a_id").asc_nulls_first, col("b_id").asc_nulls_first)
+  }
+
+  private val q219 = Q(
+    (spark, dir) => {
+      val (history, _) = ndupSplit(spark, dir)
+      val (name, idxDir) = ndupDelHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.NearDupIndex
+        .rebuildInPlace(spark, history, name, idxDir)
+      // the erasure batch: history documents with doc_id ≡ 1 (mod 7)
+      val delIds = history.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.NearDupIndex.deleteDocs(spark, delIds, name, idxDir)
+      ndupDeleteProbeOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $hashedShingleSqlCte,
+      p AS (
+        SELECT least(a.doc_id, b.doc_id) AS a_id,
+               greatest(a.doc_id, b.doc_id) AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a JOIN s b
+          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+             AND b.doc_id % 7 <> 1)
+      SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= $JaccardThreshold
+      ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST"""))
 
   val all: Seq[(String, Q)] = Seq(
     "q16_exact_dedup" -> q16,
@@ -2547,7 +2603,8 @@ object TextQueries {
     "q209_bpe_vocab_curve" -> q209,
     "q210_neardup_probe" -> q210,
     "q211_bpe_token_ids" -> q211,
-    "q214_ingest_admission" -> q214)
+    "q214_ingest_admission" -> q214,
+    "q219_neardup_delete" -> q219)
 
   /** Serve-ONLY twins (the probe-only contract of
     * [[VectorQueries.probeOnly]]): open the persisted artifact by
@@ -2556,5 +2613,6 @@ object TextQueries {
     "q207_bpe_serve" -> (bpeServeOnly(_, _)),
     "q210_neardup_probe" -> (ndupProbeOnly(_, _)),
     "q211_bpe_token_ids" -> (bpeIdsServeOnly(_, _)),
-    "q214_ingest_admission" -> (ndupAdmissionOnly(_, _)))
+    "q214_ingest_admission" -> (ndupAdmissionOnly(_, _)),
+    "q219_neardup_delete" -> (ndupDeleteProbeOnly(_, _)))
 }

@@ -2618,13 +2618,19 @@ object VectorQueries {
 
   private def filteredAnnOnly(spark: SparkSession, dir: String): DataFrame = {
     val (name, idxDir) = sigHandle(dir)
-    val shortlist = graft.operators.SigIndex
+    val probe = graft.operators.SigIndex
       .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = FilterM)
-      .limit(10 * FilterM) // states the probe's bound in the plan
+    // the shortlist (ids AND rescored cosines together) is COLLECTED
+    // ONCE and re-enters as a one-partition local frame — the
+    // SigIndex.probe pattern (ADVICE r12: collecting ids off one
+    // instance of the probe plan and returning another executed the
+    // pushed point read + rescore subtree twice per serving call)
+    val shortRows = probe.collect() // bounded: queries x FilterM
+    val shortlist = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1), probe.schema)
+    val ids = shortRows.map(_.getLong(1)).distinct.toSeq
     // metadata fetch: the shortlist's ids re-enter as a pushed point
     // read (collisions x 8 bytes of routing state — never a corpus scan)
-    val ids = shortlist.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
     val srcs = Tables.documents(spark, dir)
       .filter(col("doc_id").isin(ids: _*)) // pushed: In(doc_id, ...)
       .select(col("doc_id").as("cid"), col("source"))
@@ -2751,6 +2757,125 @@ object VectorQueries {
       ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST,
                cid ASC NULLS FIRST"""))
 
+  // --- q217: ERASURE from the sign-hash index (tombstones honored) -------
+  // The deletion verb the serving lifecycle lacked (VERDICT r12 #1):
+  // SigIndex.deleteVectors writes a tombstone segment — the same LSM
+  // discipline as growth — and the probe anti-joins the broadcast
+  // tombstone set BEFORE ranking, so a deleted vector can never appear
+  // in any shortlist again; the next compaction drops its rows
+  // physically and clears the ledger. Signatures carry no cross-
+  // segment statistics, so deletion here is pure row suppression (the
+  // BM25 family is the hard case — q218).
+  //
+  // ORACLE = the deletion identity: probe-after-delete == fresh-build-
+  // minus-deleted — q203's oracle with the deleted population (vec_id
+  // ≡ 3 mod 7) excluded from the candidate side. Any tombstone leak or
+  // over-delete flips a Hamming row.
+  private def sigDelHandle(dir: String): (String, String) =
+    ("sigd_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-sigd-index")
+
+  private def sigDeleteProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = sigDelHandle(dir)
+    graft.operators.SigIndex
+      .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = 3)
+      .orderBy(col("qid").asc_nulls_first, col("hamming").asc_nulls_first,
+        col("cid").asc_nulls_first)
+  }
+
+  private val q217 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val (name, idxDir) = sigDelHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.SigIndex.build(spark, e, name, idxDir)
+      val delIds = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.SigIndex.deleteVectors(spark, delIds, name, idxDir)
+      sigDeleteProbeOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $qnormSqlCte,
+      s AS (SELECT vec_id, i, (v > 0) AS b FROM e),
+      h AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.i = b.i
+          AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+          AND b.vec_id % 7 <> 3
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, cid, hamming, row_number() OVER (PARTITION BY qid
+                 ORDER BY hamming ASC NULLS FIRST, cid ASC NULLS FIRST) AS rn
+        FROM h),
+      t AS (SELECT qid, cid, hamming FROM r WHERE rn <= 3),
+      d AS (
+        SELECT t.qid, t.cid, t.hamming, sum(ea.v * eb.v) AS dot
+        FROM t JOIN e ea ON ea.vec_id = t.qid
+               JOIN e eb ON eb.vec_id = t.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3)
+      SELECT d.qid, d.cid, d.hamming,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+      FROM d JOIN n na ON na.vec_id = d.qid
+             JOIN n nb ON nb.vec_id = d.cid
+      ORDER BY qid ASC NULLS FIRST, hamming ASC NULLS FIRST,
+               cid ASC NULLS FIRST"""))
+
+  // --- q220: ERASURE from the persisted IVF index --------------------------
+  // q217's identity applied to the bucketed-cells family: deletion
+  // never retrains (the frozen-centroid contract append already set —
+  // routing quality is the centroids' business), so the oracle replays
+  // q196's training over the BUILD population and excludes the deleted
+  // vectors from the candidate cells only. vacuumInPlace (spec-proven)
+  // later drops the rows physically — probe answers identical before
+  // and after the vacuum, ledger cleared.
+  private def ivfDelHandle(dir: String): (String, String) =
+    ("ivfd_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-ivfd-index")
+
+  private def ivfDeleteProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = ivfDelHandle(dir)
+    graft.operators.IvfIndex
+      .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), topk = 3)
+      .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+  }
+
+  private val q220 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val (name, idxDir) = ivfDelHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.IvfIndex.build(spark, e, name, idxDir)
+      val delIds = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.IvfIndex.deleteVectors(spark, delIds, name, idxDir)
+      ivfDeleteProbeOnly(spark, dir)
+    },
+    Some(s"""
+      WITH $ivfSqlCte,
+        probes AS (SELECT vid, cell FROM ranked
+                   WHERE rn <= (SELECT np FROM kk) AND vid < 10),
+        cand AS (
+          SELECT p.vid AS qid, c.vid AS cid
+          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.vid
+            AND c.vid % 7 <> 3),
+        d AS (
+          SELECT cand.qid, cand.cid, sum(ea.v * eb.v) AS dot
+          FROM cand JOIN e ea ON ea.vec_id = cand.qid
+                    JOIN e eb ON eb.vec_id = cand.cid AND eb.i = ea.i
+          GROUP BY 1, 2),
+        c2 AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+          FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+        r AS (
+          SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rn
+          FROM c2)
+      SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
+      ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2780,7 +2905,9 @@ object VectorQueries {
     "q208_sig_width_recall" -> q208,
     "q213_sig_width_synth" -> q213,
     "q215_filtered_ann" -> q215,
-    "q216_prefiltered_ann" -> q216)
+    "q216_prefiltered_ann" -> q216,
+    "q217_sig_delete" -> q217,
+    "q220_ivf_delete" -> q220)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2795,5 +2922,7 @@ object VectorQueries {
     "q203_sig_probe" -> (sigProbeOnly(_, _)),
     "q206_multiword_sig" -> (wideSigProbeOnly(_, _)),
     "q215_filtered_ann" -> (filteredAnnOnly(_, _)),
-    "q216_prefiltered_ann" -> (prefilteredAnnOnly(_, _)))
+    "q216_prefiltered_ann" -> (prefilteredAnnOnly(_, _)),
+    "q217_sig_delete" -> (sigDeleteProbeOnly(_, _)),
+    "q220_ivf_delete" -> (ivfDeleteProbeOnly(_, _)))
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * (scripts/query_duckdb.py:9 SHOW TABLES), applied to every persisted
   * index under a warehouse directory. One listing answers the
   * operator's questions: what indexes exist, of what kind, with what
-  * geometry, how many segments, how many rows — discovered purely from
-  * the on-disk layout + geometry sidecars, so a FRESH session lists a
-  * warehouse it never wrote (the sidecar discipline of VERDICT r8 #2).
+  * geometry, how many segments, how many rows/items, how many bytes
+  * and files, how deep the deletion backlog — and whether maintenance
+  * is due — discovered purely from the on-disk layout + geometry
+  * sidecars, so a FRESH session lists a warehouse it never wrote (the
+  * sidecar discipline of VERDICT r8 #2).
   *
   * Detection is by the layouts the six builders write:
   *  - `<name>_meta.json` flat sidecar  → [[IvfIndex]] (keys k/nprobe/
@@ -32,15 +34,34 @@ import org.apache.spark.sql.types._
   *    sidecar's m), DOCUMENTS for bm25 (segment-stats sum — the
   *    one-row-per-segment table every probe already reads) and
   *    near_dup (shingle-set rows: one per document), merges for bpe.
+  *    Tombstoned items are EXCLUDED — n_items is the probe's serving
+  *    view, while n_rows stays physical until a compaction/vacuum
+  *    drains the ledger (the gap between the two is the deletion
+  *    backlog's row cost).
+  *
+  * Storage-health columns (VERDICT r12 #6):
+  *  - `total_bytes` / `n_files` — the index's physical footprint
+  *    (one recursive metadata listing per index; no data read);
+  *  - `n_tombstones` — the [[Tombstones]] deletion backlog the next
+  *    compaction/vacuum will drain;
+  *  - `needs_compaction` — the maintenance verdict: a segmented index
+  *    with more than [[SegmentCompactionThreshold]] segments, or ANY
+  *    index with a pending deletion backlog. (File-granularity
+  *    small-file planning within a segment is [[Layout.compactionPlan]]
+  *    — feed it this listing's roots when n_files looks pathological.)
   *
   * Segment counts apply to the LSM-segmented kinds; the unsegmented
   * kinds report 1. The listing itself is driver-side metadata (a
   * warehouse holds few indexes; each row costs one sidecar read + one
-  * footer count) returned as a one-partition local DataFrame, ordered
-  * by name. Entry heals any interrupted tier commit first (ADVICE
-  * r11): after a writer crash between manifest publish and promotion
-  * the live dir can be graveyarded with the tmp not yet swapped in —
-  * readers heal, THEN list only promoted roots.
+  * footer count + one recursive listing) returned as a one-partition
+  * local DataFrame, ordered by name. Entry heals any interrupted tier
+  * commit first (ADVICE r11): after a writer crash between manifest
+  * publish and promotion the live dir can be graveyarded with the tmp
+  * not yet swapped in — readers heal, THEN list only promoted roots.
+  * Healing is SKIPPED while the writer lock is present (ADVICE r12):
+  * a live writer finishes its own promotion, and racing it on the same
+  * rename targets from a nominally read-only listing could make either
+  * side's rename fail spuriously.
   */
 object IndexCatalog {
 
@@ -50,7 +71,24 @@ object IndexCatalog {
     StructField("geometry", StringType, nullable = false),
     StructField("n_segments", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
-    StructField("n_items", LongType, nullable = false)))
+    StructField("n_items", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_tombstones", LongType, nullable = false),
+    StructField("needs_compaction", BooleanType, nullable = false)))
+
+  /** Counts reported for an index whose data tables cannot be read
+    * (damaged segment, lost stats) — the listing DEGRADES that row to
+    * placeholders instead of failing the whole warehouse listing
+    * (ADVICE r12): an operator diagnosing one broken index needs the
+    * catalog most of all. */
+  val Damaged = -1L
+
+  /** Segments a segmented index tolerates before the listing advises
+    * compaction — each segment adds one directory level to every probe
+    * read and un-amortized small files; the LSM lifecycle exists to
+    * fold them back. */
+  val SegmentCompactionThreshold = 3L
 
   private def geomString(fields: Map[String, Long]): String =
     fields.toSeq.sortBy(_._1)
@@ -60,33 +98,66 @@ object IndexCatalog {
   /** List every persisted index under `dir`, ordered by name. */
   def list(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    // roll any interrupted in-place commit forward before enumerating:
-    // a graveyarded live dir with an unswapped tmp must not make the
-    // index vanish (or list stale stats) until some other reader heals
-    graft.pipeline.TierCommit.heal(spark, dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, graft.pipeline.TierCommit.LockName)))
+      graft.pipeline.TierCommit.heal(spark, dir)
     val entries = if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
 
     def rows(path: String): Long =
       spark.read.parquet(path).count() // footer-metadata count
+
+    // physical footprint: one recursive metadata listing per root
+    def du(paths: Seq[String]): (Long, Long) =
+      paths.filter(p => fs.exists(new Path(p))).map { p =>
+        val s = fs.getContentSummary(new Path(p))
+        (s.getLength, s.getFileCount)
+      }.foldLeft((0L, 0L)) { case ((b, f), (b2, f2)) => (b + b2, f + f2) }
+
+    // one damaged index must degrade to a placeholder row, not fail the
+    // whole listing (ADVICE r12): kind/geometry/footprint are already
+    // known when the stat read runs, so only the counts degrade
+    def row(name: String, kind: String, geom: String, segs: Long,
+            duPaths: Seq[String], tombRoot: Option[String])
+           (stat: => (Long, Long)): Option[org.apache.spark.sql.Row] = {
+      val (bytes, files) = du(duPaths)
+      val tombs = tombRoot
+        .map(t => scala.util.Try(Tombstones.count(spark, t)).getOrElse(Damaged))
+        .getOrElse(0L)
+      val needs = segs > SegmentCompactionThreshold || tombs > 0
+      val (r, i) = scala.util.Try(stat).getOrElse((Damaged, Damaged))
+      Some(org.apache.spark.sql.Row(name, kind, geom, segs, r, i,
+        bytes, files, tombs, needs))
+    }
 
     val flat = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith("_meta.json"))
       .flatMap { s =>
         val name = s.getPath.getName.stripSuffix("_meta.json")
         val meta = IndexMeta.read(spark, s.getPath.toString)
+        val tomb = s"$dir/${name}_tombstones"
         if (meta.contains("m")) {
           // IVF-PQ: codes table carries n·m sub-code rows
-          if (fs.exists(new Path(root, s"${name}_codes"))) {
-            val r = rows(s"$dir/${name}_codes")
-            Some((name, "ivf_pq", geomString(meta), 1L, r, r / meta("m")))
-          } else None
+          if (fs.exists(new Path(root, s"${name}_codes")))
+            row(name, "ivf_pq", geomString(meta), 1L,
+              Seq(s"$dir/${name}_codes", s"$dir/${name}_centroids",
+                s"$dir/${name}_codebooks", tomb), Some(tomb)) {
+              // n_rows = physical; n_items = the probe's view (served
+              // vectors: tombstoned ones excluded) — consistent across
+              // all five deletable kinds
+              val r = rows(s"$dir/${name}_codes")
+              (r, r / meta("m") - Tombstones.count(spark, tomb))
+            }
+          else None
         } else if (meta.contains("k")) {
-          if (fs.exists(new Path(root, s"${name}_cells"))) {
-            val r = rows(s"$dir/${name}_cells")
-            Some((name, "ivf", geomString(meta), 1L, r, r))
-          } else None
+          if (fs.exists(new Path(root, s"${name}_cells")))
+            row(name, "ivf", geomString(meta), 1L,
+              Seq(s"$dir/${name}_cells", s"$dir/${name}_centroids", tomb),
+              Some(tomb)) {
+              val r = rows(s"$dir/${name}_cells")
+              (r, r - Tombstones.count(spark, tomb))
+            }
+          else None
         } else None
       }
 
@@ -106,33 +177,51 @@ object IndexCatalog {
           def seg(sub: String): Long =
             fs.listStatus(new Path(s.getPath, sub)).toSeq
               .count(d => d.isDirectory && d.getPath.getName.startsWith("seg="))
-          if (fs.exists(new Path(s.getPath, "sigs"))) {
-            val r = rows(s"$dir/$name/sigs")
-            Some((name, "sign_hash", geomString(meta), seg("sigs"), r, r))
-          } else if (fs.exists(new Path(s.getPath, "postings"))) {
-            // n_items = documents: the per-segment one-row stats table
-            // (broadcast-sized by construction) sums to the doc count
-            val docs = spark.read.parquet(s"$dir/$name/stats")
-              .agg(org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.col("n_docs")))
-              .collect()(0).getLong(0)
-            Some((name, "bm25", geomString(meta), seg("postings"),
-              rows(s"$dir/$name/postings"), docs))
-          } else if (fs.exists(new Path(s.getPath, "bands"))) {
-            // near-dup: band postings are the physical rows; the
-            // shingle-set table holds one row per indexed document
-            Some((name, "near_dup", geomString(meta), seg("bands"),
-              rows(s"$dir/$name/bands"), rows(s"$dir/$name/shingles")))
-          } else if (fs.exists(new Path(s.getPath, "merges"))) {
-            val r = rows(s"$dir/$name/merges")
-            Some((name, "bpe", geomString(meta), 1L, r, r))
-          } else None
+          val whole = Seq(s"$dir/$name")
+          val tomb = Some(s"$dir/$name/tombstones")
+          if (fs.exists(new Path(s.getPath, "sigs")))
+            row(name, "sign_hash", geomString(meta), seg("sigs"),
+              whole, tomb) {
+              val r = rows(s"$dir/$name/sigs")
+              (r, r - Tombstones.count(spark, s"$dir/$name/tombstones"))
+            }
+          else if (fs.exists(new Path(s.getPath, "postings")))
+            row(name, "bm25", geomString(meta), seg("postings"),
+              whole, tomb) {
+              // n_items = documents: the per-segment one-row stats table
+              // (broadcast-sized by construction) sums to the doc count
+              // MINUS the tombstoned documents (the probe's own view).
+              // sum() over zero rows is NULL (an index built over an
+              // empty corpus, or a lost stats segment) — report 0, not
+              // NPE (ADVICE r12)
+              val docs = Option(spark.read.parquet(s"$dir/$name/stats")
+                .agg(org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.col("n_docs")))
+                .collect()(0).get(0))
+                .map(_.asInstanceOf[Long]).getOrElse(0L)
+              val tombs = Tombstones.count(spark, s"$dir/$name/tombstones")
+              (rows(s"$dir/$name/postings"), docs - tombs)
+            }
+          else if (fs.exists(new Path(s.getPath, "bands")))
+            row(name, "near_dup", geomString(meta), seg("bands"),
+              whole, tomb) {
+              // near-dup: band postings are the physical rows; the
+              // shingle-set table holds one row per indexed document
+              // (tombstoned documents excluded — the probe's own view)
+              val tombs = Tombstones.count(spark, s"$dir/$name/tombstones")
+              (rows(s"$dir/$name/bands"),
+                rows(s"$dir/$name/shingles") - tombs)
+            }
+          else if (fs.exists(new Path(s.getPath, "merges")))
+            row(name, "bpe", geomString(meta), 1L, whole, None) {
+              val r = rows(s"$dir/$name/merges")
+              (r, r)
+            }
+          else None
         }
       }
 
-    val all = (flat ++ nested).sortBy(_._1)
-      .map { case (n, k, g, s, r, i) =>
-        org.apache.spark.sql.Row(n, k, g, s, r, i) }
+    val all = (flat ++ nested).sortBy(_.getString(0))
     spark.createDataFrame(
       spark.sparkContext.parallelize(all, 1), schema)
   }

@@ -76,6 +76,7 @@ object IvfIndex {
     * `<name>_cells`. Returns the geometry. */
   def build(spark: SparkSession, vectors: DataFrame, name: String,
             dir: String, buckets: Int = 8): Meta = {
+    Tombstones.clear(spark, tombRoot(name, dir)) // fresh corpus
     val (cents, assigned, k, nprobe) = train(vectors)
     cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
     Layout.writeBucketed(assigned, s"${name}_cells", "cell", buckets,
@@ -110,7 +111,67 @@ object IvfIndex {
 
   private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
     Seq(s"$dir/${name}_centroids", s"$dir/${name}_cells",
-      s"$dir/${name}_meta.json")
+      s"$dir/${name}_meta.json", tombRoot(name, dir))
+
+  private def tombRoot(name: String, dir: String): String =
+    s"$dir/${name}_tombstones"
+
+  /** Tombstone `ids` (VERDICT r12 #1): every subsequent [[probe]]
+    * behaves as if the vectors were never indexed — the q220 oracle
+    * identity is probe-after-delete == probe-minus-deleted under the
+    * index's FROZEN centroids (deletion, like [[append]], never
+    * retrains: routing quality is the centroids' business, the
+    * recall-vs-freshness trade every ANN serving system makes).
+    * [[vacuumInPlace]] drops the rows physically and clears the
+    * ledger; a [[rebuildInPlace]] clears it too (new corpus snapshot).
+    * Rides the dir's writer lock like every batch mutation. */
+  def deleteVectors(spark: SparkSession, ids: Seq[Long], name: String,
+                    dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      readMeta(spark, name, dir) // the index must exist
+      // record only ids actually INDEXED (pushed point read): the
+      // ledger stays honest, the catalog's n_items stays exact
+      Tombstones.append(spark, tombRoot(name, dir),
+        spark.read.parquet(s"$dir/${name}_cells")
+          .filter(col("vid").isin(ids: _*)).select(col("vid")))
+    }
+
+  /** Physically drop tombstoned vectors from the bucketed cells table
+    * and CLEAR the deletion ledger — the compaction verb of this
+    * unsegmented family (segmented indexes drain tombstones in
+    * compactInPlace; here the cells rewrite is the analog). Centroids
+    * stay FROZEN — probe answers before and after vacuum are identical
+    * (IvfIndexSpec proves it). The rewritten cells and the emptied
+    * ledger promote through ONE tier-commit manifest, so a probe never
+    * sees vacuumed cells with the old tombstones (double suppression
+    * is harmless but the inverse — old cells, no ledger — would
+    * resurrect deleted vectors mid-swap; the manifest forecloses it). */
+  def vacuumInPlace(spark: SparkSession, name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir)
+      val meta = readMeta(spark, name, dir)
+      stageVacuumInPlace(spark, name, dir, meta)
+      graft.pipeline.TierCommit.commit(spark, dir,
+        Seq(s"$dir/${name}_cells", tombRoot(name, dir)))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
+      Layout.ensureBucketedTable(spark, s"${name}_cells", "cell",
+        meta.buckets, s"$dir/${name}_cells")
+    }
+
+  private[graft] def stageVacuumInPlace(spark: SparkSession, name: String,
+                                        dir: String, meta: Meta): Unit = {
+    import graft.pipeline.TierCommit.stagePath
+    Layout.ensureBucketedTable(spark, s"${name}_cells", "cell",
+      meta.buckets, s"$dir/${name}_cells")
+    val kept = Tombstones.antiJoin(spark, tombRoot(name, dir),
+      spark.table(s"${name}_cells"), "vid")
+    Layout.writeBucketed(kept, s"${name}_cells__vstage", "cell",
+      meta.buckets, stagePath(s"$dir/${name}_cells"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells__vstage")
+    // stage an EMPTY ledger: promotion atomically replaces the old one
+    val t = new org.apache.hadoop.fs.Path(stagePath(tombRoot(name, dir)))
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(t)
+  }
 
   /** The staging half of [[rebuildInPlace]] — split out so the spec
     * can stop the world at the crash point between stage and commit.
@@ -131,6 +192,11 @@ object IvfIndex {
     IndexMeta.write(spark, stagePath(s"$dir/${name}_meta.json"), Map(
       "k" -> k.toLong, "nprobe" -> nprobe.toLong,
       "buckets" -> buckets.toLong))
+    // a rebuild is a NEW corpus snapshot — the old deletion ledger must
+    // not hide re-added ids: stage an empty one (promoted via the same
+    // manifest; a no-op when no deletion ever happened)
+    val t = new org.apache.hadoop.fs.Path(stagePath(tombRoot(name, dir)))
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(t)
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
@@ -217,8 +283,10 @@ object IvfIndex {
             .getOrElse(org.apache.spark.sql.types.LongType)),
         org.apache.spark.sql.types.StructField("cell",
           org.apache.spark.sql.types.IntegerType))))
-    val cand = spark.table(s"${name}_cells")
-      .filter(col("cell").isin(cellIds: _*)) // static bucket pruning
+    val cand = Tombstones.antiJoin(spark, tombRoot(name, dir),
+        spark.table(s"${name}_cells")
+          .filter(col("cell").isin(cellIds: _*)), // static bucket pruning
+        "vid")
       .join(broadcast(pairs), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
     // final top-k through the BOUNDED map-side-combining aggregate

@@ -66,6 +66,7 @@ object IvfPqIndex {
   def build(spark: SparkSession, vectors: DataFrame, name: String,
             dir: String, m: Int, subDim: Int, ksub: Int, iters: Int,
             buckets: Int = 8): Meta = {
+    Tombstones.clear(spark, tombRoot(name, dir)) // fresh corpus
     val (cents, books, postings, k, nprobe) = train(vectors, m, subDim,
       ksub, iters)
     cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
@@ -125,7 +126,56 @@ object IvfPqIndex {
 
   private[graft] def rebuildTargets(name: String, dir: String): Seq[String] =
     Seq(s"$dir/${name}_centroids", s"$dir/${name}_codebooks",
-      s"$dir/${name}_codes", s"$dir/${name}_meta.json")
+      s"$dir/${name}_codes", s"$dir/${name}_meta.json", tombRoot(name, dir))
+
+  private def tombRoot(name: String, dir: String): String =
+    s"$dir/${name}_tombstones"
+
+  /** Tombstone `ids` — [[IvfIndex.deleteVectors]]'s contract applied to
+    * the compressed family (VERDICT r12 #1): probes behave as if the
+    * vectors were never encoded, under the index's FROZEN centroids and
+    * codebooks; [[vacuumInPlace]] drops the code rows physically and
+    * clears the ledger; a rebuild clears it too. */
+  def deleteVectors(spark: SparkSession, ids: Seq[Long], name: String,
+                    dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      readMeta(spark, name, dir) // the index must exist
+      // record only ids actually INDEXED (pushed point read; m code
+      // rows per vid — Tombstones.append dedupes to one ledger row)
+      Tombstones.append(spark, tombRoot(name, dir),
+        spark.read.parquet(s"$dir/${name}_codes")
+          .filter(col("vid").isin(ids: _*)).select(col("vid")))
+    }
+
+  /** Physically drop tombstoned vectors' code rows and CLEAR the
+    * deletion ledger — [[IvfIndex.vacuumInPlace]] for the compressed
+    * family: centroids and codebooks stay FROZEN, the rewritten codes
+    * and the emptied ledger promote through ONE manifest. */
+  def vacuumInPlace(spark: SparkSession, name: String, dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      graft.pipeline.TierCommit.heal(spark, dir)
+      val meta = readMeta(spark, name, dir)
+      stageVacuumInPlace(spark, name, dir, meta)
+      graft.pipeline.TierCommit.commit(spark, dir,
+        Seq(s"$dir/${name}_codes", tombRoot(name, dir)))
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_codes")
+      Layout.ensureBucketedTable(spark, s"${name}_codes", "cell",
+        meta.buckets, s"$dir/${name}_codes")
+    }
+
+  private[graft] def stageVacuumInPlace(spark: SparkSession, name: String,
+                                        dir: String, meta: Meta): Unit = {
+    import graft.pipeline.TierCommit.stagePath
+    Layout.ensureBucketedTable(spark, s"${name}_codes", "cell",
+      meta.buckets, s"$dir/${name}_codes")
+    val kept = Tombstones.antiJoin(spark, tombRoot(name, dir),
+      spark.table(s"${name}_codes"), "vid")
+    Layout.writeBucketed(kept, s"${name}_codes__vstage", "cell",
+      meta.buckets, stagePath(s"$dir/${name}_codes"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_codes__vstage")
+    val t = new org.apache.hadoop.fs.Path(stagePath(tombRoot(name, dir)))
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(t)
+  }
 
   private[graft] def stageRebuildInPlace(spark: SparkSession,
                                          vectors: DataFrame, name: String,
@@ -147,6 +197,10 @@ object IvfPqIndex {
       "buckets" -> buckets.toLong, "m" -> m.toLong,
       "sub_dim" -> subDim.toLong, "ksub" -> ksub.toLong,
       "iters" -> iters.toLong))
+    // a rebuild is a NEW corpus snapshot — stage an empty deletion
+    // ledger so old tombstones cannot hide re-added ids
+    val t = new org.apache.hadoop.fs.Path(stagePath(tombRoot(name, dir)))
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(t)
   }
 
   /** Add `newVectors` = (vec_id, q, n2) to an EXISTING index without
@@ -248,8 +302,10 @@ object IvfPqIndex {
       "qid", books)
     // probed codes only: statically bucket-pruned scan, then one
     // broadcast LUT join, partial-summed map-side to (qid, cid) rows
-    val adc = spark.table(s"${name}_codes")
-      .filter(col("cell").isin(cellIds: _*)) // static bucket pruning
+    val adc = Tombstones.antiJoin(spark, tombRoot(name, dir),
+        spark.table(s"${name}_codes")
+          .filter(col("cell").isin(cellIds: _*)), // static bucket pruning
+        "vid")
       .join(broadcast(pairs), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .join(broadcast(lut), Seq("qid", "s", "code"))

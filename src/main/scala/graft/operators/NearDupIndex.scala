@@ -35,15 +35,26 @@ import org.apache.spark.sql.functions._
   *    serving-side routing decision), and filters `bb IN (...)`, which
   *    prunes at the DIRECTORY level — the read cost is the touched
   *    buckets, never the corpus. 16 rows per indexed document.
-  *  - `shingles/seg=<k>/` — (doc_id, sh ARRAY<STRING>): the distinct
-  *    shingle sets exact-Jaccard verification needs. A probe reads
-  *    this table ONLY for candidate ids (`doc_id IN (...)` pushed into
+  *  - `shingles/seg=<k>/` — (doc_id, sh ARRAY<BIGINT>): the distinct
+  *    shingle sets exact-Jaccard verification needs, stored as 60-bit
+  *    md5 gram HASHES (the q90 gram-hash discipline, VERDICT r12 #4)
+  *    instead of raw 3-gram strings — ~10x fewer verification bytes at
+  *    100 TB, and Jaccard over distinct hashes is identical to Jaccard
+  *    over the strings modulo negligible 60-bit collisions (the oracle
+  *    restates over the SAME hash expression, so results are
+  *    bit-identical by construction either way). A probe reads this
+  *    table ONLY for candidate ids (`doc_id IN (...)` pushed into
   *    the parquet scan — collisions x 8 bytes of routing state), so
-  *    the big array column is fetched for colliding documents only.
+  *    the array column is fetched for colliding documents only.
+  *  - `tombstones/seg=<k>/` — (doc_id): the [[Tombstones]] deletion
+  *    ledger ([[deleteDocs]]); probes anti-join it (broadcast),
+  *    compaction drops tombstoned documents physically and clears it.
   *  - `meta.json` — geometry sidecar (buckets + the banding constants,
-  *    so the sidecar proves WHICH banding the postings encode):
-  *    opening the index needs only (name, dir), even from a session
-  *    that never built it.
+  *    so the sidecar proves WHICH banding the postings encode) + the
+  *    layout format version: opening the index needs only (name, dir),
+  *    even from a session that never built it; a pre-hash raw-string
+  *    index is refused with a rebuild message, never silently
+  *    mis-verified.
   *
   * LSM lifecycle = the [[TextIndex]]/[[SigIndex]] battery: [[build]]
   * writes segment 0; [[appendDelta]] adds new documents as the next
@@ -77,11 +88,20 @@ object NearDupIndex {
     * mismatched signatures). */
   final case class Meta(buckets: Int)
 
+  /** On-disk layout version: format 2 = shingle sets stored as 60-bit
+    * gram hashes (ARRAY<BIGINT>, VERDICT r12 #4). A sidecar WITHOUT
+    * the key is the pre-hash raw-string layout — refused with an
+    * explicit rebuild message (the [[SigIndex.FormatVersion]]
+    * discipline): probing it would feed string arrays into the hashed
+    * verifier and silently find zero intersections. */
+  val FormatVersion = 2L
+
   private def metaFields(buckets: Int): Map[String, Long] = Map(
     "buckets" -> buckets.toLong,
     "perms" -> TextOps.MinhashPerms.toLong,
     "bands" -> TextOps.LshBands.toLong,
-    "band_rows" -> TextOps.LshBandRows.toLong)
+    "band_rows" -> TextOps.LshBandRows.toLong,
+    "format" -> FormatVersion)
 
   def writeMeta(spark: SparkSession, name: String, dir: String,
                 meta: Meta): Unit =
@@ -89,6 +109,11 @@ object NearDupIndex {
 
   def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
     val m = IndexMeta.read(spark, s"$dir/$name/meta.json")
+    val fmt = m.getOrElse("format", 1L)
+    require(fmt == FormatVersion,
+      s"near-dup index $name at $dir has layout format $fmt (raw-string " +
+        s"shingle sets); this reader needs format $FormatVersion (60-bit " +
+        "gram-hash shingle sets) — rebuildInPlace the index")
     require(m.get("perms").contains(TextOps.MinhashPerms.toLong) &&
       m.get("bands").contains(TextOps.LshBands.toLong) &&
       m.get("band_rows").contains(TextOps.LshBandRows.toLong),
@@ -137,16 +162,26 @@ object NearDupIndex {
       .withColumn("bb", pmod(hash(col("bh")), lit(buckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$root/bands/seg=$seg")
-    // == TextOps.shingleSets(docs): explodedShingles keeps multiplicity,
-    // collect_set dedupes — identical rows, zero extra corpus scan
-    ex.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+    // hashed shingle SETS (the q90 discipline): explodedShingles keeps
+    // multiplicity, collect_set over the 60-bit gram hash dedupes —
+    // the distinct-hash set, zero extra corpus scan, ~10x fewer bytes
+    // than the raw strings with identical Jaccard arithmetic
+    ex.groupBy(col("doc_id")).agg(collect_set(Kmv.hash60(col("s"))).as("sh"))
       .write.mode("overwrite").parquet(s"$root/shingles/seg=$seg")
   }
+
+  /** The batch side of verification: distinct 60-bit gram-hash sets —
+    * the same expression [[writeSegment]] persists, so batch and corpus
+    * sets live in one hash domain. */
+  private def hashedSets(docs: DataFrame): DataFrame =
+    TextOps.explodedShingles(docs, "doc_id", "text")
+      .groupBy(col("doc_id")).agg(collect_set(Kmv.hash60(col("s"))).as("sh"))
 
   /** Mine `docs` = (doc_id, text) once and persist the index under
     * `<dir>/<name>` as segment 0. */
   def build(spark: SparkSession, docs: DataFrame, name: String,
             dir: String, buckets: Int = 16): Meta = {
+    Tombstones.clear(spark, s"$dir/$name/tombstones") // fresh corpus
     writeSegment(spark, docs, s"$dir/$name", buckets, seg = 0L)
     val meta = Meta(buckets)
     writeMeta(spark, name, dir, meta)
@@ -206,15 +241,45 @@ object NearDupIndex {
                             meta: Meta): Unit = {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    spark.read.parquet(s"$dir/$name/bands")
+    // compaction is the tombstone DRAIN: tombstoned documents' rows are
+    // physically dropped and the tombstone segments are NOT copied —
+    // the compacted root starts with an empty deletion ledger
+    val tombs = s"$dir/$name/tombstones"
+    Tombstones.antiJoin(spark, tombs,
+        spark.read.parquet(s"$dir/$name/bands"), "doc_id")
       .select(col("doc_id"), col("band"), col("bh"), col("bb")) // drop `seg`
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$newRoot/bands/seg=0")
-    spark.read.parquet(s"$dir/$name/shingles")
+    Tombstones.antiJoin(spark, tombs,
+        spark.read.parquet(s"$dir/$name/shingles"), "doc_id")
       .select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$newRoot/shingles/seg=0")
     IndexMeta.write(spark, s"$newRoot/meta.json", metaFields(meta.buckets))
   }
+
+  /** Tombstone `ids` (VERDICT r12 #1): every subsequent [[probe]]
+    * behaves as if the ids were never indexed — the oracle identity is
+    * probe-after-delete == fresh-build-minus-deleted (q219) — and the
+    * next compaction drops their rows physically and clears the
+    * ledger. Rides the dir's writer lock like every batch mutation;
+    * ids already tombstoned (or never indexed) are absorbed by
+    * [[Tombstones.append]]'s dedupe. Re-adding a deleted doc_id later
+    * requires compacting the tombstone away first — the ledger hides
+    * the ID, by design (erasure semantics). */
+  def deleteDocs(spark: SparkSession, ids: Seq[Long], name: String,
+                 dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      require(segmentIds(spark, name, dir).nonEmpty,
+        s"index $name has no segments")
+      readMeta(spark, name, dir) // refuse pre-hash layouts loudly
+      // record only documents actually INDEXED (the shingle-set table
+      // holds one row per indexed doc — pushed point read): the ledger
+      // stays honest, the catalog's n_items stays exact. A sub-shingle
+      // (<3 token) document never indexed anything — vacuous delete.
+      Tombstones.append(spark, s"$dir/$name/tombstones",
+        spark.read.parquet(s"$dir/$name/shingles")
+          .filter(col("doc_id").isin(ids: _*)).select(col("doc_id")))
+    }
 
   /** Atomically REPLACE live index `name` with its own compaction —
     * staged at the tier-commit swap path, promoted through ONE
@@ -279,13 +344,45 @@ object NearDupIndex {
     *
     * Contract: batch doc_ids not in the index (the incremental-ingest
     * flow probes BEFORE appending the batch). Opening the index needs
-    * only (name, dir). */
+    * only (name, dir).
+    *
+    * BOUNDED routing state (VERDICT r12 #3 / ADVICE r12): the collision
+    * shortlist is only collected to the driver while it stays under
+    * `spark.graft.neardup.maxCollectedPairs` (default 100k pairs — the
+    * per-batch routing decision a dedup frontend makes), and the
+    * shingle fetch is a pushed In(doc_id) point read only while the
+    * candidate id list stays under [[InListMax]] (a larger literal IN
+    * stops pushing into parquet). Above either bound — an adversarial
+    * batch near-duping a hot corpus region — the probe falls back to a
+    * fully DISTRIBUTED shape: the candidate frame stays an executor-side
+    * dataset, the shingle fetch becomes a semi-join, and no id list
+    * ever lands on the driver. Answers are identical on both paths
+    * (NearDupIndexSpec proves it on an all-dup batch). */
   def probe(spark: SparkSession, name: String, dir: String,
             batchDocs: DataFrame,
-            threshold: Double = TextOps.DefaultJaccardThreshold): DataFrame = {
+            threshold: Double = TextOps.DefaultJaccardThreshold): DataFrame =
+    probeBefore(spark, name, dir, batchDocs, threshold, None)
+
+  /** [[probe]] restricted to segments with id < `maxSegExclusive` —
+    * the admission sink's replay anchor: a REDELIVERED batch must be
+    * judged against exactly the history that preceded it, even when
+    * later segments already landed before the replay (an operator
+    * re-running an old batch, a restart replaying mid-stream). `seg`
+    * is a hive partition level, so the restriction is directory
+    * pruning, not a row filter. None = all segments (plain probe).
+    * Compaction folds history into seg=0 and forfeits the anchor —
+    * the documented streaming-order contract (compact only at
+    * committed stream boundaries) already covers it. */
+  def probeBefore(spark: SparkSession, name: String, dir: String,
+                  batchDocs: DataFrame, threshold: Double,
+                  maxSegExclusive: Option[Long]): DataFrame = {
     val meta = readMeta(spark, name, dir)
-    require(segmentIds(spark, name, dir).nonEmpty,
-      s"index $name has no segments")
+    val liveSegs = segmentIds(spark, name, dir)
+      .filter(s => maxSegExclusive.forall(s < _))
+    require(liveSegs.nonEmpty, s"index $name has no segments" +
+      maxSegExclusive.map(m => s" below $m").getOrElse(""))
+    def segScoped(df: DataFrame): DataFrame =
+      maxSegExclusive.map(m => df.filter(col("seg") < m)).getOrElse(df)
     val docsB = batchDocs.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
     // the batch's signatures feed the bucket routing, the candidate
@@ -297,8 +394,11 @@ object NearDupIndex {
     // serving-side routing: the touched buckets (≤ meta.buckets ints)
     val ids = newBands.select(col("bb")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$dir/$name/bands")
-      .filter(col("bb").isin(ids: _*)) // static directory pruning
+    val tombs = s"$dir/$name/tombstones"
+    val postings = Tombstones.antiJoin(spark, tombs,
+        segScoped(spark.read.parquet(s"$dir/$name/bands"))
+          .filter(col("bb").isin(ids: _*)), // static directory pruning
+        "doc_id")
       .join(broadcast(batchIdRows), Seq("doc_id"), "left_anti")
     val cand = postings.alias("c")
       .join(broadcast(newBands.alias("p")),
@@ -306,24 +406,100 @@ object NearDupIndex {
       .select(col("p.doc_id").as("probe_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
 
-    // the collision shortlist is COLLECTED ONCE (the routing decision a
-    // dedup frontend makes per batch — collisions x 16 bytes), feeding
-    // BOTH the shingle point read's id list and the verification's pair
-    // frame, so the pruned posting scan runs exactly once per probe
-    val shortlist = cand.collect()
-    val corpusIds = shortlist.map(_.getLong(1)).distinct.toSeq
-    val corpusSets = spark.read.parquet(s"$dir/$name/shingles")
-      .filter(col("doc_id").isin(corpusIds: _*)) // pushed: In(doc_id, ...)
+    val batchSets = hashedSets(docsB)
+    // candidates can only name docs from in-scope segments (doc_ids
+    // are segment-disjoint), but scoping the shingle read too keeps
+    // its directory pruning aligned with the posting read
+    val shingles = segScoped(spark.read.parquet(s"$dir/$name/shingles"))
       .select(col("doc_id"), col("sh"))
-    val batchSets = TextOps.shingleSets(docsB, "doc_id", "text")
+    def verified(pairs: DataFrame, corpusSets: DataFrame): DataFrame =
+      TextOps.jaccardVerify(
+        pairs.select(least(col("probe_id"), col("corpus_id")).as("a_id"),
+            greatest(col("probe_id"), col("corpus_id")).as("b_id"))
+          .distinct(),
+        batchSets.unionByName(corpusSets), "doc_id", threshold)
 
-    val candLocal = spark.createDataFrame(
-      spark.sparkContext.parallelize(shortlist.toSeq, 1), cand.schema)
-    val pairs = candLocal
-      .select(least(col("probe_id"), col("corpus_id")).as("a_id"),
-        greatest(col("probe_id"), col("corpus_id")).as("b_id"))
-      .distinct()
-    TextOps.jaccardVerify(pairs,
-      batchSets.unionByName(corpusSets), "doc_id", threshold)
+    // materialize the candidate set ONCE (the pruned posting scan runs
+    // exactly here), then decide the routing shape from its size
+    val candCk = cand.localCheckpoint()
+    val cap = spark.conf
+      .get("spark.graft.neardup.maxCollectedPairs", "100000").toInt
+    val shortlist = candCk.limit(cap + 1).collect()
+    if (shortlist.length <= cap) {
+      // serving shape: the shortlist IS the routing decision (pairs x
+      // 16 bytes), feeding both the shingle fetch and the pair frame
+      val corpusIds = shortlist.map(_.getLong(1)).distinct.toSeq
+      val corpusSets =
+        if (corpusIds.size <= InListMax)
+          shingles.filter(col("doc_id").isin(corpusIds: _*)) // pushed In
+        else // a literal IN this wide stops pushing — semi-join instead
+          shingles.join(
+            broadcast(spark.createDataFrame(corpusIds.map(Tuple1(_)))
+              .toDF("doc_id")),
+            Seq("doc_id"), "left_semi")
+      verified(spark.createDataFrame(
+        spark.sparkContext.parallelize(shortlist.toSeq, 1), candCk.schema),
+        corpusSets)
+    } else {
+      // DISTRIBUTED fallback: collisions exceed what a driver should
+      // hold — the pair frame stays executor-side and the shingle fetch
+      // is a semi-join on the (already materialized) candidate ids
+      val corpusSets = shingles.join(
+        candCk.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      verified(candCk, corpusSets)
+    }
+  }
+
+  /** Ids a literal pushed-IN point read stays effective for; beyond
+    * this the parquet reader no longer pushes the filter and a
+    * broadcast semi-join is the better fetch. */
+  private val InListMax = 1000
+
+  /** The ADMISSION verdict a dedup gate ships ([[probe]] finds pairs;
+    * this turns them into decisions): for EVERY document in
+    * `batchDocs`, admit ('new') or reject ('dup'), and for rejects the
+    * best-matching indexed document and its Jaccard — best match =
+    * highest jaccard, smallest corpus doc_id on ties (deterministic).
+    * Returns (doc_id, verdict, match_id, match_jaccard).
+    *
+    * Orientation is by batch MEMBERSHIP (a broadcast of the batch's own
+    * ids — the probe guarantees every pair has exactly one batch side),
+    * so the verb needs no naming convention on ids; q214 proves it
+    * equals the split-rule orientation, and
+    * [[graft.streaming.NearDupIndexStream]]'s admission sink serves it
+    * per micro-batch. An EMPTY index (the first batch of a fresh ingest
+    * stream) admits everything. */
+  def admission(spark: SparkSession, name: String, dir: String,
+                batchDocs: DataFrame,
+                threshold: Double = TextOps.DefaultJaccardThreshold,
+                maxSegExclusive: Option[Long] = None)
+      : DataFrame = {
+    val bIds = batchDocs.select(col("doc_id")).dropDuplicates("doc_id")
+    if (segmentIds(spark, name, dir)
+        .filter(s => maxSegExclusive.forall(s < _)).isEmpty)
+      return bIds.select(col("doc_id"), lit("new").as("verdict"),
+        lit(null).cast("long").as("match_id"),
+        lit(null).cast("double").as("match_jaccard"))
+    val pairs = probeBefore(spark, name, dir, batchDocs, threshold,
+      maxSegExclusive)
+    val membership = bIds.select(col("doc_id").as("a_id"),
+      lit(1).as("__a_in_batch"))
+    val oriented = pairs.join(broadcast(membership), Seq("a_id"), "left")
+      .select(
+        when(col("__a_in_batch").isNotNull, col("a_id")).otherwise(col("b_id"))
+          .as("doc_id"),
+        when(col("__a_in_batch").isNotNull, col("b_id")).otherwise(col("a_id"))
+          .as("match_id"),
+        col("jaccard"))
+    val best = oriented.groupBy(col("doc_id"))
+      .agg(max_by(col("match_id"), struct(col("jaccard"), -col("match_id")))
+        .as("match_id"),
+        max(col("jaccard")).as("match_jaccard"))
+    bIds.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("match_id"), col("match_jaccard"))
   }
 }

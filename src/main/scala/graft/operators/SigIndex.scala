@@ -128,26 +128,34 @@ object SigIndex {
       passengers: _*)
   }
 
-  /** Existing on-disk signature schema, or None before the first
-    * segment lands — the passenger contract every delta must match
-    * (a segment written with different columns would break the
-    * unified segment read for every probe after it). */
-  private def sigSchema(spark: SparkSession, name: String,
-                        dir: String): Option[Set[String]] =
+  /** Existing on-disk signature schema as (name, dataType) pairs, or
+    * None before the first segment lands — the passenger contract every
+    * delta must match. TYPED (ADVICE r12): a same-named passenger with
+    * a different type (source as INT vs STRING) would pass a name-only
+    * check and write a mixed-type segment — a parquet schema-merge
+    * failure or corrupt unified read on every later probe, exactly the
+    * failure this check exists to prevent. */
+  private def sigSchema(spark: SparkSession, name: String, dir: String)
+      : Option[Set[(String, String)]] =
     if (segmentIds(spark, name, dir).isEmpty) None
     else Some(spark.read.parquet(s"$dir/$name/sigs")
-      .schema.fieldNames.toSet - "seg")
+      .schema.filterNot(_.name == "seg")
+      // nullability normalized: parquet round-trips a non-null array
+      // as containsNull=true — only the VALUE type is the contract
+      .map(f => f.name -> f.dataType.sql).toSet)
 
   /** Pack `vectors` once and persist the index under `<dir>/<name>` as
     * segment 0. */
   def build(spark: SparkSession, vectors: DataFrame, name: String,
             dir: String, nbits: Int = 64): Meta = {
+    Tombstones.clear(spark, s"$dir/$name/tombstones") // a fresh corpus
     pack(vectors, nbits).write.mode("overwrite")
       .parquet(s"$dir/$name/sigs/seg=0")
     val meta = Meta(nbits)
     writeMeta(spark, name, dir, meta)
     meta
   }
+
 
   /** Add `newVectors` as the next segment. Pack/write cost is the
     * DELTA only; existing segments are never read or touched.
@@ -193,10 +201,11 @@ object SigIndex {
                  segId: Long): Unit = {
     val packed = pack(newVectors, meta.nbits)
     sigSchema(spark, name, dir).foreach { existing =>
-      require(packed.schema.fieldNames.toSet == existing,
-        s"sig index $name delta columns ${packed.schema.fieldNames.toSet} " +
-          s"!= indexed columns $existing — a delta must carry the same " +
-          "passenger columns the index was built with")
+      val delta = packed.schema.map(f => f.name -> f.dataType.sql).toSet
+      require(delta == existing,
+        s"sig index $name delta columns $delta != indexed columns " +
+          s"$existing — a delta must carry the same passenger columns, " +
+          "with the same types, the index was built with")
     }
     packed.write.mode("overwrite")
       .parquet(s"$dir/$name/sigs/seg=$segId")
@@ -227,12 +236,38 @@ object SigIndex {
                             meta: Meta): Unit = {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    val all = spark.read.parquet(s"$dir/$name/sigs")
+    // compaction drains the deletion ledger: tombstoned vectors are
+    // physically dropped and the tombstone segments are NOT copied
+    val all = Tombstones.antiJoin(spark, s"$dir/$name/tombstones",
+      spark.read.parquet(s"$dir/$name/sigs"), "vid")
     all.select(all.columns.filterNot(_ == "seg").map(col): _*) // drop `seg`
       .write.mode("overwrite").parquet(s"$newRoot/sigs/seg=0")
     IndexMeta.write(spark, s"$newRoot/meta.json",
       Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
   }
+
+  /** Tombstone `ids` (VERDICT r12 #1): every subsequent probe behaves
+    * as if the vectors were never indexed — the q217 oracle identity is
+    * probe-after-delete == fresh-build-minus-deleted — and the next
+    * compaction drops their rows physically and clears the ledger.
+    * Signatures carry no cross-segment statistics, so deletion here is
+    * pure row suppression (BM25 is the family where it must also
+    * subtract — see [[TextIndex.deleteDocs]]). Rides the dir's writer
+    * lock like every batch mutation; re-deleting or deleting unknown
+    * ids is absorbed by [[Tombstones.append]]'s dedupe. */
+  def deleteVectors(spark: SparkSession, ids: Seq[Long], name: String,
+                    dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      require(segmentIds(spark, name, dir).nonEmpty,
+        s"index $name has no segments")
+      readMeta(spark, name, dir) // refuse foreign layouts loudly
+      // record only ids actually INDEXED (a pushed point read of the
+      // vid column): the ledger stays honest and the catalog's
+      // n_items = n_rows − n_tombstones stays exact
+      Tombstones.append(spark, s"$dir/$name/tombstones",
+        spark.read.parquet(s"$dir/$name/sigs")
+          .filter(col("vid").isin(ids: _*)).select(col("vid")))
+    }
 
   /** Atomically REPLACE live index `name` with its own compaction:
     * the rewrite is staged at the tier-commit swap path (the live
@@ -368,7 +403,10 @@ object SigIndex {
     require(meta.nbits >= 1, s"nbits ${meta.nbits} must be positive")
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    val sigs = spark.read.parquet(s"$dir/$name/sigs").filter(where)
+    // tombstoned vectors are invisible to ranking AND rescore (the
+    // anti-join applies to `sigs`, which both passes derive from)
+    val sigs = Tombstones.antiJoin(spark, s"$dir/$name/tombstones",
+      spark.read.parquet(s"$dir/$name/sigs"), "vid").filter(where)
     val top = rank(spark, sigs, queryVecs, topk, meta.nbits)
     // the ranked shortlist is COLLECTED ONCE (queries x topk rows —
     // the routing decision a serving frontend makes per request) and

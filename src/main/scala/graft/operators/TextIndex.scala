@@ -45,6 +45,20 @@ import org.apache.spark.sql.functions._
   *    the corpus constants BM25's length normalization needs,
   *    broadcast by construction; a probe sums them.
   *
+  *  - `doclens/seg=<k>/` — (doc_id, source, dl), one tiny row per
+  *    document (format 2): the doc-grain sidecar [[deleteDocs]] reads
+  *    to subtract exact lengths from the stats, and [[probeWhere]]
+  *    aggregates for within-population statistics. Extracting either
+  *    doc-grain fact from the postings table instead would cost a full
+  *    scan + distinct of a TERM-grain, term-bucketed layout — doclens
+  *    answers both with a pushed point read / one narrow aggregate.
+  *
+  *  - `tombstones/seg=<k>/` — (doc_id, dl): the [[Tombstones]]
+  *    deletion ledger; probes anti-join it and subtract its (count,
+  *    Σdl) from the summed stats — df(t) self-corrects because it is
+  *    computed, never stored. Compaction drops tombstoned rows
+  *    physically and clears the ledger.
+  *
   * Per-term document frequency is NOT persisted: a posting exists iff
   * tf > 0, so df(t) = the pruned lists' per-term row count — one tiny
   * aggregate over data the probe reads anyway (and it can never drift
@@ -76,13 +90,32 @@ object TextIndex {
     * index needs only (name, dir). */
   final case class Meta(buckets: Int)
 
+  /** On-disk layout version: format 2 adds the `doclens/seg=<k>/`
+    * table — (doc_id, source, dl), one tiny row per document — which
+    * [[deleteDocs]] needs to subtract exact per-document lengths from
+    * the global stats and [[probeWhere]] needs for within-population
+    * statistics. A format-1 index (no key in the sidecar) still PROBES
+    * normally — only the two new verbs refuse it with a rebuild
+    * message, never a silent wrong answer. */
+  val FormatVersion = 2L
+
   def writeMeta(spark: SparkSession, name: String, dir: String,
                 meta: Meta): Unit =
     IndexMeta.write(spark, s"$dir/$name/meta.json",
-      Map("buckets" -> meta.buckets.toLong))
+      Map("buckets" -> meta.buckets.toLong, "format" -> FormatVersion))
 
   def readMeta(spark: SparkSession, name: String, dir: String): Meta =
     Meta(IndexMeta.read(spark, s"$dir/$name/meta.json")("buckets").toInt)
+
+  private def requireFormat2(spark: SparkSession, name: String,
+                             dir: String, verb: String): Unit = {
+    val fmt = IndexMeta.read(spark, s"$dir/$name/meta.json")
+      .getOrElse("format", 1L)
+    require(fmt == FormatVersion,
+      s"bm25 index $name at $dir has layout format $fmt (no doclens " +
+        s"table); $verb needs format $FormatVersion — rebuildInPlace " +
+        "the index")
+  }
 
   /** Existing segment ids, ascending (driver-side metadata listing —
     * segment counts are compaction-bounded). `seg` is itself a hive
@@ -106,7 +139,7 @@ object TextIndex {
   }
 
   private def tokenize(documents: DataFrame, buckets: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = documents.select(col("doc_id"), col("source"),
       TextOps.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("source"),
@@ -119,12 +152,20 @@ object TextIndex {
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)).cast("int"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
-    (postings, stats)
+    // the doc-grain sidecar table (format 2): one (doc_id, source, dl)
+    // row per document — the exact lengths deletion subtracts from the
+    // stats and the population probeWhere aggregates; extracting either
+    // from the TERM-grain bucketed postings would cost a full
+    // scan + distinct
+    val doclens = toks.select(col("doc_id"), col("source"), col("dl"))
+    (postings, stats, doclens)
   }
 
   private def writeSegment(postings: DataFrame, stats: DataFrame,
-                           root: String, seg: Long): Unit = {
+                           doclens: DataFrame, root: String,
+                           seg: Long): Unit = {
     stats.write.mode("overwrite").parquet(s"$root/stats/seg=$seg")
+    doclens.write.mode("overwrite").parquet(s"$root/doclens/seg=$seg")
     postings.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$root/postings/seg=$seg")
   }
@@ -133,8 +174,9 @@ object TextIndex {
     * the index under `<dir>/<name>` as segment 0. */
   def build(spark: SparkSession, documents: DataFrame, name: String,
             dir: String, buckets: Int = 16): Meta = {
-    val (p, s) = tokenize(documents, buckets)
-    writeSegment(p, s, s"$dir/$name", seg = 0L)
+    Tombstones.clear(spark, s"$dir/$name/tombstones") // fresh corpus
+    val (p, s, d) = tokenize(documents, buckets)
+    writeSegment(p, s, d, s"$dir/$name", seg = 0L)
     val meta = Meta(buckets)
     writeMeta(spark, name, dir, meta)
     meta
@@ -163,13 +205,14 @@ object TextIndex {
       try writeDelta(spark, newDocuments, name, dir,
         readMeta(spark, name, dir), segId)
       catch { case e: Throwable =>
-        // the segId is FRESH (picked under the lock), so both segment
+        // the segId is FRESH (picked under the lock), so the segment
         // directories hold only the aborted job's droppings — and a
         // stats/seg=N committed without its postings/seg=N twin would
         // corrupt every probe's global n_docs sum
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/stats/seg=$segId"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/doclens/seg=$segId"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/postings/seg=$segId"), true)
         throw e
       }
@@ -185,8 +228,8 @@ object TextIndex {
   def writeDelta(spark: SparkSession, newDocuments: DataFrame,
                  name: String, dir: String, meta: Meta,
                  segId: Long): Unit = {
-    val (p, s) = tokenize(newDocuments, meta.buckets)
-    writeSegment(p, s, s"$dir/$name", segId)
+    val (p, s, d) = tokenize(newDocuments, meta.buckets)
+    writeSegment(p, s, d, s"$dir/$name", segId)
     // a stream-built index (writeDelta only, no build) is just as
     // self-describing — the FIRST delta publishes the sidecar. Once it
     // exists it is never rewritten (its content cannot change across
@@ -216,16 +259,60 @@ object TextIndex {
                             meta: Meta): Unit = {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
-    val postings = spark.read.parquet(s"$dir/$name/postings")
+    requireFormat2(spark, name, dir, "compaction")
+    // compaction drains the deletion ledger: tombstoned documents'
+    // postings and doclens rows are physically dropped, the compacted
+    // stats are RECOMPUTED from the surviving doclens rows (exact —
+    // doclens is the doc-grain source of truth the per-segment sums
+    // derive from), and the tombstone segments are NOT copied
+    val tombs = s"$dir/$name/tombstones"
+    val postings = Tombstones.antiJoin(spark, tombs,
+        spark.read.parquet(s"$dir/$name/postings"), "doc_id")
       .select(col("term"), col("doc_id"), col("source"), col("dl"),
         col("tf"), col("tb"))
-    val stats = spark.read.parquet(s"$dir/$name/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens"))
-    writeSegment(postings, stats, newRoot, seg = 0L)
+    val doclens = Tombstones.antiJoin(spark, tombs,
+        spark.read.parquet(s"$dir/$name/doclens"), "doc_id")
+      .select(col("doc_id"), col("source"), col("dl"))
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+    writeSegment(postings, stats, doclens, newRoot, seg = 0L)
     IndexMeta.write(spark, s"$newRoot/meta.json",
-      Map("buckets" -> meta.buckets.toLong))
+      Map("buckets" -> meta.buckets.toLong, "format" -> FormatVersion))
   }
+
+  /** Tombstone `ids` (VERDICT r12 #1): every subsequent [[probe]]/
+    * [[probeWhere]] behaves as if the documents were never indexed —
+    * the q218 oracle identity is probe-after-delete ==
+    * fresh-build-minus-deleted — and the next compaction drops their
+    * rows physically and clears the ledger.
+    *
+    * BM25 is the HARD deletion case: unlike the row-suppression
+    * families (signatures, cells, band postings), the score depends on
+    * CROSS-SEGMENT statistics — n_docs and total_tokens feed every
+    * document's length normalization, and df(t) feeds every idf. So a
+    * tombstone here records (doc_id, dl) — the deleted document's
+    * length, fetched from the doclens table at delete time — and the
+    * probe subtracts (count, Σdl) from the segment-summed stats, while
+    * df(t) self-corrects because it is COMPUTED from the pruned
+    * posting lists after the tombstone anti-join (never stored — the
+    * round-8 design choice that makes deletion exact for free).
+    *
+    * Rides the dir's writer lock; re-deleting or deleting unknown ids
+    * is absorbed by [[Tombstones.append]]'s dedupe (an id absent from
+    * doclens contributes no tombstone row — nothing to subtract).
+    * Erasure batches are small by contract (the ids route as a pushed
+    * In point read of doclens). */
+  def deleteDocs(spark: SparkSession, ids: Seq[Long], name: String,
+                 dir: String): Unit =
+    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
+      require(segmentIds(spark, name, dir).nonEmpty,
+        s"index $name has no segments")
+      requireFormat2(spark, name, dir, "deletion")
+      val dl = spark.read.parquet(s"$dir/$name/doclens")
+        .filter(col("doc_id").isin(ids: _*)) // pushed point read
+        .select(col("doc_id"), col("dl"))
+      Tombstones.append(spark, s"$dir/$name/tombstones", dl)
+    }
 
   /** Atomically REPLACE live index `name` with its own compaction
     * (VERDICT r8 #3): the rewrite is staged at the tier-commit swap
@@ -278,10 +365,10 @@ object TextIndex {
                                          documents: DataFrame, name: String,
                                          dir: String, buckets: Int): Unit = {
     val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
-    val (p, s) = tokenize(documents, buckets)
-    writeSegment(p, s, root, seg = 0L)
+    val (p, s, d) = tokenize(documents, buckets)
+    writeSegment(p, s, d, root, seg = 0L)
     IndexMeta.write(spark, s"$root/meta.json",
-      Map("buckets" -> buckets.toLong))
+      Map("buckets" -> buckets.toLong, "format" -> FormatVersion))
   }
 
   /** One BM25 term contribution — q91's EXACT arithmetic (operand
@@ -324,27 +411,96 @@ object TextIndex {
     require(segmentIds(spark, name, dir).nonEmpty,
       s"index $name has no segments")
     val meta = readMeta(spark, name, dir)
-    val stats = spark.read.parquet(s"$dir/$name/stats")
+    val tombs = s"$dir/$name/tombstones"
+    // global stats = segment sums MINUS the tombstoned documents'
+    // (count, Σdl) — the payload deleteDocs recorded; df(t) needs no
+    // correction because it is computed from the pruned lists AFTER
+    // the tombstone anti-join (deletion is exact by construction)
+    val base = spark.read.parquet(s"$dir/$name/stats")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"))
-    // route: term -> partition id via the writer's own hash (|terms|
-    // rows collected — the per-request routing an IR frontend does)
+    val stats = Tombstones.read(spark, tombs) match {
+      case Some(t) =>
+        val sub = t.agg(count(lit(1)).as("__dn"),
+          coalesce(sum(col("dl")), lit(0L)).as("__dt"))
+        base.crossJoin(broadcast(sub)) // 1 row x 1 row
+          .select((col("n_docs") - col("__dn")).as("n_docs"),
+            (col("total_tokens") - col("__dt")).as("total_tokens"))
+      case None => base
+    }
+    val p = Tombstones.antiJoin(spark, tombs,
+      prunedPostings(spark, name, dir, terms, meta), "doc_id")
+    scoreTopK(p, stats, terms, topk)
+  }
+
+  /** WITHIN-POPULATION filtered probe (VERDICT r12 #8) — the q216
+    * passenger discipline applied to BM25: `where` is a predicate over
+    * the passenger columns denormalized into every posting row (source
+    * — the dl/source impact-file layout), pushed into the pruned
+    * posting read, so only matching documents are scored AND the
+    * statistics are those of the filtered population: n_docs and
+    * total_tokens come from the doclens rows matching `where` (one
+    * narrow doc-grain aggregate — document-count-sized, never a corpus
+    * scan), and df(t) is the filtered pruned lists' length. The result
+    * is EXACTLY a fresh BM25 index built over the subpopulation —
+    * the oracle identity q221 checks.
+    *
+    * Semantics choice, stated explicitly: within-population IDF, not
+    * global-IDF. A term rare overall but common inside the filtered
+    * population scores LOW here (the population is the retrieval
+    * universe — the "search only my wiki" reading). Global-IDF
+    * filtering — rank by corpus-wide statistics, then restrict — is
+    * the other defensible reading and is exactly [[probe]] followed by
+    * a predicate on the returned rows when k is oversampled (the q215
+    * post-filter trade). Tombstoned documents are excluded from
+    * population, candidates, and statistics alike. */
+  def probeWhere(spark: SparkSession, name: String, dir: String,
+                 terms: Seq[String], topk: Int,
+                 where: Column): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(segmentIds(spark, name, dir).nonEmpty,
+      s"index $name has no segments")
+    requireFormat2(spark, name, dir, "probeWhere")
+    val meta = readMeta(spark, name, dir)
+    val tombs = s"$dir/$name/tombstones"
+    val pop = Tombstones.antiJoin(spark, tombs,
+      spark.read.parquet(s"$dir/$name/doclens"), "doc_id").filter(where)
+    val stats = pop.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+    val p = Tombstones.antiJoin(spark, tombs,
+      prunedPostings(spark, name, dir, terms, meta), "doc_id").filter(where)
+    scoreTopK(p, stats, terms, topk)
+  }
+
+  /** The directory-pruned posting read: route each term to its bucket
+    * via the writer's own hash (|terms| rows collected — the
+    * per-request routing an IR frontend does), filter `tb IN` (static
+    * directory pruning) then the term row filter within buckets. */
+  private def prunedPostings(spark: SparkSession, name: String,
+                             dir: String, terms: Seq[String],
+                             meta: Meta): DataFrame = {
     val ids = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
       .select(pmod(hash(col("term")), lit(meta.buckets)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val p = spark.read.parquet(s"$dir/$name/postings")
+    spark.read.parquet(s"$dir/$name/postings")
       .filter(col("tb").isin(ids: _*)     // static directory pruning
         && col("term").isin(terms: _*))   // row filter within buckets
-    // fold the ≤|terms| postings per doc into one row of tf columns,
-    // keyed POSITIONALLY by query-term index — the term string itself
-    // never becomes a column name, so any legal postings key probes
+  }
+
+  /** The scoring fold shared by [[probe]] and [[probeWhere]]: fold the
+    * ≤|terms| postings per doc into one row of tf columns, keyed
+    * POSITIONALLY by query-term index — the term string itself never
+    * becomes a column name, so any legal postings key probes; df(t) =
+    * pruned list length (absent terms contribute df = 0, exactly q91's
+    * sum(CASE WHEN tf_t > 0 THEN 1 ELSE 0 END)); score with the
+    * q91-exact BM25 against the supplied one-row stats. */
+  private def scoreTopK(p: DataFrame, stats: DataFrame,
+                        terms: Seq[String], topk: Int): DataFrame = {
     val idx = terms.zipWithIndex
     val tfs = idx.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i") }
     val cand = p.groupBy(col("doc_id"), col("source"), col("dl"))
       .agg(tfs.head, tfs.tail: _*)
-    // df(t) = pruned list length; absent terms contribute df = 0,
-    // exactly q91's sum(CASE WHEN tf_t > 0 THEN 1 ELSE 0 END)
     val dfs = idx.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i") }
     val dfRow = p.agg(dfs.head, dfs.tail: _*)

@@ -135,4 +135,86 @@ class IndexCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cat_ivfpq_codes")
     }
   }
+
+  test("storage health: footprint, deletion backlog, and the needs_compaction verdict (VERDICT r12 #6)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cath").toString
+    SigIndex.build(spark, vectors, "h_sig", d)
+    def rowOf(name: String) = IndexCatalog.list(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getBoolean(9))).toMap.apply(name)
+
+    // a fresh one-segment index: footprint positive, nothing pending
+    val fresh = rowOf("h_sig")
+    assert(fresh._1 == 1L && fresh._4 > 0 && fresh._5 > 0,
+      s"total_bytes/n_files must be positive: $fresh")
+    assert(fresh._6 == 0L && !fresh._7, s"fresh index needs nothing: $fresh")
+
+    // many deltas: segment count crosses the threshold → advise
+    (1 to 4).foreach { i =>
+      SigIndex.appendDelta(spark,
+        vectors.withColumn("vec_id", col("vec_id") + lit(i * 100000L)),
+        "h_sig", d)
+    }
+    val piled = rowOf("h_sig")
+    assert(piled._1 == 5L && piled._7,
+      s"5 segments must advise compaction: $piled")
+
+    // compaction folds: verdict clears
+    SigIndex.compactInPlace(spark, "h_sig", d)
+    val folded = rowOf("h_sig")
+    assert(folded._1 == 1L && !folded._7,
+      s"compacted index must not advise: $folded")
+
+    // a deletion backlog advises too (vacuum/compaction drains it),
+    // and n_items drops to the probe's view while n_rows stays physical
+    val nAll = folded._3
+    SigIndex.deleteVectors(spark, Seq(0L, 1L, 2L), "h_sig", d)
+    val pending = rowOf("h_sig")
+    assert(pending._6 == 3L && pending._7,
+      s"deletion backlog must advise compaction: $pending")
+    assert(pending._3 == nAll - 3 && pending._2 == folded._2,
+      s"n_items is the serving view, n_rows stays physical: $pending")
+    SigIndex.compactInPlace(spark, "h_sig", d)
+    val drained = rowOf("h_sig")
+    assert(drained._6 == 0L && !drained._7 && drained._3 == nAll - 3,
+      s"compaction must drain the ledger: $drained")
+  }
+
+  test("degradation: one damaged index lists as placeholders; empty stats sum to 0; listing skips heal under a live writer lock (ADVICE r12)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-catd").toString
+    SigIndex.build(spark, vectors, "d_sig", d)
+    TextIndex.build(spark, documents, "d_bm25", d)
+
+    // damage the bm25 stats table: its row degrades, the listing lives
+    val statsDir = new org.apache.hadoop.fs.Path(s"$d/d_bm25/stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(statsDir, true)
+    val got = IndexCatalog.list(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("d_bm25")._1 == "bm25" &&
+      got("d_bm25")._2 == IndexCatalog.Damaged &&
+      got("d_bm25")._3 == IndexCatalog.Damaged,
+      s"damaged index must degrade, not fail: ${got("d_bm25")}")
+    assert(got("d_sig")._2 > 0, "healthy indexes list normally beside it")
+
+    // a STAGED commit + live writer lock: list() must not heal (the
+    // writer finishes its own promotion) — the old index keeps listing
+    SigIndex.stageRebuildInPlace(spark, vectors, "d_sig", d, nbits = 64)
+    graft.pipeline.TierCommit.writeManifest(spark, d, Seq(s"$d/d_sig"))
+    graft.pipeline.TierCommit.withWriteLock(spark, d) {
+      val during = IndexCatalog.list(spark, d).collect().map(_.getString(0))
+      assert(during.contains("d_sig"), s"listing under lock: ${during.toSeq}")
+      val fsm = new org.apache.hadoop.fs.Path(
+        s"$d/${graft.pipeline.TierCommit.ManifestName}")
+      assert(fs.exists(fsm),
+        "list() must NOT heal (promote the manifest) while the lock is held")
+    }
+    // lock released (writer died): the next listing heals forward
+    IndexCatalog.list(spark, d).collect()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$d/${graft.pipeline.TierCommit.ManifestName}")),
+      "after the lock clears, list() heals the interrupted commit")
+  }
 }

@@ -226,4 +226,51 @@ class IvfIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_det2_cells")
     }
   }
+
+  test("deletion under frozen centroids: suppressed == oversampled-probe-minus-deleted; vacuum is invisible and clears the ledger") {
+    import graft.operators.Tombstones
+    val d = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(spark, vectors, "ivf_del", d)
+    try {
+      val queries = vectors.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val deleted = vectors.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(deleted.nonEmpty)
+      // the frozen-centroid reference: probe BEFORE deletion with an
+      // exhaustive topk, drop deleted candidates, re-cut top-3 — what a
+      // suppression-only deletion must reproduce exactly
+      val big = IvfIndex.probe(spark, "ivf_del", d, queries, topk = 100000)
+        .collect().filterNot(r => deleted(r.getLong(1)))
+        .groupBy(_.getLong(0)).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3).toSeq
+        }.sortBy(r => (r.getLong(0), -r.getDouble(2), r.getLong(1)))
+
+      IvfIndex.deleteVectors(spark, deleted.toSeq, "ivf_del", d)
+      def probed = IvfIndex.probe(spark, "ivf_del", d, queries, topk = 3)
+        .orderBy(col("qid"), col("cos_sim").desc_nulls_last, col("cid"))
+        .collect().toSeq
+      val got = probed
+      assert(got == big && got.nonEmpty,
+        s"deletion must be pure candidate suppression:\n$got\nvs\n$big")
+
+      // vacuum: physical drop, identical answers, ledger cleared
+      IvfIndex.vacuumInPlace(spark, "ivf_del", d)
+      assert(Tombstones.count(spark, s"$d/ivf_del_tombstones") == 0)
+      assert(spark.read.parquet(s"$d/ivf_del_cells")
+        .filter(col("vid").isin(deleted.take(20).toSeq: _*)).count() == 0,
+        "vacuum must drop tombstoned vectors physically")
+      assert(probed == big, "vacuum must not change any answer")
+
+      // rebuild = new corpus snapshot: ledger cleared, full answers back
+      IvfIndex.deleteVectors(spark, deleted.take(5).toSeq, "ivf_del", d)
+      IvfIndex.rebuildInPlace(spark, vectors, "ivf_del", d)
+      assert(Tombstones.count(spark, s"$d/ivf_del_tombstones") == 0,
+        "rebuildInPlace must clear the deletion ledger")
+      assert(probed.map(_.getLong(1)).exists(deleted),
+        "after the rebuild the formerly deleted vectors are candidates again")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_del_cells")
+    }
+  }
 }

@@ -213,4 +213,35 @@ class IvfPqIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivfpq_det2_codes")
     }
   }
+
+  test("deletion: suppressed candidates never surface; vacuum is invisible and clears the ledger") {
+    import graft.operators.Tombstones
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfPqIndex.build(spark, vectors, "ivfpq_del", d, m, subDim, ksub, iters)
+    try {
+      val deleted = vectors.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      assert(deleted.nonEmpty)
+      IvfPqIndex.deleteVectors(spark, deleted, "ivfpq_del", d)
+      def probed = IvfPqIndex.probe(spark, "ivfpq_del", d, queries, corpus,
+          cand = 20, topk = 5)
+        .orderBy(col("qid"), col("cid")).collect().toSeq
+      val after = probed
+      assert(after.nonEmpty &&
+        !after.map(_.getLong(1)).exists(deleted.toSet),
+        "a deleted vector must never surface in any shortlist")
+
+      // vacuum: physical drop of the code rows, identical answers,
+      // ledger cleared — the logical-suppression == physical-drop
+      // identity that makes tombstones safe to defer
+      IvfPqIndex.vacuumInPlace(spark, "ivfpq_del", d)
+      assert(Tombstones.count(spark, s"$d/ivfpq_del_tombstones") == 0)
+      assert(spark.read.parquet(s"$d/ivfpq_del_codes")
+        .filter(col("vid").isin(deleted.take(20): _*)).count() == 0,
+        "vacuum must drop tombstoned vectors' code rows physically")
+      assert(probed == after, "vacuum must not change any answer")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_del_codes")
+    }
+  }
 }

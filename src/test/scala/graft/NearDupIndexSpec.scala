@@ -230,11 +230,115 @@ class NearDupIndexSpec extends SparkSpec {
     // refused loudly — probing with mismatched signatures would
     // silently miss pairs
     graft.operators.IndexMeta.write(spark, s"$d/nd_fresh/meta.json",
-      Map("buckets" -> 16L, "perms" -> 32L, "bands" -> 8L, "band_rows" -> 4L))
+      Map("buckets" -> 16L, "perms" -> 32L, "bands" -> 8L,
+        "band_rows" -> 4L, "format" -> NearDupIndex.FormatVersion))
     val e = intercept[Exception] {
       NearDupIndex.probe(spark, "nd_fresh", d, batch)
     }
     assert(e.getMessage.contains("banding geometry"),
       s"mismatched geometry must be refused, got: ${e.getMessage}")
+
+    // a PRE-HASH sidecar (no format key — raw-string shingle sets,
+    // VERDICT r12 #4) is refused with a rebuild message, never fed
+    // string arrays into the hashed verifier
+    graft.operators.IndexMeta.write(spark, s"$d/nd_fresh/meta.json",
+      Map("buckets" -> 16L, "perms" -> 64L, "bands" -> 16L,
+        "band_rows" -> 4L))
+    val e2 = intercept[Exception] {
+      NearDupIndex.probe(spark, "nd_fresh", d, batch)
+    }
+    assert(e2.getMessage.contains("layout format"),
+      s"pre-hash layout must be refused, got: ${e2.getMessage}")
+  }
+
+  test("probe cap: all-dup batch exercises the distributed fallback — identical answers, no driver IN list") {
+    val d = tmp()
+    NearDupIndex.build(spark, history, "nd_cap", d)
+    val collected = probeSorted(spark, "nd_cap", d).collect().toSeq
+    assert(collected == expected && collected.nonEmpty)
+
+    // drop the cap below the fixture's own collision count so the SAME
+    // batch takes the distributed path — answers must be identical and
+    // the shingle fetch must be a semi-join, not a pushed IN list
+    val old = spark.conf.getOption("spark.graft.neardup.maxCollectedPairs")
+    spark.conf.set("spark.graft.neardup.maxCollectedPairs", "1")
+    try {
+      val probe = probeSorted(spark, "nd_cap", d)
+      assert(probe.collect().toSeq == collected,
+        "fallback path must find exactly the collected path's pairs")
+      assert(!probe.queryExecution.executedPlan.toString.contains("In(doc_id"),
+        "fallback must not route a driver-side IN list")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.graft.neardup.maxCollectedPairs", v)
+        case None => spark.conf.unset("spark.graft.neardup.maxCollectedPairs")
+      }
+    }
+  }
+
+  test("deletion: probe-after-delete == fresh-build-minus-deleted; compaction drains; build clears a stale ledger") {
+    val d = tmp()
+    val dRef = tmp()
+    NearDupIndex.build(spark, history, "nd_del", d)
+    val deleted = history.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    // the ledger records only INDEXED documents (those with a shingle
+    // row — a <3-token doc never indexed anything)
+    val indexedDeleted = spark.read.parquet(s"$d/nd_del/shingles")
+      .filter(col("doc_id").isin(deleted: _*)).count()
+    // delete twice: the second call must dedupe to a no-op ledger-wise
+    NearDupIndex.deleteDocs(spark, deleted, "nd_del", d)
+    NearDupIndex.deleteDocs(spark, deleted.take(3), "nd_del", d)
+    assert(graft.operators.Tombstones
+      .count(spark, s"$d/nd_del/tombstones") == indexedDeleted,
+      "re-deleting ids must not double-record them")
+
+    NearDupIndex.build(spark,
+      history.filter(pmod(col("doc_id"), lit(7)) =!= 1), "nd_ref", dRef)
+    val want = probeSorted(spark, "nd_ref", dRef).collect().toSeq
+    val got = probeSorted(spark, "nd_del", d).collect().toSeq
+    assert(got == want && want.nonEmpty,
+      s"probe after delete must equal fresh build minus deleted:\n$got\nvs\n$want")
+
+    // compaction physically drops tombstoned rows and clears the ledger
+    NearDupIndex.compactInPlace(spark, "nd_del", d)
+    assert(graft.operators.Tombstones.count(spark, s"$d/nd_del/tombstones") == 0)
+    assert(spark.read.parquet(s"$d/nd_del/shingles")
+      .filter(col("doc_id").isin(deleted.take(20): _*)).count() == 0,
+      "compaction must drop tombstoned documents physically")
+    assert(probeSorted(spark, "nd_del", d).collect().toSeq == want)
+
+    // a rebuild over the reused dir must not inherit the (now empty)
+    // ledger's semantics: full history again, original answers
+    NearDupIndex.deleteDocs(spark, deleted.take(5), "nd_del", d)
+    NearDupIndex.rebuildInPlace(spark, history, "nd_del", d)
+    assert(graft.operators.Tombstones.count(spark, s"$d/nd_del/tombstones") == 0,
+      "rebuildInPlace must clear the deletion ledger (new corpus snapshot)")
+    assert(probeSorted(spark, "nd_del", d).collect().toSeq == expected)
+  }
+
+  test("deletion x streaming: a redelivered batch cannot resurrect a deleted document") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val d = tmp()
+    val m = NearDupIndex.Meta(buckets = 16)
+    val rows = history.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    NearDupIndexStream.processBatch(b1.toDF("doc_id", "text"),
+      "nd_sdel", d, m, batchId = 0L)
+    NearDupIndexStream.processBatch(b2.toDF("doc_id", "text"),
+      "nd_sdel", d, m, batchId = 1L)
+    val deleted = history.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    NearDupIndex.deleteDocs(spark, deleted, "nd_sdel", d)
+    val want = probeSorted(spark, "nd_sdel", d).collect().toSeq
+    // redeliver batch 1 (its docs include deleted ids): the segment is
+    // rewritten with identical content, but the tombstone ledger is
+    // independent of segment rewrites — the deletion must survive
+    NearDupIndexStream.processBatch(b2.toDF("doc_id", "text"),
+      "nd_sdel", d, m, batchId = 1L)
+    assert(probeSorted(spark, "nd_sdel", d).collect().toSeq == want,
+      "a replayed segment must not resurrect tombstoned documents")
   }
 }

@@ -477,6 +477,61 @@ class SigIndexSpec extends SparkSpec {
         col("q").as("qq"), col("n2").as("qn2")), topk = 3).count() > 0)
   }
 
+  test("deletion: probe-after-delete == fresh-build-minus-deleted; compaction drains the ledger") {
+    import graft.operators.Tombstones
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val dRef = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark, vectors, "sig_del", d)
+    val deleted = vectors.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    SigIndex.deleteVectors(spark, deleted, "sig_del", d)
+    SigIndex.deleteVectors(spark, deleted.take(4), "sig_del", d) // dedupe
+    assert(Tombstones.count(spark, s"$d/sig_del/tombstones") == deleted.size)
+
+    SigIndex.build(spark,
+      vectors.filter(pmod(col("vec_id"), lit(7)) =!= 3), "sig_ref", dRef)
+    val want = probeSorted(spark, "sig_ref", dRef).collect().toSeq
+    val got = probeSorted(spark, "sig_del", d).collect().toSeq
+    assert(got == want && want.nonEmpty,
+      s"probe after delete must equal fresh build minus deleted:\n$got\nvs\n$want")
+
+    // compaction physically drops tombstoned rows and clears the ledger
+    SigIndex.compactInPlace(spark, "sig_del", d)
+    assert(Tombstones.count(spark, s"$d/sig_del/tombstones") == 0)
+    assert(spark.read.parquet(s"$d/sig_del/sigs")
+      .filter(col("vid").isin(deleted.take(20): _*)).count() == 0,
+      "compaction must drop tombstoned vectors physically")
+    assert(probeSorted(spark, "sig_del", d).collect().toSeq == want)
+
+    // rebuild = new corpus snapshot: ledger cleared, full answers back
+    SigIndex.deleteVectors(spark, deleted.take(5), "sig_del", d)
+    SigIndex.rebuildInPlace(spark, vectors, "sig_del", d)
+    assert(Tombstones.count(spark, s"$d/sig_del/tombstones") == 0,
+      "rebuildInPlace must clear the deletion ledger")
+    assert(probeSorted(spark, "sig_del", d).collect().toSeq ==
+      expected.collect().toSeq)
+  }
+
+  test("typed passenger contract: a same-named delta column with a different type is refused (ADVICE r12)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    SigIndex.build(spark,
+      vectors.withColumn("src", concat(lit("s"),
+        pmod(col("vec_id"), lit(4)).cast("string"))), "sig_typed", d)
+    // same column NAME, different TYPE (int vs string): a name-only
+    // check would accept this and write a mixed-type segment
+    val e = intercept[Exception] {
+      SigIndex.appendDelta(spark,
+        vectors.select(col("vec_id") + 100000L as "vec_id", col("q"),
+          col("n2"), pmod(col("vec_id"), lit(4)).cast("int").as("src")),
+        "sig_typed", d)
+    }
+    assert(e.getMessage.contains("passenger columns"),
+      s"typed mismatch must be refused, got: ${e.getMessage}")
+    assert(SigIndex.segmentIds(spark, "sig_typed", d) == Seq(0L),
+      "the refused delta must leave no segment behind")
+  }
+
   /** Every message down the cause chain (Spark wraps a raise_error from
     * an executor in SparkException layers). */
   private def exceptionChain(e: Throwable): Seq[String] =

@@ -20,10 +20,16 @@ class TextIndexSpec extends SparkSpec {
 
   /** Independent full-scan recomputation (q91's flow restricted to
     * matched docs) — the expected answer the index must reproduce. */
-  private def expected = {
+  private def expected = expectedOver(documents)
+
+  /** [[expected]] over an arbitrary document population — the
+    * reference for the deletion identity (probe-after-delete ==
+    * fresh-scoring-minus-deleted) and probeWhere's within-population
+    * semantics (fresh scoring over the subpopulation). */
+  private def expectedOver(docs: org.apache.spark.sql.DataFrame) = {
     val ts = TextOps.tokens(col("text"))
     def tf(t: String) = size(filter(ts, x => x === lit(t))).cast("long")
-    val base = documents.select(
+    val base = docs.select(
       (Seq(col("doc_id"), col("source"), size(ts).cast("long").as("dl")) ++
         terms.map(t => tf(t).as(s"tf_$t"))): _*)
     val stats = base.agg(
@@ -267,5 +273,125 @@ class TextIndexSpec extends SparkSpec {
     val b = TextIndex.probe(spark, "bm25_det2", d2, terms, 25)
       .collect().toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("deletion (the HARD case): stats subtraction makes probe-after-delete == fresh scoring minus deleted") {
+    import graft.operators.Tombstones
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // split across two segments so the tombstones cut across segment
+    // boundaries (the cross-segment statistics are the point)
+    TextIndex.build(spark,
+      documents.filter(pmod(col("doc_id"), lit(2)) === 0), "bm25_del", d)
+    TextIndex.appendDelta(spark,
+      documents.filter(pmod(col("doc_id"), lit(2)) === 1), "bm25_del", d)
+    val deleted = documents.filter(pmod(col("doc_id"), lit(10)) === 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    TextIndex.deleteDocs(spark, deleted, "bm25_del", d)
+    TextIndex.deleteDocs(spark, deleted.take(3), "bm25_del", d) // dedupe
+    assert(Tombstones.count(spark, s"$d/bm25_del/tombstones") == deleted.size)
+
+    val want = expectedOver(
+      documents.filter(pmod(col("doc_id"), lit(10)) =!= 2)).collect().toSeq
+    val got = TextIndex.probe(spark, "bm25_del", d, terms, 25)
+      .collect().toSeq
+    // score doubles shift for EVERY row when n_docs/total_tokens/df
+    // change — equality here proves the subtraction is exact
+    assert(got == want && want.nonEmpty,
+      s"deletion must shift global statistics exactly:\n$got\nvs\n$want")
+
+    // compaction drains: rows dropped, stats recomputed, ledger cleared
+    TextIndex.compactInPlace(spark, "bm25_del", d)
+    assert(Tombstones.count(spark, s"$d/bm25_del/tombstones") == 0)
+    assert(spark.read.parquet(s"$d/bm25_del/doclens")
+      .filter(col("doc_id").isin(deleted.take(20): _*)).count() == 0)
+    assert(TextIndex.probe(spark, "bm25_del", d, terms, 25)
+      .collect().toSeq == want)
+  }
+
+  test("deleting a document with NO query term still shifts every score (pure statistics subtraction)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // doc 3 shares no term with the query: deleting it changes no
+    // pruned posting list — the ONLY channel to the scores is the
+    // (n_docs, total_tokens) subtraction from the tombstone's recorded
+    // dl, which is what this pins (every surviving row's score shifts)
+    val tiny = Seq(
+      (1L, "a", "spark table spark hash"),
+      (2L, "a", "table hash table"),
+      (3L, "b", "entirely unrelated words here"),
+      (4L, "b", "spark spark hash table")).toDF("doc_id", "source", "text")
+    TextIndex.build(spark, tiny, "bm25_zero", d)
+    val before = TextIndex.probe(spark, "bm25_zero", d, terms, 25)
+      .collect().toSeq
+    TextIndex.deleteDocs(spark, Seq(3L), "bm25_zero", d)
+    val want = expectedOver(tiny.filter(col("doc_id") =!= 3L)).collect().toSeq
+    val got = TextIndex.probe(spark, "bm25_zero", d, terms, 25)
+      .collect().toSeq
+    assert(got == want && want.nonEmpty,
+      s"an off-list doc's deletion must shift the statistics:\n$got\nvs\n$want")
+    assert(got.map(_.getLong(0)) == before.map(_.getLong(0)) && got != before,
+      "same survivors, different scores — the shift is pure statistics")
+  }
+
+  test("probeWhere: within-population statistics == fresh scoring over the subpopulation; predicate pushed") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextIndex.build(spark, documents, "bm25_pop", d)
+    val srcs = documents.select(col("source")).distinct()
+      .orderBy(col("source")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val pred = col("source").isin(srcs: _*)
+    val probe = TextIndex.probeWhere(spark, "bm25_pop", d, terms, 25, pred)
+    val want = expectedOver(documents.filter(pred)).collect().toSeq
+    val got = probe.collect().toSeq
+    assert(got == want && want.nonEmpty,
+      s"probeWhere must be a fresh BM25 over the population:\n$got\nvs\n$want")
+
+    // the population predicate reaches the parquet scans as a pushed
+    // filter (postings carry source as a passenger column)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val postingScans = allScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    assert(postingScans.nonEmpty && postingScans.forall(
+      _.metadata.get("PushedFilters").exists(_.contains("In(source"))),
+      s"population predicate must push into the posting scan:\n" +
+        probe.queryExecution.executedPlan)
+
+    // deletion composes: tombstoned docs leave population, candidates,
+    // and statistics alike
+    val delIds = documents.filter(pred && pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(delIds.nonEmpty)
+    TextIndex.deleteDocs(spark, delIds, "bm25_pop", d)
+    val want2 = expectedOver(documents.filter(pred &&
+      pmod(col("doc_id"), lit(3)) =!= 1)).collect().toSeq
+    assert(TextIndex.probeWhere(spark, "bm25_pop", d, terms, 25, pred)
+      .collect().toSeq == want2)
+  }
+
+  test("format 1 (no doclens) still probes; deletion and probeWhere refuse it with a rebuild message") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextIndex.build(spark, documents, "bm25_fmt", d)
+    val want = TextIndex.probe(spark, "bm25_fmt", d, terms, 25)
+      .collect().toSeq
+    // model a format-1 index: sidecar without the format key
+    graft.operators.IndexMeta.write(spark, s"$d/bm25_fmt/meta.json",
+      Map("buckets" -> 16L))
+    assert(TextIndex.probe(spark, "bm25_fmt", d, terms, 25)
+      .collect().toSeq == want, "format 1 must still serve plain probes")
+    assert(intercept[Exception] {
+      TextIndex.deleteDocs(spark, Seq(1L), "bm25_fmt", d)
+    }.getMessage.contains("format 1"))
+    assert(intercept[Exception] {
+      TextIndex.probeWhere(spark, "bm25_fmt", d, terms, 25, lit(true))
+    }.getMessage.contains("format 1"))
   }
 }
