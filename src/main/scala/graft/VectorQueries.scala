@@ -1476,14 +1476,20 @@ object VectorQueries {
     * ADC + shortlist + exact rescore. Shared VERBATIM with q197 (the
     * persisted-index probe): identical training math means the probe
     * of the written index must reproduce these rows bit-for-bit. */
-  private def ivfPqOracle: String = s"""
+  private def ivfPqOracle: String = ivfPqOracleWhere("")
+
+  /** [[ivfPqOracle]] with an extra candidate-side predicate — q222's
+    * deletion identity reuses the whole training/ADC/rescore replay
+    * with only the deleted population excluded from candidates (the
+    * frozen-centroid/frozen-codebook semantics deleteVectors keeps). */
+  private def ivfPqOracleWhere(candPred: String): String = s"""
       WITH $ivfSqlCte,
       ${pqChainCte("p")},
       probes AS (SELECT vid, cell FROM ranked
                  WHERE rn <= (SELECT np FROM kk) AND vid < 10),
       cand AS (SELECT pr.vid AS qid, c.vid AS cid
                FROM probes pr JOIN cells c
-                 ON c.cell = pr.cell AND c.vid <> pr.vid),
+                 ON c.cell = pr.cell AND c.vid <> pr.vid$candPred),
       adc AS (SELECT cand.qid, cand.cid,
                      CAST(sum(l.pdot) AS BIGINT) AS adc_dot
               FROM cand JOIN penc en ON en.vec_id = cand.cid
@@ -2876,6 +2882,45 @@ object VectorQueries {
       SELECT qid, cid, cos_sim FROM r WHERE rn <= 3
       ORDER BY qid ASC NULLS FIRST, cos_sim DESC NULLS LAST, cid ASC NULLS FIRST"""))
 
+  // --- q222: ERASURE from the persisted IVF-PQ index ----------------------
+  // q220's frozen-routing identity extended to the compressed family —
+  // the fifth and last deletable index gains its oracle: deletion
+  // suppresses code rows under FROZEN centroids AND codebooks (no
+  // retrain, no re-encode — the add-after-train contract append made),
+  // so the oracle replays q197's full training/ADC/rescore chain over
+  // the build population and excludes the deleted vectors from the
+  // candidate set only. Any tombstone leak surfaces as a wrong ADC
+  // integer or shortlist member.
+  private def ivfPqDelHandle(dir: String): (String, String) =
+    ("ivfpqd_" + math.abs(dir.hashCode).toString,
+      sys.props("java.io.tmpdir") + "/graft-ivfpqd-index")
+
+  private def ivfPqDeleteProbeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (name, idxDir) = ivfPqDelHandle(dir)
+    val e = quantized(spark, dir)
+    val corpus = e.select(col("vec_id").as("cid"), col("q").as("cq"),
+      col("n2").as("cn2"))
+    graft.operators.IvfPqIndex
+      .probe(spark, name, idxDir, ivfQueryVecs(spark, dir), corpus,
+        cand = PqCand, topk = PqTopK)
+      .orderBy(col("qid").asc_nulls_first,
+        col("cos_sim").desc_nulls_last, col("cid").asc_nulls_first)
+  }
+
+  private val q222 = Q(
+    (spark, dir) => {
+      val e = quantized(spark, dir)
+      val (name, idxDir) = ivfPqDelHandle(dir)
+      graft.pipeline.TierCommit.breakLock(spark, idxDir)
+      graft.operators.IvfPqIndex.build(spark, e, name, idxDir,
+        PqM, PqSubDim, PqKsub, PqIters)
+      val delIds = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.IvfPqIndex.deleteVectors(spark, delIds, name, idxDir)
+      ivfPqDeleteProbeOnly(spark, dir)
+    },
+    Some(ivfPqOracleWhere(" AND c.vid % 7 <> 3")))
+
   val all: Seq[(String, Q)] = Seq(
     "q25_cosine_topk" -> q25,
     "q26_ann_bucketed" -> q26,
@@ -2907,7 +2952,8 @@ object VectorQueries {
     "q215_filtered_ann" -> q215,
     "q216_prefiltered_ann" -> q216,
     "q217_sig_delete" -> q217,
-    "q220_ivf_delete" -> q220)
+    "q220_ivf_delete" -> q220,
+    "q222_ivfpq_delete" -> q222)
 
   /** Probe-ONLY serving twins (VERDICT r8 #5): open the already-built
     * persisted index by (name, dir) — geometry from the meta sidecar —
@@ -2924,5 +2970,6 @@ object VectorQueries {
     "q215_filtered_ann" -> (filteredAnnOnly(_, _)),
     "q216_prefiltered_ann" -> (prefilteredAnnOnly(_, _)),
     "q217_sig_delete" -> (sigDeleteProbeOnly(_, _)),
-    "q220_ivf_delete" -> (ivfDeleteProbeOnly(_, _)))
+    "q220_ivf_delete" -> (ivfDeleteProbeOnly(_, _)),
+    "q222_ivfpq_delete" -> (ivfPqDeleteProbeOnly(_, _)))
 }

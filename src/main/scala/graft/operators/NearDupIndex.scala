@@ -79,7 +79,7 @@ import org.apache.spark.sql.functions._
   * Reference capability analog: serving queries are index READS, not
   * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
   */
-object NearDupIndex {
+object NearDupIndex extends SegmentedLifecycle {
 
   /** Index geometry, fixed at build time. `buckets` is the band-hash
     * directory-pruning fanout; perms/bands/bandRows pin the banding the
@@ -87,6 +87,9 @@ object NearDupIndex {
     * so a future geometry change fails loudly instead of probing with
     * mismatched signatures). */
   final case class Meta(buckets: Int)
+  type M = Meta
+
+  protected def tables: Seq[String] = Seq("bands", "shingles")
 
   /** On-disk layout version: format 2 = shingle sets stored as 60-bit
     * gram hashes (ARRAY<BIGINT>, VERDICT r12 #4). A sidecar WITHOUT
@@ -96,16 +99,12 @@ object NearDupIndex {
     * verifier and silently find zero intersections. */
   val FormatVersion = 2L
 
-  private def metaFields(buckets: Int): Map[String, Long] = Map(
-    "buckets" -> buckets.toLong,
+  protected def metaFields(meta: Meta): Map[String, Long] = Map(
+    "buckets" -> meta.buckets.toLong,
     "perms" -> TextOps.MinhashPerms.toLong,
     "bands" -> TextOps.LshBands.toLong,
     "band_rows" -> TextOps.LshBandRows.toLong,
     "format" -> FormatVersion)
-
-  def writeMeta(spark: SparkSession, name: String, dir: String,
-                meta: Meta): Unit =
-    IndexMeta.write(spark, s"$dir/$name/meta.json", metaFields(meta.buckets))
 
   def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
     val m = IndexMeta.read(spark, s"$dir/$name/meta.json")
@@ -123,21 +122,6 @@ object NearDupIndex {
         "probing with mismatched signatures would silently miss pairs; " +
         "rebuildInPlace the index")
     Meta(m("buckets").toInt)
-  }
-
-  /** Existing segment ids, ascending — the [[TextIndex.segmentIds]]
-    * discipline (non-numeric directories skipped). */
-  def segmentIds(spark: SparkSession, name: String, dir: String)
-      : Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$name/bands")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName.stripPrefix("seg="))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong)
-      .sorted
   }
 
   /** Band postings for `docs` = (doc_id, text): (doc_id, band, bh, bb)
@@ -177,70 +161,28 @@ object NearDupIndex {
     TextOps.explodedShingles(docs, "doc_id", "text")
       .groupBy(col("doc_id")).agg(collect_set(Kmv.hash60(col("s"))).as("sh"))
 
+  /** ONE segment's payload — the shared tokenize+shingle pass feeding
+    * both tables. The lifecycle around it (build/appendDelta/
+    * writeDelta/compact/rebuild, locks, failed-append cleanup of BOTH
+    * tables, first-delta sidecar publication) is
+    * [[SegmentedLifecycle]]'s single shared skeleton (VERDICT r12 #7).
+    * Band postings and shingle sets carry no cross-segment statistics
+    * (both are per-document pure functions), so compaction is PURE
+    * CONCATENATION — probe answers identical by construction. */
+  protected def writeSegmentData(spark: SparkSession, data: DataFrame,
+                                 root: String, meta: Meta,
+                                 seg: Long): Unit =
+    writeSegment(spark, data, root, meta.buckets, seg)
+
   /** Mine `docs` = (doc_id, text) once and persist the index under
     * `<dir>/<name>` as segment 0. */
   def build(spark: SparkSession, docs: DataFrame, name: String,
-            dir: String, buckets: Int = 16): Meta = {
-    Tombstones.clear(spark, s"$dir/$name/tombstones") // fresh corpus
-    writeSegment(spark, docs, s"$dir/$name", buckets, seg = 0L)
-    val meta = Meta(buckets)
-    writeMeta(spark, name, dir, meta)
-    meta
-  }
+            dir: String, buckets: Int = 16): Meta =
+    build(spark, docs, name, dir, Meta(buckets))
 
-  /** Append `newDocs` as the next segment. Band/shingle cost is the
-    * DELTA only; existing segments are never read or touched.
-    * Contract: doc_ids disjoint from already-indexed ones (append-only
-    * corpus). The segment-id pick rides the dir's writer lock
-    * (VERDICT r11 #2) and a failed write deletes its own fresh segment
-    * directories — the [[TextIndex.appendDelta]] discipline. */
-  def appendDelta(spark: SparkSession, newDocs: DataFrame,
-                  name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      val segs = segmentIds(spark, name, dir)
-      require(segs.nonEmpty, s"index $name has no base segment")
-      val segId = segs.max + 1L
-      try writeDelta(spark, newDocs, name, dir,
-        readMeta(spark, name, dir), segId)
-      catch { case e: Throwable =>
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/bands/seg=$segId"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/shingles/seg=$segId"), true)
-        throw e
-      }
-    }
-
-  /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
-    * ingestion path ([[graft.streaming.NearDupIndexStream]] passes its
-    * batchId): per-segment overwrite makes a redelivered batch rewrite
-    * seg=<batchId> with identical content, so replays are absorbed BY
-    * IDEMPOTENCE (the [[TextIndex.writeDelta]] discipline). The
-    * sidecar is published by the FIRST delta and never rewritten. */
-  def writeDelta(spark: SparkSession, newDocs: DataFrame,
-                 name: String, dir: String, meta: Meta,
-                 segId: Long): Unit = {
-    writeSegment(spark, newDocs, s"$dir/$name", meta.buckets, segId)
-    if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
-      writeMeta(spark, name, dir, meta)
-  }
-
-  /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0.
-    * Band postings and shingle sets carry no cross-segment statistics
-    * (both are per-document pure functions), so compaction is PURE
-    * CONCATENATION — probe answers are identical by construction. */
-  def compactTo(spark: SparkSession, name: String, dir: String,
-                newName: String): Meta = {
-    val meta = readMeta(spark, name, dir)
-    compactToRoot(spark, name, dir, s"$dir/$newName", meta)
-    meta
-  }
-
-  private def compactToRoot(spark: SparkSession, name: String,
-                            dir: String, newRoot: String,
-                            meta: Meta): Unit = {
-    require(segmentIds(spark, name, dir).nonEmpty,
-      s"index $name has no segments")
+  protected def compactToRoot(spark: SparkSession, name: String,
+                              dir: String, newRoot: String,
+                              meta: Meta): Unit = {
     // compaction is the tombstone DRAIN: tombstoned documents' rows are
     // physically dropped and the tombstone segments are NOT copied —
     // the compacted root starts with an empty deletion ledger
@@ -254,7 +196,7 @@ object NearDupIndex {
         spark.read.parquet(s"$dir/$name/shingles"), "doc_id")
       .select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$newRoot/shingles/seg=0")
-    IndexMeta.write(spark, s"$newRoot/meta.json", metaFields(meta.buckets))
+    IndexMeta.write(spark, s"$newRoot/meta.json", metaFields(meta))
   }
 
   /** Tombstone `ids` (VERDICT r12 #1): every subsequent [[probe]]
@@ -281,43 +223,17 @@ object NearDupIndex {
           .filter(col("doc_id").isin(ids: _*)).select(col("doc_id")))
     }
 
-  /** Atomically REPLACE live index `name` with its own compaction —
-    * staged at the tier-commit swap path, promoted through ONE
-    * manifest; a probe sees all-old or all-new, never a mixed segment
-    * set. STREAMING ORDER CONTRACT: compact a stream-fed index only at
-    * a COMMITTED stream boundary (stream stopped; if its last run
-    * crashed, resumed once first) — see [[SigIndex.compactInPlace]]'s
-    * rationale, which applies verbatim. */
-  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir)
-      stageCompactInPlace(spark, name, dir)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
-
-  private[graft] def stageCompactInPlace(spark: SparkSession, name: String,
-                                         dir: String): Unit =
-    compactToRoot(spark, name, dir,
-      graft.pipeline.TierCommit.stagePath(s"$dir/$name"),
-      readMeta(spark, name, dir))
-
   /** Atomically REPLACE live index `name` with a full re-mine of
-    * `docs` — same stage-then-manifest-commit discipline. */
+    * `docs` — [[SegmentedLifecycle.rebuildInPlaceWith]]'s stage-then-
+    * manifest-commit discipline. */
   def rebuildInPlace(spark: SparkSession, docs: DataFrame, name: String,
                      dir: String, buckets: Int = 16): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir)
-      stageRebuildInPlace(spark, docs, name, dir, buckets)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
+    rebuildInPlaceWith(spark, docs, name, dir, Meta(buckets))
 
   private[graft] def stageRebuildInPlace(spark: SparkSession,
                                          docs: DataFrame, name: String,
-                                         dir: String, buckets: Int): Unit = {
-    val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
-    writeSegment(spark, docs, root, buckets, seg = 0L)
-    IndexMeta.write(spark, s"$root/meta.json", metaFields(buckets))
-  }
+                                         dir: String, buckets: Int): Unit =
+    stageRebuildWith(spark, docs, name, dir, Meta(buckets))
 
   /** Probe the persisted index with an incoming batch of
     * (doc_id, text) rows: "which corpus documents is this batch a

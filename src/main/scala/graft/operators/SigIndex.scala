@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
   * Reference capability analog: serving queries are index READS, not
   * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
   */
-object SigIndex {
+object SigIndex extends SegmentedLifecycle {
 
   /** Index geometry, fixed at build time: signature width in bits
     * (= the vector dimension; the signature column stores ⌈nbits/64⌉
@@ -57,6 +57,7 @@ object SigIndex {
     * `<dir>/<name>/meta.json`; probes read it, so opening the index
     * needs only (name, dir). */
   final case class Meta(nbits: Int)
+  type M = Meta
 
   /** On-disk layout version (ADVICE r11): format 2 = multi-word
     * ARRAY<BIGINT> signatures (round 11's 64-dim-cap lift). A sidecar
@@ -66,10 +67,10 @@ object SigIndex {
     * mixed-schema segments onto it. */
   val FormatVersion = 2L
 
-  def writeMeta(spark: SparkSession, name: String, dir: String,
-                meta: Meta): Unit =
-    IndexMeta.write(spark, s"$dir/$name/meta.json",
-      Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
+  protected def tables: Seq[String] = Seq("sigs")
+
+  protected def metaFields(meta: Meta): Map[String, Long] =
+    Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion)
 
   def readMeta(spark: SparkSession, name: String, dir: String): Meta = {
     val m = IndexMeta.read(spark, s"$dir/$name/meta.json")
@@ -79,25 +80,6 @@ object SigIndex {
         s"signatures); this reader needs format $FormatVersion " +
         "(ARRAY<BIGINT> multi-word) — rebuildInPlace the index")
     Meta(m("nbits").toInt)
-  }
-
-  /** Existing segment ids, ascending (driver-side metadata listing —
-    * segment counts are compaction-bounded: [[compactInPlace]] folds a
-    * long-running stream's accumulated segments back to one, VERDICT
-    * r10 #3). Non-numeric directories (an interrupted write's tmp, a
-    * foreign tool's droppings) are skipped, the
-    * [[TextIndex.segmentIds]] discipline. */
-  def segmentIds(spark: SparkSession, name: String, dir: String)
-      : Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$name/sigs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName.stripPrefix("seg="))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong)
-      .sorted
   }
 
   /** [[VectorOps.signSig]] guarded by a LOUD dimension check (ADVICE
@@ -144,106 +126,51 @@ object SigIndex {
       // as containsNull=true — only the VALUE type is the contract
       .map(f => f.name -> f.dataType.sql).toSet)
 
-  /** Pack `vectors` once and persist the index under `<dir>/<name>` as
-    * segment 0. */
-  def build(spark: SparkSession, vectors: DataFrame, name: String,
-            dir: String, nbits: Int = 64): Meta = {
-    Tombstones.clear(spark, s"$dir/$name/tombstones") // a fresh corpus
-    pack(vectors, nbits).write.mode("overwrite")
-      .parquet(s"$dir/$name/sigs/seg=0")
-    val meta = Meta(nbits)
-    writeMeta(spark, name, dir, meta)
-    meta
-  }
+  /** ONE segment's payload: the map-only pack + write. The lifecycle
+    * around it — build/appendDelta/writeDelta/compact/rebuild, locks,
+    * cleanup, sidecar publication — is [[SegmentedLifecycle]]'s single
+    * shared skeleton (VERDICT r12 #7). */
+  protected def writeSegmentData(spark: SparkSession, data: DataFrame,
+                                 root: String, meta: Meta,
+                                 seg: Long): Unit =
+    pack(data, meta.nbits).write.mode("overwrite")
+      .parquet(s"$root/sigs/seg=$seg")
 
-
-  /** Add `newVectors` as the next segment. Pack/write cost is the
-    * DELTA only; existing segments are never read or touched.
-    * Contract: vec_ids disjoint from already-indexed ones.
-    *
-    * The segment-id pick rides the dir's writer lock (VERDICT r11 #2):
-    * `segs.max + 1` computed unlocked let two concurrent batch
-    * appenders choose the SAME segId and silently clobber each other
-    * via per-segment overwrite — now the loser raises at entry. The
-    * lock also excludes a concurrent compact/rebuild, whose whole-dir
-    * swap would otherwise graveyard (lose) a mid-flight append.
-    * Streaming [[writeDelta]] stays LOCK-FREE by design: its segId is
-    * caller-chosen (the batchId), and replay idempotence is the point. */
-  def appendDelta(spark: SparkSession, newVectors: DataFrame,
-                  name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      val segs = segmentIds(spark, name, dir)
-      require(segs.nonEmpty, s"index $name has no base segment")
-      val segId = segs.max + 1L
-      try writeDelta(spark, newVectors, name, dir,
-        readMeta(spark, name, dir), segId)
-      catch { case e: Throwable =>
-        // the segId is FRESH (picked under the lock), so the directory
-        // holds only the aborted job's droppings — an empty segment
-        // left behind would inflate segmentIds (and the next pick)
-        // forever; job-commit atomicity already kept data files out
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$name/sigs/seg=$segId")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        throw e
-      }
-    }
-
-  /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
-    * ingestion path ([[graft.streaming.SigStream]]): a foreachBatch
-    * sink passes its batchId; per-segment overwrite makes a redelivered
-    * batch rewrite seg=<batchId> with identical content, so replays are
-    * absorbed BY IDEMPOTENCE (the [[TextIndex.writeDelta]] discipline).
-    * The sidecar is published by the FIRST delta and never rewritten
-    * afterwards (its content cannot change across deltas — ADVICE r9's
-    * no-live-rewrite rule). */
-  def writeDelta(spark: SparkSession, newVectors: DataFrame,
-                 name: String, dir: String, meta: Meta,
-                 segId: Long): Unit = {
-    val packed = pack(newVectors, meta.nbits)
+  /** The TYPED passenger contract (ADVICE r12), enforced before every
+    * delta: a delta must carry the same passenger columns, with the
+    * same types, the index was built with — a mixed segment would
+    * break the unified read for every later probe. */
+  override protected def beforeDelta(spark: SparkSession, data: DataFrame,
+                                     name: String, dir: String,
+                                     meta: Meta): Unit =
     sigSchema(spark, name, dir).foreach { existing =>
-      val delta = packed.schema.map(f => f.name -> f.dataType.sql).toSet
+      val delta = pack(data, meta.nbits).schema
+        .map(f => f.name -> f.dataType.sql).toSet
       require(delta == existing,
         s"sig index $name delta columns $delta != indexed columns " +
           s"$existing — a delta must carry the same passenger columns, " +
           "with the same types, the index was built with")
     }
-    packed.write.mode("overwrite")
-      .parquet(s"$dir/$name/sigs/seg=$segId")
-    if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
-      writeMeta(spark, name, dir, meta)
-  }
 
-  /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —
-    * the LSM lifecycle step that bounds a long-running [[appendDelta]]/
-    * [[graft.streaming.SigStream]] ingestion's segment count (VERDICT
-    * r10 #3). Signatures carry no cross-segment statistics (packing is
-    * a per-row pure function), so compaction is PURE CONCATENATION —
-    * strictly simpler than [[TextIndex.compactTo]]'s stats re-sum;
-    * probe answers are identical by construction (SigIndexSpec proves
-    * it bit for bit). */
-  def compactTo(spark: SparkSession, name: String, dir: String,
-                newName: String): Meta = {
-    val meta = readMeta(spark, name, dir)
-    compactToRoot(spark, name, dir, s"$dir/$newName", meta)
-    meta
-  }
+  /** Pack `vectors` once and persist the index under `<dir>/<name>` as
+    * segment 0. */
+  def build(spark: SparkSession, vectors: DataFrame, name: String,
+            dir: String, nbits: Int = 64): Meta =
+    build(spark, vectors, name, dir, Meta(nbits))
 
-  /** The compaction rewrite itself, to an arbitrary ROOT directory —
-    * shared by [[compactTo]] (rewrite to a sibling name) and
-    * [[compactInPlace]] (stage at the tier-commit swap path). */
-  private def compactToRoot(spark: SparkSession, name: String,
-                            dir: String, newRoot: String,
-                            meta: Meta): Unit = {
-    require(segmentIds(spark, name, dir).nonEmpty,
-      s"index $name has no segments")
-    // compaction drains the deletion ledger: tombstoned vectors are
-    // physically dropped and the tombstone segments are NOT copied
+  /** Signatures carry no cross-segment statistics (packing is a
+    * per-row pure function), so compaction is PURE CONCATENATION —
+    * strictly simpler than [[TextIndex]]'s stats re-sum; probe answers
+    * are identical by construction (SigIndexSpec proves it bit for
+    * bit). Tombstoned vectors are dropped and the ledger cleared. */
+  protected def compactToRoot(spark: SparkSession, name: String,
+                              dir: String, newRoot: String,
+                              meta: Meta): Unit = {
     val all = Tombstones.antiJoin(spark, s"$dir/$name/tombstones",
       spark.read.parquet(s"$dir/$name/sigs"), "vid")
     all.select(all.columns.filterNot(_ == "seg").map(col): _*) // drop `seg`
       .write.mode("overwrite").parquet(s"$newRoot/sigs/seg=0")
-    IndexMeta.write(spark, s"$newRoot/meta.json",
-      Map("nbits" -> meta.nbits.toLong, "format" -> FormatVersion))
+    IndexMeta.write(spark, s"$newRoot/meta.json", metaFields(meta))
   }
 
   /** Tombstone `ids` (VERDICT r12 #1): every subsequent probe behaves
@@ -269,68 +196,20 @@ object SigIndex {
           .filter(col("vid").isin(ids: _*)).select(col("vid")))
     }
 
-  /** Atomically REPLACE live index `name` with its own compaction:
-    * the rewrite is staged at the tier-commit swap path (the live
-    * segments are never touched while it runs), then promoted through
-    * the manifest-pinned [[graft.pipeline.TierCommit]] — a probe sees
-    * all-old (every segment) or all-new (one segment), never a mixed
-    * segment set (SigIndexSpec crash-injects both sides of the commit
-    * point, the [[TextIndex.compactInPlace]] pattern). Readers
-    * entering from outside the writing process call
-    * `TierCommit.heal(spark, dir)` first, like every tier.
-    *
-    * STREAMING ORDER CONTRACT: compact a [[graft.streaming.SigStream]]-
-    * fed index only at a COMMITTED stream boundary — stream stopped,
-    * and if its last run crashed, RESUMED ONCE FIRST so the pending
-    * micro-batch replay is absorbed before the rewrite. Rationale:
-    * replay idempotence is per-SEGMENT (a redelivered batch rewrites
-    * seg=<batchId> with identical content), but compaction folds every
-    * segment into seg=0 — a batch written, not yet checkpoint-
-    * committed, then compacted, then redelivered would land as a NEW
-    * segment duplicating rows already inside seg=0. Resuming first
-    * forecloses the window (Structured Streaming never redelivers a
-    * checkpoint-committed batch); SigIndexSpec proves the safe
-    * sequence end to end (stream → stop → compact → resume → probe ==
-    * fresh build). Same contract as [[TextIndex.compactInPlace]]. */
-  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-      stageCompactInPlace(spark, name, dir)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
-
-  /** The staging half of [[compactInPlace]] — split out so the spec
-    * can stop the world at the crash point between stage and commit. */
-  private[graft] def stageCompactInPlace(spark: SparkSession, name: String,
-                                         dir: String): Unit =
-    compactToRoot(spark, name, dir,
-      graft.pipeline.TierCommit.stagePath(s"$dir/$name"),
-      readMeta(spark, name, dir))
-
   /** Atomically REPLACE live index `name` with a full repack of
-    * `vectors`: signatures and sidecar staged at the tier-commit swap
-    * path and promoted through ONE manifest — a probe sees all-old or
-    * (after [[graft.pipeline.TierCommit.heal]]) all-new, never a mixed
-    * root. Readers entering from outside the writing process call
-    * `TierCommit.heal(spark, dir)` first, like every tier. */
+    * `vectors` — [[SegmentedLifecycle.rebuildInPlaceWith]] through the
+    * manifest-pinned tier commit; a probe sees all-old or (after
+    * [[graft.pipeline.TierCommit.heal]]) all-new, never a mixed root. */
   def rebuildInPlace(spark: SparkSession, vectors: DataFrame, name: String,
                      dir: String, nbits: Int = 64): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-      stageRebuildInPlace(spark, vectors, name, dir, nbits)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
+    rebuildInPlaceWith(spark, vectors, name, dir, Meta(nbits))
 
-  /** The staging half of [[rebuildInPlace]] — split out so the spec
-    * can stop the world at the crash point between stage and commit. */
+  /** The staging half of [[rebuildInPlace]] — split out so specs can
+    * stop the world at the crash point between stage and commit. */
   private[graft] def stageRebuildInPlace(spark: SparkSession,
                                          vectors: DataFrame, name: String,
-                                         dir: String, nbits: Int): Unit = {
-    val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
-    pack(vectors, nbits).write.mode("overwrite").parquet(s"$root/sigs/seg=0")
-    IndexMeta.write(spark, s"$root/meta.json",
-      Map("nbits" -> nbits.toLong, "format" -> FormatVersion))
-  }
+                                         dir: String, nbits: Int): Unit =
+    stageRebuildWith(spark, vectors, name, dir, Meta(nbits))
 
   /** The LAZY ranking half of a probe: pack each query's signature,
     * broadcast the query signatures against a (vid, sig) column-pruned

@@ -80,7 +80,7 @@ import org.apache.spark.sql.functions._
   * Reference capability analog: serving queries are index READS, not
   * rebuilds (scripts/query_duckdb.py:12-25 reads loaded tables).
   */
-object TextIndex {
+object TextIndex extends SegmentedLifecycle {
 
   /** Index geometry, fixed at build time and needed again at probe
     * time. PERSISTED as `<dir>/<name>/meta.json` (VERDICT r8 #2) by
@@ -89,6 +89,7 @@ object TextIndex {
     * replay-idempotent); probe/append/compact read it, so opening an
     * index needs only (name, dir). */
   final case class Meta(buckets: Int)
+  type M = Meta
 
   /** On-disk layout version: format 2 adds the `doclens/seg=<k>/`
     * table — (doc_id, source, dl), one tiny row per document — which
@@ -99,10 +100,10 @@ object TextIndex {
     * message, never a silent wrong answer. */
   val FormatVersion = 2L
 
-  def writeMeta(spark: SparkSession, name: String, dir: String,
-                meta: Meta): Unit =
-    IndexMeta.write(spark, s"$dir/$name/meta.json",
-      Map("buckets" -> meta.buckets.toLong, "format" -> FormatVersion))
+  protected def tables: Seq[String] = Seq("postings", "stats", "doclens")
+
+  protected def metaFields(meta: Meta): Map[String, Long] =
+    Map("buckets" -> meta.buckets.toLong, "format" -> FormatVersion)
 
   def readMeta(spark: SparkSession, name: String, dir: String): Meta =
     Meta(IndexMeta.read(spark, s"$dir/$name/meta.json")("buckets").toInt)
@@ -115,27 +116,6 @@ object TextIndex {
       s"bm25 index $name at $dir has layout format $fmt (no doclens " +
         s"table); $verb needs format $FormatVersion — rebuildInPlace " +
         "the index")
-  }
-
-  /** Existing segment ids, ascending (driver-side metadata listing —
-    * segment counts are compaction-bounded). `seg` is itself a hive
-    * partition level (`postings/seg=<k>/tb=<b>/`), so ONE read of the
-    * postings root sees every segment with uniform discovery, and the
-    * tb directory pruning applies across all of them. */
-  def segmentIds(spark: SparkSession, name: String, dir: String)
-      : Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$name/postings")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName.stripPrefix("seg="))
-      // a stray non-numeric directory (an interrupted write's tmp, a
-      // foreign tool's droppings) must not take down every probe with
-      // NumberFormatException — skip what is not a segment (ADVICE r8)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong)
-      .sorted
   }
 
   private def tokenize(documents: DataFrame, buckets: Int)
@@ -170,95 +150,37 @@ object TextIndex {
       .parquet(s"$root/postings/seg=$seg")
   }
 
+  /** ONE segment's payload — tokenize once, write postings + stats +
+    * doclens. The lifecycle around it (build/appendDelta/writeDelta/
+    * compact/rebuild, locks, failed-append cleanup of ALL THREE tables
+    * — a stats/seg=N committed without its postings twin would corrupt
+    * every probe's global n_docs sum — and first-delta sidecar
+    * publication) is [[SegmentedLifecycle]]'s single shared skeleton
+    * (VERDICT r12 #7). */
+  protected def writeSegmentData(spark: SparkSession, data: DataFrame,
+                                 root: String, meta: Meta,
+                                 seg: Long): Unit = {
+    val (p, s, d) = tokenize(data, meta.buckets)
+    writeSegment(p, s, d, root, seg)
+  }
+
   /** Tokenize `documents` = (doc_id, source, text) once and persist
     * the index under `<dir>/<name>` as segment 0. */
   def build(spark: SparkSession, documents: DataFrame, name: String,
-            dir: String, buckets: Int = 16): Meta = {
-    Tombstones.clear(spark, s"$dir/$name/tombstones") // fresh corpus
-    val (p, s, d) = tokenize(documents, buckets)
-    writeSegment(p, s, d, s"$dir/$name", seg = 0L)
-    val meta = Meta(buckets)
-    writeMeta(spark, name, dir, meta)
-    meta
-  }
+            dir: String, buckets: Int = 16): Meta =
+    build(spark, documents, name, dir, Meta(buckets))
 
-  /** Append `newDocuments` as the next segment. Tokenize/write cost is
-    * the DELTA only; existing segments are never read or touched.
-    * Contract: doc_ids must be disjoint from already-indexed ones
-    * (append-only corpus — the same contract a doc store gives its
-    * index). Geometry is read from the persisted meta.
-    *
-    * The segment-id pick rides the dir's writer lock (VERDICT r11 #2):
-    * `segs.max + 1` computed unlocked let two concurrent batch
-    * appenders choose the SAME segId and silently clobber each other
-    * via per-segment overwrite — now the loser raises at entry. The
-    * lock also excludes a concurrent compact/rebuild, whose whole-dir
-    * swap would otherwise graveyard (lose) a mid-flight append.
-    * Streaming [[writeDelta]] stays LOCK-FREE by design: its segId is
-    * caller-chosen (the batchId), and replay idempotence is the point. */
-  def appendDelta(spark: SparkSession, newDocuments: DataFrame,
-                  name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      val segs = segmentIds(spark, name, dir)
-      require(segs.nonEmpty, s"index $name has no base segment")
-      val segId = segs.max + 1L
-      try writeDelta(spark, newDocuments, name, dir,
-        readMeta(spark, name, dir), segId)
-      catch { case e: Throwable =>
-        // the segId is FRESH (picked under the lock), so the segment
-        // directories hold only the aborted job's droppings — and a
-        // stats/seg=N committed without its postings/seg=N twin would
-        // corrupt every probe's global n_docs sum
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/stats/seg=$segId"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/doclens/seg=$segId"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name/postings/seg=$segId"), true)
-        throw e
-      }
-    }
-
-  /** [[appendDelta]] with a CALLER-CHOSEN segment id — the streaming
-    * ingestion path: a foreachBatch sink passes its batchId, and
-    * because each segment directory is written with mode=overwrite, a
-    * redelivered batch rewrites seg=<batchId> with identical content —
-    * replays are absorbed BY IDEMPOTENCE, no ledger needed (the
-    * BloomStream discipline). TextIndexSpec proves stream-built ==
-    * batch-built and replay no-op. */
-  def writeDelta(spark: SparkSession, newDocuments: DataFrame,
-                 name: String, dir: String, meta: Meta,
-                 segId: Long): Unit = {
-    val (p, s, d) = tokenize(newDocuments, meta.buckets)
-    writeSegment(p, s, d, s"$dir/$name", segId)
-    // a stream-built index (writeDelta only, no build) is just as
-    // self-describing — the FIRST delta publishes the sidecar. Once it
-    // exists it is never rewritten (its content cannot change across
-    // deltas), so a concurrent probe never races a live meta rewrite
-    // (ADVICE r9); replays stay idempotent either way.
-    if (!IndexMeta.exists(spark, s"$dir/$name/meta.json"))
-      writeMeta(spark, name, dir, meta)
-  }
-
-  /** Rewrite ALL of `name`'s segments into `newName`'s single seg=0 —
-    * a postings-level merge (documents are segment-disjoint, so the
-    * merge is a re-partitioned union; nothing re-tokenizes) plus a
-    * one-row stats sum. Probe answers are identical by construction;
-    * TextIndexSpec proves it bit-for-bit. */
-  def compactTo(spark: SparkSession, name: String, dir: String,
-                newName: String): Meta = {
-    val meta = readMeta(spark, name, dir)
-    compactToRoot(spark, name, dir, s"$dir/$newName", meta)
-    meta
-  }
-
-  /** The compaction rewrite itself, to an arbitrary ROOT directory —
-    * shared by [[compactTo]] (rewrite to a sibling name) and
-    * [[compactInPlace]] (stage at the tier-commit swap path). */
-  private def compactToRoot(spark: SparkSession, name: String,
-                            dir: String, newRoot: String,
-                            meta: Meta): Unit = {
-    require(segmentIds(spark, name, dir).nonEmpty,
-      s"index $name has no segments")
+  /** Compaction is a postings-level merge (documents are
+    * segment-disjoint, so the merge is a re-partitioned union; nothing
+    * re-tokenizes) with the stats RECOMPUTED from the surviving
+    * doclens rows — exact, because doclens is the doc-grain source of
+    * truth the per-segment sums derive from. Tombstoned documents'
+    * rows are physically dropped and the ledger cleared (not copied).
+    * Probe answers are identical by construction; TextIndexSpec proves
+    * it bit-for-bit. */
+  protected def compactToRoot(spark: SparkSession, name: String,
+                              dir: String, newRoot: String,
+                              meta: Meta): Unit = {
     requireFormat2(spark, name, dir, "compaction")
     // compaction drains the deletion ledger: tombstoned documents'
     // postings and doclens rows are physically dropped, the compacted
@@ -276,8 +198,7 @@ object TextIndex {
     val stats = doclens.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
     writeSegment(postings, stats, doclens, newRoot, seg = 0L)
-    IndexMeta.write(spark, s"$newRoot/meta.json",
-      Map("buckets" -> meta.buckets.toLong, "format" -> FormatVersion))
+    IndexMeta.write(spark, s"$newRoot/meta.json", metaFields(meta))
   }
 
   /** Tombstone `ids` (VERDICT r12 #1): every subsequent [[probe]]/
@@ -314,62 +235,19 @@ object TextIndex {
       Tombstones.append(spark, s"$dir/$name/tombstones", dl)
     }
 
-  /** Atomically REPLACE live index `name` with its own compaction
-    * (VERDICT r8 #3): the rewrite is staged at the tier-commit swap
-    * path (a sibling directory — the live segments are never touched
-    * while it runs), then promoted through the manifest-pinned
-    * [[graft.pipeline.TierCommit]], so a probe never observes a mixed
-    * segment set: before the manifest rename it reads all-old; after,
-    * [[graft.pipeline.TierCommit.heal]] rolls the promotion forward
-    * and it reads all-new — a crash anywhere between leaves one of
-    * exactly those two states (TextIndexSpec crash-injects the gap).
-    * Readers entering from outside the writing process follow the
-    * tier discipline: call `TierCommit.heal(spark, dir)` before
-    * probing. Single-writer per `dir`, like every tier commit.
-    *
-    * STREAMING ORDER CONTRACT: compact a stream-fed index only at a
-    * COMMITTED stream boundary — stream stopped, and if its last run
-    * crashed, resumed once first so the pending micro-batch replay is
-    * absorbed before the rewrite (a batch written, not yet
-    * checkpoint-committed, then compacted, then redelivered would
-    * land as a new segment duplicating rows already folded into
-    * seg=0). See [[SigIndex.compactInPlace]] for the full rationale. */
-  def compactInPlace(spark: SparkSession, name: String, dir: String): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir) // finish any prior commit
-      stageCompactInPlace(spark, name, dir)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
-
-  /** The staging half of [[compactInPlace]] — split out so the spec
-    * can stop the world at the crash point between stage and commit. */
-  private[graft] def stageCompactInPlace(spark: SparkSession, name: String,
-                                         dir: String): Unit =
-    compactToRoot(spark, name, dir,
-      graft.pipeline.TierCommit.stagePath(s"$dir/$name"),
-      readMeta(spark, name, dir))
-
   /** Atomically REPLACE live index `name` with a FULL REBUILD from
     * `documents` — the retrain path [[appendDelta]] deliberately does
-    * not cover (new corpus snapshot, changed bucket count): same
-    * stage-then-manifest-commit discipline as [[compactInPlace]]. */
+    * not cover (new corpus snapshot, changed bucket count):
+    * [[SegmentedLifecycle.rebuildInPlaceWith]]'s stage-then-manifest-
+    * commit discipline. */
   def rebuildInPlace(spark: SparkSession, documents: DataFrame,
                      name: String, dir: String, buckets: Int = 16): Unit =
-    graft.pipeline.TierCommit.withWriteLock(spark, dir) {
-      graft.pipeline.TierCommit.heal(spark, dir)
-      stageRebuildInPlace(spark, documents, name, dir, buckets)
-      graft.pipeline.TierCommit.commit(spark, dir, Seq(s"$dir/$name"))
-    }
+    rebuildInPlaceWith(spark, documents, name, dir, Meta(buckets))
 
   private[graft] def stageRebuildInPlace(spark: SparkSession,
                                          documents: DataFrame, name: String,
-                                         dir: String, buckets: Int): Unit = {
-    val root = graft.pipeline.TierCommit.stagePath(s"$dir/$name")
-    val (p, s, d) = tokenize(documents, buckets)
-    writeSegment(p, s, d, root, seg = 0L)
-    IndexMeta.write(spark, s"$root/meta.json",
-      Map("buckets" -> buckets.toLong, "format" -> FormatVersion))
-  }
+                                         dir: String, buckets: Int): Unit =
+    stageRebuildWith(spark, documents, name, dir, Meta(buckets))
 
   /** One BM25 term contribution — q91's EXACT arithmetic (operand
     * order pinned; the oracle replays it character for character).
