@@ -705,7 +705,10 @@ object AnalyticsQueries {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       val pairs = GraphOps.coOccurrenceCounts(li, "o", "p")
         .filter(col("m") >= LpMinM)
-      GraphOps.labelPropagate(pairs, "u", "v", iters = LpRounds)
+      // coOccurrenceCounts pairs are distinct/canonical; the m-filter
+      // preserves that — skip the operator's no-op dedup exchange
+      GraphOps.labelPropagate(pairs, "u", "v", iters = LpRounds,
+          canonical = true)
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc_nulls_last, col("community").asc)
@@ -1401,7 +1404,8 @@ object AnalyticsQueries {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       val edges = GraphOps.coOccurrencePairs(li, "o", "p").localCheckpoint()
-      val tri = GraphOps.trianglesPerNode(edges, "u", "v")
+      // already distinct/canonical — skip the operator's no-op dedup
+      val tri = GraphOps.trianglesPerNode(edges, "u", "v", canonical = true)
       val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       deg.filter(col("deg") >= 2L)

@@ -776,7 +776,9 @@ object RelationalQueries {
       // per-order set aggregate + map-side pair explode, no self-join
       val edges = operators.GraphOps.coOccurrencePairs(li, "o", "p")
         .localCheckpoint()
-      operators.GraphOps.triangleStats(edges, "u", "v")
+      // coOccurrencePairs output is already distinct/canonical (u < v,
+      // no self-loops) — canonical = true skips a no-op dedup exchange
+      operators.GraphOps.triangleStats(edges, "u", "v", canonical = true)
     },
     Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -207,8 +207,9 @@ object WarehouseQueries {
       // At sf0.1 this took q112 from 13.2 s to ~7 s standalone; at
       // sf1 the old nested-sequential form was the suite's worst query.
       val pairs = operators.GraphOps.coOccurrencePairs(li, "o", "p")
+      // already distinct/canonical — skip the operator's no-op dedup
       val (degFinal, conv) = operators.GraphOps.kCoreDegrees(
-        pairs, "u", "v", KcoreKs, maxIter = KcoreRounds)
+        pairs, "u", "v", KcoreKs, maxIter = KcoreRounds, canonical = true)
       val stats = degFinal.filter(col("d") > 0)
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_nodes"),

@@ -55,7 +55,10 @@ object GraphOps {
       .unionByName(p.select(col("s"), col("s").as("t")))
       .unionByName(p.select(col("t").as("s"), col("t")))
       .distinct()
-      .localCheckpoint() // eager: shared by every iteration
+      // lazy: round 1's signal job materializes it (every reference
+      // inside one round sits under the dedup Exchange, which
+      // ReuseExchange shares, so lazy first-run is single-compute)
+      .localCheckpoint(false)
     var labels: DataFrame = null
     var prevSig: Option[(Long, Long)] = None
     var converged = false
@@ -241,12 +244,16 @@ object GraphOps {
     * well-defined result -- exactly `maxIter` peeling rounds.
     */
   def kCoreDegrees(pairs: DataFrame, a: String, b: String, ks: Seq[Int],
-                   maxIter: Int = 12)
+                   maxIter: Int = 12, canonical: Boolean = false)
       : (DataFrame, Map[Int, Boolean]) = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list: $ks")
-    val e = pairs.filter(col(a) =!= col(b))
-      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .distinct()
+    // `canonical = true` asserts the caller's pairs are already distinct,
+    // self-loop-free and u < v oriented (true for every coOccurrence*
+    // output) — skipping a full no-op exchange + dedup of the edge set
+    val e = (if (canonical) pairs.select(col(a).as("u"), col(b).as("v"))
+      else pairs.filter(col(a) =!= col(b))
+        .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+        .distinct())
       .localCheckpoint() // eager: read twice by the adjacency build
     // Adjacency as (n, neighbor array): per round the decrement join
     // scans NODE-count rows instead of 2x edge-count rows. Arrays are
@@ -256,26 +263,29 @@ object GraphOps {
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionByName(e.select(col("v").as("n"), col("u").as("nb")))
       .groupBy(col("n")).agg(collect_list(col("nb")).as("nbs"))
-      .localCheckpoint() // eager: re-read every round
+      .localCheckpoint(false) // lazy: round 1's signal job materializes it
     val kArr = array(ks.map(k => lit(k.toLong)): _*)
     var deg = adj.select(col("n"), size(col("nbs")).cast("long").as("d"))
       .crossJoin(e.sparkSession.range(0, ks.length).toDF("ki"))
       .select(element_at(kArr, col("ki").cast("int") + 1).as("k"),
         col("n"), col("d"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materialized by round 1's signal job
     val converged = scala.collection.mutable.Map(ks.map(_ -> false): _*)
     var done = 0
     var live = true
     while (live && done < maxIter) {
-      // ONE materialization of this round's peel set serves the
-      // convergence check AND both joins below (it was previously
-      // recomputed from a full degree-table scan at each use — 3 deg
-      // scans per round instead of 1); the peel set is tiny once
-      // peeling slows, so the checkpoint is cheap exactly when rounds
-      // are numerous. A k whose bad set is empty has hit its fixpoint
-      // (its rows no-op through every later round).
+      // ONE job per round (the connectedComponents discipline): the
+      // peel set is checkpointed LAZILY and the convergence-signal
+      // collect below materializes it — together with the previous
+      // round's (also lazy) degree update — so each round costs one
+      // scheduled job plus a tiny count collect, instead of the three
+      // eager materializations (bad ckpt, counts, deg ckpt) this loop
+      // used to pay. The peel set is tiny once peeling slows, so the
+      // checkpoint is cheap exactly when rounds are numerous. A k whose
+      // bad set is empty has hit its fixpoint (its rows no-op through
+      // every later round).
       val bad = deg.filter(col("d") < col("k")).select(col("k"), col("n"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val badCounts = bad.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       ks.foreach { k =>
@@ -295,7 +305,8 @@ object GraphOps {
           .join(dec, Seq("k", "n"), "left")
           .select(col("k"), col("n"),
             (col("d") - coalesce(col("cut"), lit(0L))).as("d"))
-          .localCheckpoint() // eager: ONE materialization per round
+          .localCheckpoint(false) // lazy: next round's signal job (or the
+                                  // caller's first action) materializes it
         done += 1
       }
     }
@@ -343,10 +354,13 @@ object GraphOps {
     * reversed duplicates are canonicalized map-side (least/greatest)
     * before the dedup, and self-loops are dropped.
     */
-  def triangleStats(edges: DataFrame, u: String, v: String): DataFrame = {
-    val e = edges.filter(col(u) =!= col(v))
-      .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
-      .distinct()
+  def triangleStats(edges: DataFrame, u: String, v: String,
+                    canonical: Boolean = false): DataFrame = {
+    // `canonical = true`: see kCoreDegrees — skips a no-op dedup exchange
+    val e = if (canonical) edges.select(col(u).as("u"), col(v).as("v"))
+      else edges.filter(col(u) =!= col(v))
+        .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
+        .distinct()
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val toLower = e
@@ -402,10 +416,13 @@ object GraphOps {
     * Input: one row per undirected edge (u, v); self-loops dropped,
     * duplicates deduped. Output: (node, tri) for nodes in ≥1 triangle —
     * left-join and coalesce to 0 for the rest. */
-  def trianglesPerNode(edges: DataFrame, u: String, v: String): DataFrame = {
-    val e = edges.filter(col(u) =!= col(v))
-      .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
-      .distinct()
+  def trianglesPerNode(edges: DataFrame, u: String, v: String,
+                       canonical: Boolean = false): DataFrame = {
+    // `canonical = true`: see kCoreDegrees — skips a no-op dedup exchange
+    val e = if (canonical) edges.select(col(u).as("u"), col(v).as("v"))
+      else edges.filter(col(u) =!= col(v))
+        .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
+        .distinct()
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val toLower = e
@@ -456,13 +473,20 @@ object GraphOps {
     * duplicates deduped. Output: (node, lbl) for every node in an edge.
     */
   def labelPropagate(pairs: DataFrame, a: String, b: String,
-                     iters: Int = 4): DataFrame = {
+                     iters: Int = 4, canonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"labelPropagate needs >= 1 round, got $iters")
-    val p = pairs.filter(col(a) =!= col(b))
-      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .distinct()
-    val e = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
-      .select(col("u").as("s"), col("v").as("t"))
+    // `canonical = true`: see kCoreDegrees — skips a no-op dedup exchange
+    val p = if (canonical) pairs.select(col(a).as("u"), col(b).as("v"))
+      else pairs.filter(col(a) =!= col(b))
+        .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+        .distinct()
+    // both directions via ONE map-side explode — a self-union would
+    // evaluate p's upstream twice when p carries no reusable exchange
+    // (the canonical path strips the dedup shuffle)
+    val e = p.select(explode(array(
+        struct(col("u").as("s"), col("v").as("t")),
+        struct(col("v").as("s"), col("u").as("t")))).as("x"))
+      .select(col("x.s").as("s"), col("x.t").as("t"))
       .localCheckpoint() // eager: re-read every round
     var labels = e.groupBy(col("t").as("node")).agg(min(col("s")).as("lbl"))
       .localCheckpoint(false)
@@ -578,6 +602,11 @@ object GraphOps {
     var h = e.select(col("o")).distinct().withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
+      // NOTE (r13): araw/hraw feed both the max broadcast and the
+      // normalize, but checkpointing them is a LOSS — their aggregates
+      // end in an Exchange that ReuseExchange already dedupes across the
+      // two references, so a checkpoint only adds persist traffic
+      // (measured +0.4 s on q156 when tried).
       val araw = e.join(h, Seq("o"))
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
       val amax = araw.agg(max(col("ar")).as("am"))

@@ -69,8 +69,16 @@ object IvfPqIndex {
     Tombstones.clear(spark, tombRoot(name, dir)) // fresh corpus
     val (cents, books, postings, k, nprobe) = train(vectors, m, subDim,
       ksub, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids")
-    books.write.mode("overwrite").parquet(s"$dir/${name}_codebooks")
+    // The coarse-quantizer write and the codebook write materialize two
+    // INDEPENDENT training chains (k-means Lloyd rounds vs PQ Lloyd
+    // rounds — separate checkpoints, no shared lineage beyond the
+    // already-materialized subvector checkpoint). Submit them from two
+    // driver threads so the second training back-fills the executors the
+    // first one's round barriers leave idle (guide §2.6); the postings
+    // write needs both and stays sequential.
+    writeBoth(
+      () => cents.write.mode("overwrite").parquet(s"$dir/${name}_centroids"),
+      () => books.write.mode("overwrite").parquet(s"$dir/${name}_codebooks"))
     Layout.writeBucketed(postings, s"${name}_codes", "cell", buckets,
       s"$dir/${name}_codes")
     val meta = Meta(k, nprobe, buckets, m, subDim, ksub, iters)
@@ -131,6 +139,19 @@ object IvfPqIndex {
   private def tombRoot(name: String, dir: String): String =
     s"$dir/${name}_tombstones"
 
+  /** Run two independent write actions concurrently (FIFO-scheduled
+    * concurrent jobs — the second back-fills executors idled by the
+    * first's round barriers); rethrows the first failure. */
+  private def writeBoth(w1: () => Unit, w2: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(w1())
+    val f2 = Future(w2())
+    Await.result(f1, Duration.Inf)
+    Await.result(f2, Duration.Inf)
+  }
+
   /** Tombstone `ids` — [[IvfIndex.deleteVectors]]'s contract applied to
     * the compressed family (VERDICT r12 #1): probes behave as if the
     * vectors were never encoded, under the index's FROZEN centroids and
@@ -185,10 +206,12 @@ object IvfPqIndex {
     import graft.pipeline.TierCommit.stagePath
     val (cents, books, postings, k, nprobe) = train(vectors, m, subDim,
       ksub, iters)
-    cents.write.mode("overwrite")
-      .parquet(stagePath(s"$dir/${name}_centroids"))
-    books.write.mode("overwrite")
-      .parquet(stagePath(s"$dir/${name}_codebooks"))
+    // same independent-chains overlap as build (guide §2.6)
+    writeBoth(
+      () => cents.write.mode("overwrite")
+        .parquet(stagePath(s"$dir/${name}_centroids")),
+      () => books.write.mode("overwrite")
+        .parquet(stagePath(s"$dir/${name}_codebooks")))
     Layout.writeBucketed(postings, s"${name}_codes__stage", "cell", buckets,
       stagePath(s"$dir/${name}_codes"))
     spark.sql(s"DROP TABLE IF EXISTS ${name}_codes__stage")

@@ -98,10 +98,15 @@ object KMeans {
       // rows — trivial) cuts the iteration lineage: without it every
       // iteration references the previous centroids TWICE (assignment +
       // fallback join), so the physical plan doubles per iteration
-      // (8 BNLJs / 48 exchanges at iters=2 before the cut).
+      // (8 BNLJs / 48 exchanges at iters=2 before the cut). LAZY: the
+      // next iteration's centroid-array broadcast build (or the
+      // caller's first action) is the job that materializes it —
+      // sequential, and it completes before the fallback join's stages
+      // read the same blocks, so each iteration costs one scheduled job
+      // instead of two.
       cents.join(updated, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cq2"), col("cq")).as("cq"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
   }
 

@@ -303,9 +303,11 @@ object NearDupIndex extends SegmentedLifecycle {
       .dropDuplicates("doc_id")
     // the batch's signatures feed the bucket routing, the candidate
     // join, and verification — localCheckpoint so the 64-aggregate
-    // MinHash pipeline runs once per probe, not once per consumer
-    val newBands = bandPostings(docsB, meta.buckets).localCheckpoint()
-    val batchIdRows = docsB.select(col("doc_id")).localCheckpoint()
+    // MinHash pipeline runs once per probe, not once per consumer.
+    // LAZY: the bucket-routing collect below is the job that
+    // materializes it (one scheduled job instead of two).
+    val newBands = bandPostings(docsB, meta.buckets).localCheckpoint(false)
+    val batchIdRows = docsB.select(col("doc_id")).localCheckpoint(false)
 
     // serving-side routing: the touched buckets (≤ meta.buckets ints)
     val ids = newBands.select(col("bb")).distinct()
@@ -336,8 +338,9 @@ object NearDupIndex extends SegmentedLifecycle {
         batchSets.unionByName(corpusSets), "doc_id", threshold)
 
     // materialize the candidate set ONCE (the pruned posting scan runs
-    // exactly here), then decide the routing shape from its size
-    val candCk = cand.localCheckpoint()
+    // exactly here — lazily, inside the shortlist collect's job), then
+    // decide the routing shape from its size
+    val candCk = cand.localCheckpoint(false)
     val cap = spark.conf
       .get("spark.graft.neardup.maxCollectedPairs", "100000").toInt
     val shortlist = candCk.limit(cap + 1).collect()

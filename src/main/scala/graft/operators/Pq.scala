@@ -76,9 +76,19 @@ object Pq {
       .select(col("s"), col("code"), col("sq").as("cv"))
 
     (0 until iters).foldLeft(init) { (books, _) =>
-      val assigned = assignCodes(sub, id, books)
+      // assignment carries the subvector THROUGH the aggregate (first()
+      // is exact here: every row of an (id, s) group holds the same sq),
+      // so the update's posexplode reads it directly — the previous
+      // `assignCodes(...).join(sub, ...)` re-shuffled the n·m subvector
+      // stream once per Lloyd iteration just to re-attach sq. Codes are
+      // the identical min_by; only the join is gone.
+      val assigned = sub.join(broadcast(books), Seq("s"))
+        .select(col(id), col("s"), col("sq"), col("code"),
+          l2Surrogate(col("sq"), col("cv")).as("d2"))
+        .groupBy(col(id), col("s"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+          first(col("sq")).as("sq"))
       val sums = assigned
-        .join(sub, Seq(id, "s"))
         .select(col("s"), col("code"), posexplode(col("sq")).as(Seq("j", "x")))
         .groupBy(col("s"), col("code"), col("j"))
         .agg(Exact.exactIntSum(col("x")).as("sm"), count(lit(1)).as("n"))
@@ -90,10 +100,12 @@ object Pq {
         .agg(transform(array_sort(collect_list(struct(col("j"), col("mv")))),
           t => t.getField("mv")).as("cv2"))
       // empty codes keep their centroid; checkpoint cuts the per-
-      // iteration lineage doubling (m·ksub rows — trivial).
+      // iteration lineage doubling (m·ksub rows — trivial). Lazy: the
+      // next iteration's codebook broadcast build (or the caller's
+      // first action) materializes it — the KMeans.fit discipline.
       books.join(updated, Seq("s", "code"), "left")
         .select(col("s"), col("code"), coalesce(col("cv2"), col("cv")).as("cv"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
   }
 

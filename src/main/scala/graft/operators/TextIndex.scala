@@ -120,10 +120,16 @@ object TextIndex extends SegmentedLifecycle {
 
   private def tokenize(documents: DataFrame, buckets: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    // ONE tokenize pass feeds all three tables: postings, stats and
+    // doclens each derive from `toks`, and the three segment writes are
+    // separate jobs — without the checkpoint each write re-tokenized
+    // the corpus (3 passes per segment). Lazy: the first write (stats)
+    // is the job that materializes it.
     val toks = documents.select(col("doc_id"), col("source"),
       TextOps.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("source"),
         size(col("ts")).cast("long").as("dl"), col("ts"))
+      .localCheckpoint(false)
     val postings = toks
       .select(col("doc_id"), col("source"), col("dl"),
         explode(col("ts")).as("term"))
@@ -375,6 +381,12 @@ object TextIndex extends SegmentedLifecycle {
   private def scoreTopK(p: DataFrame, stats: DataFrame,
                         terms: Seq[String], topk: Int): DataFrame = {
     val idx = terms.zipWithIndex
+    // NOTE: p (the pruned posting read) is deliberately NOT checkpointed
+    // here although both the tf fold and the df aggregate read it: the
+    // probe plan must carry the pruned FileScan itself (TextIndexSpec
+    // asserts directory pruning + pushed filters ON THE PLAN — an
+    // ExistingRDD would hide the evidence), and the double read is
+    // bounded by the queried terms' buckets, never the corpus.
     val tfs = idx.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i") }
     val cand = p.groupBy(col("doc_id"), col("source"), col("dl"))
