@@ -75,6 +75,58 @@ object Explain {
         val tP = Seq(onceP(), onceP()).min
         println(f"bpebatch rounds=$rounds p=$p cap=$cap sf=$sfDir " +
           f"merges=$got min_sec=$tP%.2f")
+      case "planmany" :: sfDir :: outDir :: names :: Nil =>
+        // Dump `.explain("formatted")` for a comma-separated query list
+        // into <outDir>/<query>.txt in ONE session (the plans/r13
+        // artifact generator — one sbt+Spark spin-up instead of one per
+        // query). Building a plan executes any driver-side training the
+        // query function runs; that is the point: the dumped plan is the
+        // one the bench executes.
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+          val plan = Queries.queries(n)(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/$n.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"wrote $outDir/$n.txt")
+        }
+      case "profile" :: names :: sfDir :: Nil =>
+        // Per-JOB wall-clock profile of queries (dev-only; the bench
+        // never runs this): one untimed warm-up, then a timed run with a
+        // job listener — tells driver-loop queries where their seconds
+        // go (job count x scheduling floor vs one dominant job), which
+        // explain() cannot show once subtrees hide behind checkpoints.
+        val jobs = collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+        val starts = collection.concurrent.TrieMap.empty[Int, (Long, String)]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(js.jobId) = (js.time,
+              js.stageInfos.headOption.map(_.name).getOrElse(""))
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.get(je.jobId).foreach { case (t0, nm) =>
+              jobs.synchronized { jobs += ((je.jobId, je.time - t0, nm)) } }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+          val fn = Queries.queries(name)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm-up
+          jobs.synchronized(jobs.clear())
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // listener bus drain
+          jobs.synchronized {
+            val tot = jobs.map(_._2).sum
+            println(f"PROFILE $name wall=$wall%.2f s, ${jobs.size} jobs, " +
+              f"sum(job)=${tot / 1000.0}%.2f s (gap=${wall - tot / 1000.0}%.2f s)")
+            jobs.sortBy(_._1).foreach { case (id, ms, nm) =>
+              println(f"  job $id%4d ${ms}%6d ms  $nm") }
+          }
+        }
       case "audit" :: sfDir :: Nil =>
         // One summary line per query: shuffle/join/agg shape + pushdown.
         println("| query | joins | aggs | exchanges | pushed filters |")

@@ -587,9 +587,10 @@ object GraphOps {
     * (item, a) after the final round.
     *
     * Scale shape: per round, two equi-join + groupBy shuffles over the
-    * edge list and two single-row max broadcasts; score tables are
-    * node-sized and localCheckpoint'd per round (lineage cut, the
-    * kCoreDegrees discipline). Overflow envelope: raw scores are
+    * edge list; each side's max is collected by the head() that
+    * materializes that side's (lazily checkpointed) raw-score table —
+    * one long of driver state per half-round, one scheduled job — and
+    * is inlined into the normalize projection as a literal. Overflow envelope: raw scores are
     * ≤ maxdeg·scale and the normalize multiply is ≤ maxdeg·scale²
     * (1e6² · maxdeg) — holds to maxdeg ~9e6 at the default scale;
     * shrink `scale` for hub-ier graphs.
@@ -602,25 +603,32 @@ object GraphOps {
     var h = e.select(col("o")).distinct().withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      // NOTE (r13): araw/hraw feed both the max broadcast and the
-      // normalize, but checkpointing them is a LOSS — their aggregates
-      // end in an Exchange that ReuseExchange already dedupes across the
-      // two references, so a checkpoint only adds persist traffic
-      // (measured +0.4 s on q156 when tried).
+      // ONE job per half-round (r13, measured: the old shape — a
+      // single-row max BROADCAST crossJoined back, plus an eager
+      // normalize checkpoint — ran 38 jobs / 2.6 s of driver gap for 3
+      // rounds; job-count, not compute, dominated q156): the raw score
+      // table is checkpointed lazily, the max is COLLECTED by the same
+      // head() that materializes it (one long of driver state — the
+      // KMeans-init bounded-collect discipline), and the normalize is a
+      // plain projection over the checkpointed RDD with the max inlined
+      // as a literal — no broadcast build, no second materialization,
+      // identical integer arithmetic.
       val araw = e.join(h, Seq("o"))
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
-      val amax = araw.agg(max(col("ar")).as("am"))
-      a = araw.crossJoin(broadcast(amax)) // single-row broadcast
-        .select(col("p"),
-          Sampling.ldiv(col("ar") * lit(scale), col("am")).as("a"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the max head() below
+      val amRow = araw.agg(max(col("ar"))).head
+      // empty edge set ⇒ araw empty ⇒ a empty: the divisor is then
+      // never evaluated, any non-zero literal keeps the plan valid
+      val am = if (amRow.isNullAt(0)) 1L else amRow.getLong(0)
+      a = araw.select(col("p"),
+        Sampling.ldiv(col("ar") * lit(scale), lit(am)).as("a"))
       val hraw = e.join(a, Seq("p"))
         .groupBy(col("o")).agg(sum(col("a")).as("hr"))
-      val hmax = hraw.agg(max(col("hr")).as("hm"))
-      h = hraw.crossJoin(broadcast(hmax)) // single-row broadcast
-        .select(col("o"),
-          Sampling.ldiv(col("hr") * lit(scale), col("hm")).as("h"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the max head() below
+      val hmRow = hraw.agg(max(col("hr"))).head
+      val hm = if (hmRow.isNullAt(0)) 1L else hmRow.getLong(0)
+      h = hraw.select(col("o"),
+        Sampling.ldiv(col("hr") * lit(scale), lit(hm)).as("h"))
     }
     a
   }
