@@ -23,8 +23,9 @@ import graft.functions.Exact
   *    SINGLE broadcast row and the argmax-cosine runs inside one
   *    codegen'd expression ([[graft.plans.CellArgMaxCosineLong]]) —
   *    map-only, no n x k row blow-up, no shuffle of the corpus;
-  *  - update: posexplode to (cell, dim) partial sums — the groupBy
-  *    combines map-side, so each task ships at most k x dims rows;
+  *  - update: ONE wide hash aggregate keyed by cell (dims exact sums +
+  *    a count per cell, combined map-side) — each task ships at most
+  *    k rows of dims columns, and the round pays a single exchange;
   *  - empty cells inherit their previous centroid (left join + coalesce)
   *    so k never silently shrinks.
   */
@@ -65,6 +66,18 @@ object KMeans {
     val init = v.join(broadcast(cellOfId), Seq("__vid"))
       .select(col("cell"), col("__vq").as("cq"))
 
+    // vector width, read once (r13): the update step aggregates one WIDE
+    // row per cell — `dims` per-dimension exact sums in a single
+    // hash aggregate keyed by cell — instead of posexploding n×dims
+    // rows and paying TWO exchanges per iteration (per-(cell,dim) means,
+    // then a collect_list re-assembly). Same grid-rounded integer mean
+    // per dimension, so centroids are bit-identical; one exchange and no
+    // generate per Lloyd round. Empty corpus ⇒ dims 0 ⇒ centroids are
+    // the (empty) init, as before.
+    val dims = v.select(size(col("__vq"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dims == 0 || iters == 0) return init
+
     (0 until iters).foldLeft(init) { (cents, _) =>
       // assignment: per vector, the cell with max (cosine, -cell) — the
       // cell tiebreak makes ties deterministic. ONE map-only codegen'd
@@ -78,22 +91,23 @@ object KMeans {
         .select(col("__vid"), col("__vq"),
           VectorOps.cellArgMax(col("__vq"), col("__vn2"),
             col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
-      // update: exact per-(cell, dim) mean, rounded back to the grid
-      val sums = assigned
-        .select(col("cell"), posexplode(col("__vq")).as(Seq("__pos", "__x")))
-        .groupBy(col("cell"), col("__pos"))
-        .agg(Exact.exactIntSum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-        .select(col("cell"), col("__pos"),
-          // round-half-away-from-zero-ish integer mean on the quantized
-          // grid: (2s + n) div (2n) with INTEGRAL division (truncation
-          // toward zero) — exact integer arithmetic, and DuckDB's `//`
-          // truncates identically, so the whole training loop is
-          // oracle-mirrorable (q40)
-          expr("CAST((__s * 2 + __n) div (__n * 2) AS BIGINT)").as("__m"))
-      val updated = sums
+      // update: exact per-(cell, dim) mean, rounded back to the grid —
+      // ONE wide hash aggregate keyed by cell (dims exact sums + one
+      // count, the minhashSignatures wide-aggregate shape), re-assembled
+      // into the centroid array by a plain projection. The mean formula
+      // is unchanged: (2s + n) div (2n) with INTEGRAL division
+      // (truncation toward zero) — exact integer arithmetic, and
+      // DuckDB's `//` truncates identically, so the whole training loop
+      // stays oracle-mirrorable (q40). (n per cell == the old per-
+      // (cell,dim) n: every vector contributes every dimension.)
+      val sumCols = (0 until dims).map(i =>
+        Exact.exactIntSum(element_at(col("__vq"), i + 1)).as(s"__s$i"))
+      val updated = assigned
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m")).as("cq2"))
+        .agg(count(lit(1)).as("__n"), sumCols: _*)
+        .select(col("cell"), array((0 until dims).map(i =>
+          expr(s"CAST((__s$i * 2 + __n) div (__n * 2) AS BIGINT)")): _*)
+          .as("cq2"))
       // empty cells keep their previous centroid. localCheckpoint (k
       // rows — trivial) cuts the iteration lineage: without it every
       // iteration references the previous centroids TWICE (assignment +
