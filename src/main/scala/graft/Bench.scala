@@ -214,7 +214,14 @@ object Bench {
       }
 
     val results2 = defended
-    val qs = results2.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    // Seconds are printed at ms precision (r14, VERDICT r13 #4): the
+    // driver captures a bounded stdout TAIL, and full-precision doubles
+    // made the one-line JSON long enough to truncate mid-line in rounds
+    // 1-12 (BENCH_r12 arrived `parsed: null`). Timing methodology is
+    // UNCHANGED — min-of-2 noop-sink runs — only the printed precision
+    // shrinks (a bench resolves nothing below a millisecond anyway).
+    def ms(v: Double): Double = if (v < 0) v else math.rint(v * 1000) / 1000
+    val qs = results2.map { case (k, v, _, _, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val samplesJson = results2.map { case (k, _, n, _, _) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -226,9 +233,9 @@ object Bench {
       s"\"" + k + "\":" + loads.getOrElse(k, -1.0) }
       .mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, (suite, retry, l)) =>
-      s"\"$k\":{\"suite\":$suite,\"retry\":$retry,\"load\":$l}" }
+      s"\"$k\":{\"suite\":${ms(suite)},\"retry\":${ms(retry)},\"load\":$l}" }
       .mkString("{", ",", "}")
-    val probeOnlyJson = probeOnlyTimes.map { case (k, v) => s"\"$k\":$v" }
+    val probeOnlyJson = probeOnlyTimes.map { case (k, v) => s"\"$k\":${ms(v)}" }
       .mkString("{", ",", "}")
     // A broken query must not silently vanish from the bench: failed
     // names are reported explicitly (their per-query value is -1), so a
@@ -236,12 +243,11 @@ object Bench {
     val failed = results2.collect { case (k, v, _, _, _) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results2.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"samples":$samplesJson,"peak_mem":$peakJson,""" +
       s""""spill_bytes":$spillJson,"load":$loadJson,"retried":$retriedJson,""" +
       s""""probe_only":$probeOnlyJson,"load_start":$loadStart,""" +
       s""""load_end":${loadAvg()},"sf":"$sfDir"}"""
-    println(line)
     // The driver captures stdout's tail, which has truncated twice
     // (BENCH_r04/r05 arrived with `parsed: null` and the leading
     // queries cut). Persist the same line to a committed file so the
@@ -259,6 +265,10 @@ object Bench {
           System.err.println(s"warn: could not write $outPath: $e")
       }
     }
+    // stop() BEFORE the one-line JSON so no late executor/log chatter
+    // lands after it: the JSON is the absolute last stdout line the
+    // driver's tail capture sees (VERDICT r13 #4).
     spark.stop()
+    println(line)
   }
 }

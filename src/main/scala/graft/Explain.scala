@@ -127,6 +127,9 @@ object Explain {
               println(f"  job $id%4d ${ms}%6d ms  $nm") }
           }
         }
+        // deregister: a leaked listener double-counts jobs if another
+        // profiling pass runs in this session (ADVICE r13)
+        spark.sparkContext.removeSparkListener(listener)
       case "audit" :: sfDir :: Nil =>
         // One summary line per query: shuffle/join/agg shape + pushdown.
         println("| query | joins | aggs | exchanges | pushed filters |")

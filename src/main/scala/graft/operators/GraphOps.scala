@@ -249,7 +249,12 @@ object GraphOps {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list: $ks")
     // `canonical = true` asserts the caller's pairs are already distinct,
     // self-loop-free and u < v oriented (true for every coOccurrence*
-    // output) — skipping a full no-op exchange + dedup of the edge set
+    // output) — skipping a full no-op exchange + dedup of the edge set.
+    // UNCHECKED caller contract (ADVICE r13): passing non-canonical
+    // edges with the flag set silently corrupts degrees/triangles/
+    // communities — set it ONLY for coOccurrencePairs/Counts outputs
+    // (or inputs with the same proven invariant), never to "save" the
+    // dedup on raw edge lists.
     val e = (if (canonical) pairs.select(col(a).as("u"), col(b).as("v"))
       else pairs.filter(col(a) =!= col(b))
         .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
@@ -371,30 +376,44 @@ object GraphOps {
     val oriented = toLower.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
-      // Pin the checkpoint's parallelism: the wedge join AMPLIFIES
-      // (input m rows, output Σ outdeg² rows), which AQE cannot see
-      // when it coalesces by INPUT size — a ~20 MB oriented table
-      // otherwise collapses to one partition and the wedge stream
-      // builds serially on a single task (4x the whole query at
-      // sf0.1). Hash-by-s also co-locates the out-degree aggregate.
+      // Pin the checkpoint's parallelism: the adjacency explode below
+      // AMPLIFIES (input m rows, output Σ outdeg² array elements),
+      // which AQE cannot see when it coalesces by INPUT size — a
+      // ~20 MB oriented table otherwise collapses to one partition and
+      // the close stage builds serially on a single task. Hash-by-s
+      // also makes the adjacency groupBy exchange-free.
       .repartition(col("s"))
-      .localCheckpoint(true) // sole pass over `e`; reused 4x below
-    // The Σ outdeg² wedge stream is built ONCE, only for the closing
-    // join; its cardinality is Σ_m indeg(m)·outdeg(m), a degree-table
-    // aggregate — materializing 49M wedge rows a second time just to
-    // count them doubled the query at sf0.1. The close join streams
-    // the (unsorted) wedge side against a per-partition hash map of
-    // the oriented edges (shuffle_hash): edges-per-partition is
-    // m/parallelism — bounded — while SMJ would SORT the Σ outdeg²
-    // wedge stream, the one thing the orientation bound cannot shrink.
-    val wedges = oriented.select(col("s").as("a"), col("t").as("m"))
-      .join(oriented.select(col("s").as("m"), col("t").as("c")), Seq("m"))
-      .select(col("a"), col("c"))
-    val tri = wedges
-      .join(oriented.select(col("s").as("a"), col("t").as("c"))
-        .hint("shuffle_hash"), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val outd = oriented.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true) // sole pass over `e`; reused below
+    // Degree-ordered adjacency-array intersection (r14; guide §2.4/§8):
+    // the DAG orientation gives every triangle a unique (source s,
+    // middle t, sink c) with edges s→t, s→c, t→c, so
+    //   n_triangles = Σ_{(s,t) ∈ oriented} |N+(s) ∩ N+(t)|
+    // — counted by attaching both endpoints' out-neighbor ARRAYS to
+    // each edge and intersecting map-side, instead of exploding the
+    // Σ outdeg² wedge stream and closing it with a join. The one
+    // remaining exchange moves m rows whose sn arrays total Σ outdeg²
+    // ids — the same byte volume the wedge shuffle carried, in ~m rows
+    // instead of Σ outdeg² rows, with no 49M-row hash-join build/probe
+    // (r13 profile: the wedge-close was q87's single 1.8-2.7 s job).
+    // Per-row intersect work is O(outdeg(s) + outdeg(t)) = O(√m) by
+    // the orientation bound, so no giant rows and no single-key skew.
+    val adj = oriented.groupBy(col("s")).agg(collect_list(col("t")).as("ts"))
+      // eager: read three ways below (sn explode, tn join side, outd);
+      // exchange-free references would otherwise re-aggregate each time
+      .localCheckpoint(true)
+    // oriented ⋈ N+(s) without a join: explode each source's own array
+    val withSn = adj.select(col("ts").as("sn"), explode(col("ts")).as("t"))
+    // inner join: an edge whose t has no out-neighbors closes nothing.
+    // shuffle_hash builds on the node-count adjacency side; SMJ would
+    // sort the array-carrying edge stream, the one thing the
+    // orientation bound cannot shrink.
+    val closed = withSn.join(
+      adj.select(col("s").as("t"), col("ts").as("tn")).hint("shuffle_hash"),
+      Seq("t"))
+    val tri = closed.agg(coalesce(
+      sum(size(array_intersect(col("sn"), col("tn"))).cast("long")), lit(0L))
+      .as("n_triangles"))
+    val outd = adj.select(col("s"), size(col("ts")).cast("long").as("od"))
     val ind = oriented.groupBy(col("t")).agg(count(lit(1)).as("id"))
     val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
     val nWedges = ind.join(outd, col("t") === col("s"))
@@ -403,15 +422,15 @@ object GraphOps {
     nEdges.crossJoin(nWedges).crossJoin(tri).crossJoin(maxOut)
   }
 
-  /** Per-node triangle counts — the [[triangleStats]] wedge-close
-    * pipeline with the triangle CORNERS kept: each closed wedge
-    * (a→m, m→c, a→c) is one triangle touching exactly {a, m, c}, so a
-    * map-side 3-way explode of the close-join output followed by one
-    * hash aggregate yields every node's triangle incidence. Same
-    * orientation bound (out-degrees O(√m), wedge work O(m^1.5)), same
-    * repartition-by-s checkpoint (see triangleStats for why AQE's
-    * input-sized coalesce must not see the amplifying join), one extra
-    * narrow explode — no new shuffle shape.
+  /** Per-node triangle counts — the [[triangleStats]] adjacency-array
+    * intersection with the triangle CORNERS kept: each oriented edge
+    * (s, t) with common out-neighbors cs closes |cs| triangles touching
+    * exactly {s, t} ∪ cs, so a weighted map-side explode of the
+    * intersect output followed by one hash aggregate yields every
+    * node's triangle incidence. Same orientation bound (out-degrees
+    * O(√m), intersect work O(m^1.5)), same repartition-by-s checkpoint
+    * (see triangleStats for why AQE's input-sized coalesce must not see
+    * the amplifying explode) — no new shuffle shape.
     *
     * Input: one row per undirected edge (u, v); self-loops dropped,
     * duplicates deduped. Output: (node, tri) for nodes in ≥1 triangle —
@@ -435,14 +454,30 @@ object GraphOps {
       when(fwd, col("v")).otherwise(col("u")).as("t"))
       .repartition(col("s"))
       .localCheckpoint(true)
-    val wedges = oriented.select(col("s").as("a"), col("t").as("m"))
-      .join(oriented.select(col("s").as("m"), col("t").as("c")), Seq("m"))
-      .select(col("a"), col("m"), col("c"))
-    wedges
-      .join(oriented.select(col("s").as("a"), col("t").as("c"))
-        .hint("shuffle_hash"), Seq("a", "c"))
-      .select(explode(array(col("a"), col("m"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    // Same adjacency-array intersection as triangleStats (r14), with
+    // the triangle CORNERS kept: the oriented edge (s, t) closes
+    // |cs| = |N+(s) ∩ N+(t)| triangles, each touching {s, t, c} — so s
+    // and t are each emitted once with weight |cs| and every common
+    // neighbor c once with weight 1, then one hash aggregate sums the
+    // per-node incidence. Emits 2·(closed edges) + n_triangles weighted
+    // rows instead of 3·n_triangles corner rows from a wedge-close.
+    val adj = oriented.groupBy(col("s")).agg(collect_list(col("t")).as("ts"))
+      .localCheckpoint(true) // eager: read twice below
+    val withSn = adj.select(col("s"), col("ts").as("sn"),
+      explode(col("ts")).as("t"))
+    val closed = withSn.join(
+        adj.select(col("s").as("t"), col("ts").as("tn")).hint("shuffle_hash"),
+        Seq("t"))
+      .select(col("s"), col("t"),
+        array_intersect(col("sn"), col("tn")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    closed
+      .select(explode(concat(
+        array(
+          struct(col("s").as("n"), size(col("cs")).cast("long").as("w")),
+          struct(col("t").as("n"), size(col("cs")).cast("long").as("w"))),
+        transform(col("cs"), c => struct(c.as("n"), lit(1L).as("w"))))).as("x"))
+      .groupBy(col("x.n").as("node")).agg(sum(col("x.w")).as("tri"))
   }
 
   /** Synchronous majority label propagation (Raghavan et al. 2007) with

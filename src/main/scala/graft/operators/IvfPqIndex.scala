@@ -141,15 +141,22 @@ object IvfPqIndex {
 
   /** Run two independent write actions concurrently (FIFO-scheduled
     * concurrent jobs — the second back-fills executors idled by the
-    * first's round barriers); rethrows the first failure. */
+    * first's round barriers). BOTH futures are joined before any
+    * failure is rethrown (ADVICE r13): rethrowing while the sibling
+    * write still runs detached would let the caller release the
+    * TierCommit write lock (and a later heal run) with an orphaned
+    * Spark job still mutating the staged directory. */
   private def writeBoth(w1: () => Unit, w2: () => Unit): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val f1 = Future(w1())
-    val f2 = Future(w2())
-    Await.result(f1, Duration.Inf)
-    Await.result(f2, Duration.Inf)
+    import scala.util.Try
+    val f1 = Future(Try(w1()))
+    val f2 = Future(Try(w2()))
+    val r1 = Await.result(f1, Duration.Inf)
+    val r2 = Await.result(f2, Duration.Inf)
+    r1.get
+    r2.get
   }
 
   /** Tombstone `ids` — [[IvfIndex.deleteVectors]]'s contract applied to
