@@ -97,16 +97,36 @@ object IvfPqIndex {
     val n = vectors.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     val nprobe = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val cents = KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
-      .withColumn("cn2", VectorOps.qnorm2(col("cq")))
+    // The coarse quantizer and the PQ codebooks are INDEPENDENT training
+    // chains — they meet only at the postings join. r13 overlapped their
+    // WRITES (writeBoth); r14 moves the overlap up to training setup:
+    // each chain's driver-side bounded collects (init-id scans, the
+    // subvector checkpoint) run from its own thread, so one chain's
+    // setup jobs back-fill the other's driver gaps (guide §2.6). Both
+    // futures are joined before any failure rethrows (the writeBoth
+    // discipline). Results are unchanged: training is deterministic and
+    // neither chain reads the other's state.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    val fCents = Future(Try(
+      KMeans.fit(vectors, "vec_id", "q", k, iters = 2)
+        .withColumn("cn2", VectorOps.qnorm2(col("cq")))))
+    val fPq = Future(Try {
+      val sub = Pq.subvectors(vectors, "vec_id", "q", m, subDim)
+        .localCheckpoint()
+      (sub, Pq.trainCodebooks(sub, "vec_id", ksub, iters))
+    })
+    val rCents = Await.result(fCents, Duration.Inf)
+    val rPq = Await.result(fPq, Duration.Inf)
+    val cents = rCents.get
+    val (sub, books) = rPq.get
     val ca = VectorOps.centroidArrays(cents, "cell", "cq")
     val assigned = vectors.crossJoin(broadcast(ca))
       .select(col("vec_id").as("vid"),
         VectorOps.cellArgMax(col("q"), col("n2"),
           col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
-    val sub = Pq.subvectors(vectors, "vec_id", "q", m, subDim)
-      .localCheckpoint()
-    val books = Pq.trainCodebooks(sub, "vec_id", ksub, iters)
     val codes = Pq.assignCodes(sub, "vec_id", books)
     val postings = assigned
       .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))

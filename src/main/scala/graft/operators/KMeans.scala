@@ -23,9 +23,12 @@ import graft.functions.Exact
   *    SINGLE broadcast row and the argmax-cosine runs inside one
   *    codegen'd expression ([[graft.plans.CellArgMaxCosineLong]]) —
   *    map-only, no n x k row blow-up, no shuffle of the corpus;
-  *  - update: ONE wide hash aggregate keyed by cell (dims exact sums +
-  *    a count per cell, combined map-side) — each task ships at most
-  *    k rows of dims columns, and the round pays a single exchange;
+  *  - update: per-(cell, dim) exact means via posexplode (map-side
+  *    combined — each task ships at most k·dims partial-sum rows) plus
+  *    a k·dims → k array reassembly; every operator stays inside
+  *    whole-stage codegen at ANY vector width (the one-wide-aggregate
+  *    alternative leaves codegen past ~100 fields and measured slower
+  *    at dims=64 — see the shape note in [[fit]]);
   *  - empty cells inherit their previous centroid (left join + coalesce)
   *    so k never silently shrinks.
   */
@@ -33,7 +36,11 @@ object KMeans {
 
   /** Train `k` centroids with `iters` Lloyd iterations.
     *
-    * @param vectors (id, q) — id ascending-unique, q = quantized ARRAY<LONG>
+    * @param vectors (id, q) — id ascending-unique, q = quantized
+    *        ARRAY<LONG>; the update step is width-agnostic per row
+    *        (posexplode), so no width is probed and no fixed-width
+    *        assumption is baked into the plan — though the vector index
+    *        writers enforce uniform dims upstream anyway.
     * @return (cell INT, cq ARRAY<LONG>) — k rows
     */
   def fit(vectors: DataFrame, id: String, q: String, k: Int, iters: Int): DataFrame = {
@@ -66,18 +73,6 @@ object KMeans {
     val init = v.join(broadcast(cellOfId), Seq("__vid"))
       .select(col("cell"), col("__vq").as("cq"))
 
-    // vector width, read once (r13): the update step aggregates one WIDE
-    // row per cell — `dims` per-dimension exact sums in a single
-    // hash aggregate keyed by cell — instead of posexploding n×dims
-    // rows and paying TWO exchanges per iteration (per-(cell,dim) means,
-    // then a collect_list re-assembly). Same grid-rounded integer mean
-    // per dimension, so centroids are bit-identical; one exchange and no
-    // generate per Lloyd round. Empty corpus ⇒ dims 0 ⇒ centroids are
-    // the (empty) init, as before.
-    val dims = v.select(size(col("__vq"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dims == 0 || iters == 0) return init
-
     (0 until iters).foldLeft(init) { (cents, _) =>
       // assignment: per vector, the cell with max (cosine, -cell) — the
       // cell tiebreak makes ties deterministic. ONE map-only codegen'd
@@ -91,23 +86,34 @@ object KMeans {
         .select(col("__vid"), col("__vq"),
           VectorOps.cellArgMax(col("__vq"), col("__vn2"),
             col("cells"), col("cqs"), col("cn2s")).cast("int").as("cell"))
-      // update: exact per-(cell, dim) mean, rounded back to the grid —
-      // ONE wide hash aggregate keyed by cell (dims exact sums + one
-      // count, the minhashSignatures wide-aggregate shape), re-assembled
-      // into the centroid array by a plain projection. The mean formula
-      // is unchanged: (2s + n) div (2n) with INTEGRAL division
-      // (truncation toward zero) — exact integer arithmetic, and
-      // DuckDB's `//` truncates identically, so the whole training loop
-      // stays oracle-mirrorable (q40). (n per cell == the old per-
-      // (cell,dim) n: every vector contributes every dimension.)
-      val sumCols = (0 until dims).map(i =>
-        Exact.exactIntSum(element_at(col("__vq"), i + 1)).as(s"__s$i"))
+      // update: exact per-(cell, dim) mean via posexplode, rounded back
+      // to the grid — the mean is (2s + n) div (2n) with INTEGRAL
+      // division (truncation toward zero): exact integer arithmetic,
+      // and DuckDB's `//` truncates identically, so the whole training
+      // loop stays oracle-mirrorable (q40).
+      //
+      // Shape note (r14, measured): the r13-snapshot "one wide hash
+      // aggregate keyed by cell" variant (dims element_at exact sums in
+      // one groupBy) was A/B-profiled against this posexplode shape at
+      // dims=64/subDim=16 and LOST consistently (q40 3.2-4.0 s wide vs
+      // 2.2-2.5 s posexplode; q113 3.2 vs 2.6-2.9; q115 5.0-5.5 vs
+      // 3.8-4.4; plans/r14/WIDEAGG_AB.txt): at dims=64 the update
+      // carries ~130 aggregate buffer fields — past
+      // spark.sql.codegen.maxFields, so the stage leaves whole-stage
+      // codegen, and the generated row-update projection is a huge
+      // method the JVM refuses to JIT. The posexplode shape pays one
+      // extra (tiny, k×dims-row) exchange per round but keeps every
+      // operator codegen'd at ANY width — no dims probe, no ragged-
+      // width hazard, no Janino cliff at real embedding widths.
       val updated = assigned
+        .select(col("cell"), posexplode(col("__vq")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(Exact.exactIntSum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cell"), col("__pos"),
+          expr("CAST((__s * 2 + __n) div (__n * 2) AS BIGINT)").as("__m"))
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("__n"), sumCols: _*)
-        .select(col("cell"), array((0 until dims).map(i =>
-          expr(s"CAST((__s$i * 2 + __n) div (__n * 2) AS BIGINT)")): _*)
-          .as("cq2"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("cq2"))
       // empty cells keep their previous centroid. localCheckpoint (k
       // rows — trivial) cuts the iteration lineage: without it every
       // iteration references the previous centroids TWICE (assignment +

@@ -75,13 +75,6 @@ object Pq {
     val init = sub.join(broadcast(codeOfId), Seq(id))
       .select(col("s"), col("code"), col("sq").as("cv"))
 
-    // subvector width, read once outside the loop (see KMeans.fit r13:
-    // the wide per-dim update aggregate needs it at plan-construction
-    // time); empty input ⇒ the (empty) init is already the fixpoint
-    val subDim = sub.select(size(col("sq"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (subDim == 0 || iters == 0) return init
-
     (0 until iters).foldLeft(init) { (books, _) =>
       // assignment carries the subvector THROUGH the aggregate (first()
       // is exact here: every row of an (id, s) group holds the same sq),
@@ -95,19 +88,24 @@ object Pq {
         .groupBy(col(id), col("s"))
         .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
           first(col("sq")).as("sq"))
-      // update: ONE wide hash aggregate keyed by (s, code) — subDim
-      // exact sums + a count, re-assembled by projection (the KMeans.fit
-      // r13 shape: one exchange per Lloyd round, no generate). The
-      // grid-rounded integer mean is the identical formula, replayed as
-      // (2*sum+count)//(2*count) in the oracle.
-      val sumCols = (0 until subDim).map(j =>
-        Exact.exactIntSum(element_at(col("sq"), j + 1)).as(s"__s$j"))
+      // update: per-(s, code, dim) exact means via posexplode over the
+      // carried subvector, then one array reassembly — the grid-rounded
+      // integer mean is the identical formula, replayed as
+      // (2*sum+count)//(2*count) in the oracle. The one-wide-aggregate
+      // variant (subDim element_at sums in a single groupBy) was
+      // A/B-profiled and lost even at subDim=16 (see the shape note in
+      // [[KMeans.fit]] and plans/r14/WIDEAGG_AB.txt); posexplode keeps
+      // the update codegen'd at any width with no probed-width
+      // assumption.
       val updated = assigned
+        .select(col("s"), col("code"), posexplode(col("sq")).as(Seq("__j", "__x")))
+        .groupBy(col("s"), col("code"), col("__j"))
+        .agg(Exact.exactIntSum(col("__x")).as("__sm"), count(lit(1)).as("__n"))
+        .select(col("s"), col("code"), col("__j"),
+          expr("CAST((__sm * 2 + __n) div (__n * 2) AS BIGINT)").as("__mv"))
         .groupBy(col("s"), col("code"))
-        .agg(count(lit(1)).as("__n"), sumCols: _*)
-        .select(col("s"), col("code"), array((0 until subDim).map(j =>
-          expr(s"CAST((__s$j * 2 + __n) div (__n * 2) AS BIGINT)")): _*)
-          .as("cv2"))
+        .agg(transform(array_sort(collect_list(struct(col("__j"), col("__mv")))),
+          t => t.getField("__mv")).as("cv2"))
       // empty codes keep their centroid; checkpoint cuts the per-
       // iteration lineage doubling (m·ksub rows — trivial). Lazy: the
       // next iteration's codebook broadcast build (or the caller's

@@ -43,6 +43,29 @@ class KMeansSpec extends SparkSpec {
     assert(fitArrays(1) == fitArrays(7), "centroids drift with partitioning")
   }
 
+  test("wide embeddings (dims past the codegen field cap) train correctly") {
+    // the posexplode update is width-agnostic: a 100-dim corpus — the
+    // width at which a dims-wide one-aggregate update would fall out of
+    // whole-stage codegen — recovers its planted clusters and stays
+    // bit-deterministic under partitioning
+    val rnd = new scala.util.Random(7)
+    val wideCorpus = (0 until 30).map { i =>
+      val base = Array.fill(100)(0.05f * (rnd.nextFloat() - 0.5f))
+      base(17 * (i % 2)) += 1.0f
+      (i.toLong, base.toSeq)
+    }
+    def fit100(parts: Int): Seq[(Int, Seq[Long])] =
+      KMeans.fit(
+          wideCorpus.toDF("id", "v").repartition(parts)
+            .select(col("id"), VectorOps.quantized(col("v")).as("q")),
+          "id", "q", k = 2, iters = 2)
+        .orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    val cents = fit100(3)
+    assert(cents.size == 2)
+    assert(cents == fit100(7), "100-dim centroids drift with partitioning")
+  }
+
   test("empty cells keep their previous centroid (k never shrinks)") {
     // k = 5 over a corpus with only 3 real directions: some cells may
     // end up empty during iterations, but fit must still return 5
