@@ -279,25 +279,23 @@ object GraphOps {
     var done = 0
     var live = true
     while (live && done < maxIter) {
-      // ONE job per round (the connectedComponents discipline): the
-      // peel set is checkpointed LAZILY and the convergence-signal
-      // collect below materializes it — together with the previous
-      // round's (also lazy) degree update — so each round costs one
-      // scheduled job plus a tiny count collect, instead of the three
-      // eager materializations (bad ckpt, counts, deg ckpt) this loop
-      // used to pay. The peel set is tiny once peeling slows, so the
-      // checkpoint is cheap exactly when rounds are numerous. A k whose
-      // bad set is empty has hit its fixpoint (its rows no-op through
-      // every later round).
-      val bad = deg.filter(col("d") < col("k")).select(col("k"), col("n"))
-        .localCheckpoint(false)
-      val badCounts = bad.groupBy(col("k")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      ks.foreach { k =>
-        if (badCounts.getOrElse(k.toLong, 0L) == 0L) converged(k) = true
-      }
-      live = badCounts.values.sum > 0L
-      if (live) {
+      // TWO peel rounds per driver round-trip (r14; r13 got this loop
+      // to one job per round, and the profile showed the remaining cost
+      // was the per-round-trip scheduling itself — 108 jobs / 2.3 s of
+      // driver gap at sf0.1). Both rounds are built lazily and ONE
+      // collect reads both rounds' per-k peel counts; a speculative
+      // second round built past the fixpoint is an exact identity
+      // (empty peel set ⇒ empty decrement set ⇒ unchanged degrees), so
+      // batching never changes the result — only the flags/`done`
+      // bookkeeping walks the counts round by round. The peel set is a
+      // plain filter over the (checkpointed) degree blocks — cheap to
+      // re-evaluate per consumer, so it no longer gets its own
+      // checkpoint job. A k whose peel set is empty has hit its
+      // fixpoint (its rows no-op through every later round).
+      val batch = math.min(2, maxIter - done)
+      var d = deg
+      val roundBad = (0 until batch).map { r =>
+        val bad = d.filter(col("d") < col("k")).select(col("k"), col("n"))
         // decrements to ALIVE endpoints of edges that just lost their
         // other endpoint; decrements landing on this round's own bad
         // nodes are dropped with them by the anti-join (both-bad edges
@@ -306,14 +304,33 @@ object GraphOps {
         val dec = adj.join(bad, Seq("n"))
           .select(col("k"), explode(col("nbs")).as("n"))
           .groupBy(col("k"), col("n")).agg(count(lit(1)).as("cut"))
-        deg = deg.join(bad, Seq("k", "n"), "left_anti")
+        // survivors are d's rows with d >= k — the same predicate that
+        // defines `bad`, so "drop this round's peeled nodes" is a plain
+        // FILTER, not the left_anti self-join this loop used to pay
+        // (one broadcast build + join stage per round, r14); decrements
+        // landing on peeled nodes vanish with their rows in the filter
+        d = d.filter(col("d") >= col("k"))
           .join(dec, Seq("k", "n"), "left")
           .select(col("k"), col("n"),
             (col("d") - coalesce(col("cut"), lit(0L))).as("d"))
-          .localCheckpoint(false) // lazy: next round's signal job (or the
-                                  // caller's first action) materializes it
-        done += 1
+          .localCheckpoint(false) // lazy: the next round's peel filter,
+                                  // the next batch's signal job, or the
+                                  // caller's first action materializes it
+        bad.groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .select(lit(r).as("r"), col("k"), col("c"))
       }
+      val counts = roundBad.reduce(_ unionByName _).collect()
+        .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2)).toMap
+      var r = 0
+      while (live && r < batch) {
+        val roundTotal = ks.map(k => counts.getOrElse((r, k.toLong), 0L)).sum
+        ks.foreach { k =>
+          if (counts.getOrElse((r, k.toLong), 0L) == 0L) converged(k) = true
+        }
+        if (roundTotal == 0L) live = false else done += 1
+        r += 1
+      }
+      deg = d // identity past the fixpoint, so always safe to adopt
     }
     (deg, converged.toMap)
   }
