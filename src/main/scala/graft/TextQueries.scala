@@ -1537,8 +1537,14 @@ object TextQueries {
           col("inter"), col("containment"))
         .orderBy(col("a_id").asc, col("b_id").asc)
     },
+    // oracle over the HASHED shingle sets (r14): containmentPairs moved
+    // to the 60-bit gram-hash layout (the q210/q214/q219 discipline,
+    // VERDICT r12 #4), so the quadratic-definition oracle intersects the
+    // same hashes — sizes and intersections are value-identical to the
+    // string-set oracle modulo md5-60-bit collisions (none at any test
+    // SF: output parity re-proved against the prior string-set values).
     Some(s"""
-      WITH $shingleSqlCte,
+      WITH $hashedShingleSqlCte,
       p AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(len(a.sh) AS BIGINT) AS n_a,

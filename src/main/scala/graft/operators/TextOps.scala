@@ -318,7 +318,18 @@ object TextOps {
     // inverted-index candidate join, AND (via collect_set) both sides
     // of the exact verification — six references that would otherwise
     // each re-tokenize the corpus.
-    val ex = explodedShingles(df, id, text, n).distinct().localCheckpoint()
+    //
+    // Shingles are carried as 60-bit md5-derived LONGS (r14, guide
+    // §2.3 "shuffle fewer bytes"): every downstream exchange — the df
+    // aggregate, the prefix window, the inverted-index join, the set
+    // arrays on both verify sides — moves 8-byte keys instead of
+    // ~20-byte gram strings, and set intersection hashes longs. This is
+    // the persisted layout of the near-dup index (hash60 = the exact
+    // expression the oracle replays); sizes/intersections are identical
+    // to the string-set computation modulo md5-60-bit collisions.
+    val ex = explodedShingles(df, id, text, n)
+      .select(col(id), Kmv.hash60(col("s")).as("s"))
+      .distinct().localCheckpoint()
     val sizes = ex.groupBy(col(id)).agg(count(lit(1)).as("__nsh"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -339,8 +350,14 @@ object TextOps {
       .filter(col("__nb") >= col("__alpha"))
       .select(col("a_id"), col("b_id"))
     // ex is already the DISTINCT per-doc shingle list, so collect_set
-    // over it equals shingleSets(df) without another corpus scan
+    // over it equals shingleSets(df) without another corpus scan.
+    // Eagerly checkpointed (r14): the verify step joins `sets` on BOTH
+    // sides, and the two references do not share their exchange (the
+    // per-side aggregate expressions differ), so the un-checkpointed
+    // form built the set arrays TWICE — the two single largest jobs in
+    // the q114 profile (~0.8 s each at sf0.1).
     val sets = ex.groupBy(col(id)).agg(collect_set(col("s")).as("sh"))
+      .localCheckpoint()
     cand
       .join(sets.select(col(id).as("a_id"), col("sh").as("__sha")), Seq("a_id"))
       .join(sets.select(col(id).as("b_id"), col("sh").as("__shb")), Seq("b_id"))
