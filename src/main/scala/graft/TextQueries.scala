@@ -99,9 +99,14 @@ object TextQueries {
   // family missed a jaccard-0.947 pair at sf0.1).
   /** LSH candidate pairs verified by exact Jaccard (shared by q17/q39). */
   private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-      val sigs = TextOps.minhashSignatures(
-        TextOps.explodedShingles(docs(spark, dir), "doc_id", "text"),
-        "doc_id", MinhashPerms)
+      // ONE tokenize+shingle pass (r14, the BM25 one-pass discipline):
+      // the exploded shingle stream feeds the MinHash signatures AND the
+      // exact-Jaccard verification sets; un-checkpointed, each side
+      // re-ran the corpus scan + tokenize + explode. collect_set over
+      // the multiplicity-preserving stream equals shingleSets exactly.
+      val ex = TextOps.explodedShingles(docs(spark, dir), "doc_id", "text")
+        .localCheckpoint()
+      val sigs = TextOps.minhashSignatures(ex, "doc_id", MinhashPerms)
       val banded = sigs.select(col("doc_id"),
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),
@@ -123,7 +128,7 @@ object TextQueries {
       // — AQE broadcasts when it is actually small and shuffle-joins
       // otherwise.
       TextOps.jaccardVerify(cand,
-        TextOps.shingleSets(docs(spark, dir), "doc_id", "text"),
+        ex.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh")),
         "doc_id", JaccardThreshold)
   }
 
@@ -1443,8 +1448,16 @@ object TextQueries {
         val wc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(-(SubstrK - 1), 0)
         val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // ONE full-stream exchange instead of two (r14, guide §2.4):
+        // hash both join sides by doc_id alone — HashPartitioning on a
+        // subset of the join keys satisfies the (doc_id, pos) join's
+        // clustering, and the join output stays doc_id-partitioned, so
+        // the coverage windows below reuse it. The un-repartitioned form
+        // shuffled the full token stream by (doc_id, pos) for the join
+        // and AGAIN by doc_id for the windows.
         val cov = toks.select(col("doc_id"), col("pos"), col("toklen"))
-          .join(starts, Seq("doc_id", "pos"), "left")
+          .repartition(col("doc_id"))
+          .join(starts.repartition(col("doc_id")), Seq("doc_id", "pos"), "left")
           .withColumn("removable", coalesce(col("removable"), lit(0)))
           .withColumn("covered",
             when(max(col("removable")).over(wc) >= 1, 1).otherwise(0))
