@@ -877,20 +877,37 @@ object RelationalQueries {
   // dropping it would silently bias the estimate up.
   private val q93 = Q(
     (spark, dir) => {
-      val l = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").cast("string").as("k"))
-      val o = Tables.orders(spark, dir)
-        .select(col("o_orderkey").cast("string").as("k"))
-      val ca = operators.Cms.build(l, "k").withColumnRenamed("n", "na")
-      val cb = operators.Cms.build(o, "k").withColumnRenamed("n", "nb")
+      // Pre-aggregate per NUMERIC key once per side (r14, guide §2.3
+      // "aggregate before you shuffle"): the counts feed BOTH the exact
+      // baseline (join of the two count tables) and the weighted sketch
+      // build — which now hashes each DISTINCT key d times instead of
+      // every row d times (the 4 md5s per lineitem row were q93's one
+      // dominant job: 2.2 s of a 2.5 s query). Counter values and the
+      // estimate are EXACTLY the old build's (weight sums == row
+      // counts per bucket); the key grouping runs on the int64 order
+      // key, with the string cast paid only on the distinct keys the
+      // hash formula (unchanged, oracle-replayed) requires.
+      val lc = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("kk"))
+        .agg(count(lit(1)).as("ca"))
+        .localCheckpoint() // eager: feeds the sketch AND the exact side
+      val oc = Tables.orders(spark, dir)
+        .groupBy(col("o_orderkey").as("kk"))
+        .agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val ca = operators.Cms.buildWeighted(
+          lc.select(col("kk").cast("string").as("k"), col("ca")), "k", "ca")
+        .withColumnRenamed("n", "na")
+      val cb = operators.Cms.buildWeighted(
+          oc.select(col("kk").cast("string").as("k"), col("cb")), "k", "cb")
+        .withColumnRenamed("n", "nb")
       val dots = ca.join(cb, Seq("j", "bucket"))
         .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("dot"))
       val est = spark.range(operators.Cms.DefaultDepth)
         .select(col("id").cast("int").as("j"))
         .join(dots, Seq("j"), "left")
         .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_n"))
-      val exact = l.groupBy(col("k")).agg(count(lit(1)).as("ca"))
-        .join(o.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      val exact = lc.join(oc, Seq("kk"))
         .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_n"))
       exact.crossJoin(est)
         .select(col("exact_join_n"), col("est_join_n"),
