@@ -298,9 +298,10 @@ object GraphOps {
         val bad = d.filter(col("d") < col("k")).select(col("k"), col("n"))
         // decrements to ALIVE endpoints of edges that just lost their
         // other endpoint; decrements landing on this round's own bad
-        // nodes are dropped with them by the anti-join (both-bad edges
-        // self-cancel). AQE broadcasts the bad side when small and
-        // falls back to a shuffle join when a round peels en masse.
+        // nodes vanish with their rows in the survivor filter below
+        // (both-bad edges self-cancel). AQE broadcasts the bad side
+        // when small and falls back to a shuffle join when a round
+        // peels en masse.
         val dec = adj.join(bad, Seq("n"))
           .select(col("k"), explode(col("nbs")).as("n"))
           .groupBy(col("k"), col("n")).agg(count(lit(1)).as("cut"))
